@@ -1,0 +1,114 @@
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, compares row count, column names, and values
+(order-insensitive). Reports EXACT (bit-identical → driver hash will
+match), APPROX (within 1e-9 — driver hash may FAIL, fix the query), or
+MISMATCH.
+
+Usage: python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: str(sorted(v)) if isinstance(v, (list, np.ndarray, set)) else str(v))
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> str:
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        return f"COLS spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
+    if len(sdf) != len(ddf):
+        return f"ROWS spark={len(sdf)} duck={len(ddf)}"
+    a, b = canon(sdf), canon(ddf)
+    exact = True
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            avn = av.astype(float).to_numpy()
+            bvn = bv.astype(float).to_numpy()
+            both_nan = np.isnan(avn) & np.isnan(bvn)
+            eq = (avn == bvn) | both_nan
+            if not eq.all():
+                close = np.isclose(avn, bvn, rtol=1e-9, atol=1e-12, equal_nan=True)
+                if close.all():
+                    exact = False
+                else:
+                    i = int(np.argmin(close))
+                    return f"VALUES col={c} row={i} spark={avn[i]!r} duck={bvn[i]!r}"
+        else:
+            if not (av.fillna("<NA>").astype(str) == bv.fillna("<NA>").astype(str)).all():
+                neq = av.fillna("<NA>").astype(str) != bv.fillna("<NA>").astype(str)
+                i = int(np.argmax(neq.to_numpy()))
+                return f"VALUES col={c} row={i} spark={av.iloc[i]!r} duck={bv.iloc[i]!r}"
+    return "EXACT" if exact else "APPROX"
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from varda_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("check_oracle", shuffle_partitions=16)
+    con = duck_con()
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:
+            print(f"{name:24s} SPARK-ERROR {type(ex).__name__}: {str(ex)[:200]}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name:24s} rows-only   rows={len(sdf)}  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"{name:24s} DUCK-ERROR {type(ex).__name__}: {str(ex)[:200]}")
+            failed.append(name)
+            continue
+        verdict = compare(name, sdf, ddf)
+        status = verdict if verdict in ("EXACT", "APPROX") else f"FAIL {verdict}"
+        if verdict not in ("EXACT",):
+            failed.append(name)
+        print(f"{name:24s} {status}  rows={len(sdf)}  ({time.time()-t0:.1f}s)")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} exact; non-exact: {failed or 'none'}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Point-in-interval and range-overlap joins — THE core join of the engine.
+
+Reference shape (public varda denominator query, SURVEY.md §2.C1): "which
+samples have a coverage Region containing (chromosome, position)?". In
+PostgreSQL that's a composite-index lookup on (chromosome, bin); our Spark
+translation is the binned equi-join rewrite from operators/binning.py.
+
+Scale behaviour: both sides shuffle-hash-partition on (chromosome, bin) —
+at 100 TB that's an even, prunable key space (chromosome is also the
+parquet partition key, so partition pruning kicks in for single-locus
+lookups); no nested-loop, no cross product. Point-side fan-out is exactly
+5 rows per point (the 5 bin levels), interval side is 1 row each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from varda_spark.operators.binning import point_bins, range_bins, with_bin
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_chrom: str = "chromosome",
+    point_pos: str = "position",
+    ival_chrom: str = "chromosome",
+    ival_begin: str = "begin",
+    ival_end: str = "end",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point to every closed interval [begin,end] containing it.
+
+    Equi-join on (chromosome, bin) + residual range predicate. Interval
+    columns keep their names; clashing names on the interval side get an
+    ``i_`` prefix.
+    """
+    pts = points.withColumn("_bin", F.explode(point_bins(point_pos)))
+    ivs = with_bin(intervals, ival_begin, ival_end, out="_bin")
+    # disambiguate clashing column names (e.g. both sides have 'chromosome')
+    clash = set(pts.columns) & set(ivs.columns) - {"_bin"}
+    for c in clash:
+        ivs = ivs.withColumnRenamed(c, f"i_{c}")
+        if c == ival_chrom:
+            ival_chrom = f"i_{c}"
+        if c == ival_begin:
+            ival_begin = f"i_{c}"
+        if c == ival_end:
+            ival_end = f"i_{c}"
+    cond = (
+        (F.col(point_chrom) == F.col(ival_chrom))
+        & (pts["_bin"] == ivs["_bin"])
+        & (F.col(point_pos) >= F.col(ival_begin))
+        & (F.col(point_pos) <= F.col(ival_end))
+    )
+    return pts.join(ivs, cond, how).drop("_bin")
+
+
+def range_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_keys: tuple[str, str, str] = ("chromosome", "begin", "end"),
+    right_keys: tuple[str, str, str] = ("chromosome", "begin", "end"),
+) -> DataFrame:
+    """Join intervals that overlap (closed-interval semantics).
+
+    The smaller/query side explodes to all candidate bins (bounded by the
+    5-level hierarchy), the stored side carries its single enclosing bin.
+    """
+    lc, lb, le = left_keys
+    rc, rb, re_ = right_keys
+    lft = left.withColumn("_bin", F.explode(range_bins(lb, le)))
+    rgt = with_bin(right, rb, re_, out="_bin")
+    clash = set(lft.columns) & set(rgt.columns) - {"_bin"}
+    for c in clash:
+        rgt = rgt.withColumnRenamed(c, f"r_{c}")
+        if c == rc:
+            rc = f"r_{c}"
+        if c == rb:
+            rb = f"r_{c}"
+        if c == re_:
+            re_ = f"r_{c}"
+    cond = (
+        (F.col(lc) == F.col(rc))
+        & (lft["_bin"] == rgt["_bin"])
+        & (F.col(lb) <= F.col(re_))
+        & (F.col(le) >= F.col(rb))
+    )
+    return lft.join(rgt, cond, "inner").drop("_bin")
+
+
+def interval_join_naive(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_chrom: str = "chromosome",
+    point_pos: str = "position",
+    ival_chrom: str = "chromosome",
+    ival_begin: str = "begin",
+    ival_end: str = "end",
+) -> DataFrame:
+    """Reference implementation: plain theta join (BroadcastNestedLoop).
+
+    Only for property-testing the binned rewrite and for genuinely tiny
+    interval sides. Never the scale path.
+    """
+    ivs = intervals
+    clash = set(points.columns) & set(ivs.columns)
+    for c in clash:
+        ivs = ivs.withColumnRenamed(c, f"i_{c}")
+        if c == ival_chrom:
+            ival_chrom = f"i_{c}"
+        if c == ival_begin:
+            ival_begin = f"i_{c}"
+        if c == ival_end:
+            ival_end = f"i_{c}"
+    cond = (
+        (F.col(point_chrom) == F.col(ival_chrom))
+        & (F.col(point_pos) >= F.col(ival_begin))
+        & (F.col(point_pos) <= F.col(ival_end))
+    )
+    return points.join(ivs, cond, "inner")
