@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with the noop sink (no driver
+collect overhead, no count() shortcuts). A warm-up query runs first so JVM
+/ codegen startup isn't charged to the first benchmark entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from varda_spark.catalog import REGISTRY  # noqa: E402
+from varda_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the scale-critical
+# paths (binned interval join, LSH dedup, blocked similarity, sessionization).
+HEADLINE = [
+    "agg_sum",          # TPC-H Q1 skeleton: full lineitem scan + grouped sums
+    "join_equi",        # orders⋈customer shuffle join + agg
+    "join_broadcast",   # dim broadcast join
+    "join_range",       # range predicate join
+    "join_interval",    # UCSC-binned point-in-interval join
+    "win_topk",         # window top-k per group
+    "agg_rollup",       # grouping sets
+    "stream_tumbling",  # event-time tumbling window
+    "stream_session",   # gaps-and-islands sessionization
+    "dedup_exact",      # content-hash dedup
+    "dedup_minhash",    # MinHash LSH candidate pairs
+    "sim_topk",         # label-blocked quantized top-k similarity
+    "text_ngrams",      # shingle explode + count
+    "json_extract",     # JSON field extraction
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    # warm-up: JVM, codegen, parquet footer caches
+    materialize(REGISTRY["agg_count"].fn(spark, SF_DIR))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(REGISTRY[name].fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

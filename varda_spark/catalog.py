@@ -543,3 +543,528 @@ def paginate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
         .select("c_custkey", "c_name")
     )
+
+
+# =====================================================================
+# C1. The binned interval join (genomic-shaped data synthesized from
+#     driver tables so the DuckDB oracle can theta-join-check it)
+# =====================================================================
+
+def _points_intervals(spark: SparkSession, sf_dir: str):
+    """points from part, coverage-style intervals from supplier."""
+    p = read_table(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("p_partkey") * 31) % 100000 + 1).cast("long").alias("position"),
+        F.col("p_partkey"),
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("begin"),
+        F.col("s_suppkey").alias("sample_key"),
+    ).withColumn("end", F.col("begin") + 200 + (F.col("sample_key") % 7) * 500)
+    return p, s
+
+
+@q(
+    "join_interval",
+    """WITH pts AS (
+         SELECT CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
+                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                p_partkey
+         FROM part),
+       ivs AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
+                s_suppkey AS sample_key
+         FROM supplier)
+       SELECT p.chromosome, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(COUNT(DISTINCT p.p_partkey) AS BIGINT) AS n_points_covered
+       FROM pts p JOIN ivs i
+         ON p.chromosome = i.chromosome
+        AND p.position >= i.begin AND p.position <= i."end"
+       GROUP BY p.chromosome""",
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 point-in-interval join via the UCSC binning equi-join rewrite.
+
+    The oracle is the naive theta join; the Spark side runs the binned
+    rewrite (operators/interval.py) — equal results prove the rewrite.
+    """
+    from varda_spark.operators.interval import interval_join
+
+    p, s = _points_intervals(spark, sf_dir)
+    joined = interval_join(p, s)
+    return joined.groupBy("chromosome").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("p_partkey").cast("bigint").alias("n_points_covered"),
+    )
+
+
+# =====================================================================
+# H. Scalar functions
+# =====================================================================
+
+@q(
+    "str_normalize",
+    """SELECT n_nationkey, CASE
+           WHEN upper(regexp_replace(raw, '^(?i)chr', '')) IN ('M', 'MT') THEN 'MT'
+           ELSE regexp_replace(raw, '^(?i)chr', '') END AS chromosome
+       FROM (SELECT n_nationkey, CASE
+               WHEN n_nationkey % 7 = 0 THEN 'chrM'
+               WHEN n_nationkey % 5 = 0 THEN 'M'
+               ELSE 'chr' || CAST(n_nationkey AS VARCHAR) END AS raw
+             FROM nation)""",
+)
+def str_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 normalize_chromosome: strip chr prefix, canonicalize M→MT."""
+    from varda_spark.functions.variant import normalize_chromosome
+
+    n = read_table(spark, sf_dir, "nation")
+    raw = (
+        F.when(F.col("n_nationkey") % 7 == 0, F.lit("chrM"))
+        .when(F.col("n_nationkey") % 5 == 0, F.lit("M"))
+        .otherwise(F.concat(F.lit("chr"), F.col("n_nationkey").cast("string")))
+    )
+    return n.select("n_nationkey", normalize_chromosome(raw))
+
+
+@q(
+    "str_trim_alleles",
+    """SELECT p_partkey,
+              CAST(p_partkey + 4 AS BIGINT) AS position,
+              CASE kind WHEN 0 THEN 'A' ELSE '' END AS reference,
+              CASE kind WHEN 0 THEN 'G' ELSE 'CA' END AS observed
+       FROM part, (SELECT unnest(range(2)) AS kind)""",
+)
+def str_trim_alleles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 normalize_variant: suffix-then-prefix allele trimming.
+
+    Alleles are constructed from an md5-hex prefix (lowercase, so it can
+    never collide with the uppercase allele letters): the generic trimming
+    algorithm must therefore produce a result the oracle knows in closed
+    form — kind 0: SNV {prefix}AT>{prefix}GT → pos+4 A>G; kind 1: pure
+    insertion {prefix}T>{prefix}CAT → pos+4 ''>'CA'. Edge cases beyond
+    this get golden pytest coverage (tests/test_variant.py).
+    """
+    from varda_spark.functions.variant import normalize_variant_cols
+
+    p = read_table(spark, sf_dir, "part").select("p_partkey")
+    pref = F.substring(F.md5(F.col("p_partkey").cast("string").cast("binary")), 1, 4)
+    rows = p.select(
+        "p_partkey",
+        F.col("p_partkey").cast("long").alias("position"),
+        F.concat(pref, F.lit("AT")).alias("reference"),
+        F.concat(pref, F.lit("GT")).alias("observed"),
+        F.lit(0).alias("kind"),
+    ).unionByName(
+        p.select(
+            "p_partkey",
+            F.col("p_partkey").cast("long").alias("position"),
+            F.concat(pref, F.lit("T")).alias("reference"),
+            F.concat(pref, F.lit("CAT")).alias("observed"),
+            F.lit(1).alias("kind"),
+        )
+    )
+    return normalize_variant_cols(rows).select("p_partkey", "position", "reference", "observed")
+
+
+@q(
+    "str_digest",
+    """SELECT c_custkey, md5(c_name) AS name_md5 FROM customer""",
+)
+def str_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 content digest (engine also has sha1; DuckDB 1.0 lacks it →
+    oracle uses md5, same dedup-guard semantics)."""
+    from varda_spark.functions.scalar import md5_digest
+
+    c = read_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", md5_digest("c_name").alias("name_md5"))
+
+
+@q(
+    "date_trunc",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM events GROUP BY 1""",
+)
+def date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 date/time truncation (DATE output — identical py objects both engines)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+
+
+@q(
+    "date_extract",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+              CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              {s} AS sum_price
+       FROM orders GROUP BY 1, 2""".format(s=osum("o_totalprice", 2)),
+)
+def date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 date part extraction + per-month rollup."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("o_totalprice", 2).alias("sum_price"),
+    )
+
+
+@q(
+    "math_round",
+    """SELECT c_custkey,
+              round(c_acctbal, 1) AS bal_round,
+              floor(c_acctbal) AS bal_floor,
+              ceil(c_acctbal) AS bal_ceil,
+              abs(c_acctbal) AS bal_abs
+       FROM customer""",
+)
+def math_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 math: round/floor/ceil/abs (both engines round half away from 0)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.round("c_acctbal", 1).alias("bal_round"),
+        F.floor("c_acctbal").cast("double").alias("bal_floor"),
+        F.ceil("c_acctbal").cast("double").alias("bal_ceil"),
+        F.abs("c_acctbal").alias("bal_abs"),
+    )
+
+
+@q(
+    "arr_explode",
+    """SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       GROUP BY tok HAVING COUNT(*) >= 20""",
+)
+def arr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 array explode (the VCF per-ALT decomposition shape): token counts."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+@q(
+    "arr_transform",
+    """SELECT vec_id,
+              CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS BIGINT) AS qsum,
+              CAST(len(embedding) AS BIGINT) AS dim
+       FROM embeddings""",
+)
+def arr_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 array transform/aggregate: quantized element sum (exact ints)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("qsum"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
+
+
+@q(
+    "json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM events GROUP BY 1""",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 JSON field extraction from events.props."""
+    from varda_spark.functions.scalar import json_int
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(json_int("props", "$.k").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@q(
+    "str_funcs",
+    """SELECT c_custkey,
+              lower(c_name) AS name_lower,
+              concat(c_mktsegment, '|', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+              substring(c_name, 1, 8) AS name_prefix,
+              CAST(length(c_name) AS BIGINT) AS name_len
+       FROM customer WHERE c_name LIKE 'Customer%'""",
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 general string ops: lower/concat/substring/length/LIKE."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("Customer%")).select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+    )
+
+
+# =====================================================================
+# I. Streaming (batch cores — oracle-checkable; wrappers in streaming/)
+# =====================================================================
+
+@q(
+    "stream_tumbling",
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+              event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              {s} AS sum_value
+       FROM events GROUP BY 1, 2""".format(s=osum("value", 4)),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 tumbling 1h window (batch core of the streaming operator)."""
+    from varda_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(read_table(spark, sf_dir, "events"))
+
+
+@q(
+    "stream_sliding",
+    """SELECT CAST(epoch(date_trunc('epoch', ts)) AS BIGINT) / 0 AS never -- replaced below
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 sliding 1h window every 15min."""
+    from varda_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(read_table(spark, sf_dir, "events"))
+
+
+# real oracle for stream_sliding: each event belongs to 4 slide windows
+REGISTRY["stream_sliding"].sql = """
+    WITH slides AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 900) * 900 - k.range * 900 AS BIGINT) AS win_start
+      FROM events, range(4) k)
+    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM slides GROUP BY 1, 2"""
+
+
+@q(
+    "stream_session",
+    """WITH marked AS (
+         SELECT user_id, epoch_us(ts) AS t, value,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       sessions AS (
+         SELECT user_id, t, value,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         FROM marked)
+       SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+              MIN(t) AS session_start_us, MAX(t) AS session_end_us,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              {s} AS sum_value
+       FROM sessions GROUP BY user_id, session_seq""".format(s=osum("value", 4)),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 session windows (30-min gap), batch gaps-and-islands core."""
+    from varda_spark.streaming.windows import session_windows_batch
+
+    return session_windows_batch(read_table(spark, sf_dir, "events"))
+
+
+# =====================================================================
+# K. LLM-pipeline operators (documents / embeddings)
+# =====================================================================
+
+@q(
+    "dedup_exact",
+    """WITH hashed AS (
+         SELECT doc_id, md5(lower(trim(text))) AS h,
+                ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                   ORDER BY doc_id) AS rn
+         FROM documents)
+       SELECT doc_id FROM hashed WHERE rn = 1""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/A7 exact dedup: deterministic keep-lowest-key survivor set."""
+    from varda_spark.operators.dedup import dedup_exact
+
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_exact(d).select("doc_id")
+
+
+@q(
+    "dedup_minhash",
+    """WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+         FROM words),
+       sigs AS (
+         SELECT doc_id,
+                MIN(md5('0|' || shingle)) AS sig_0, MIN(md5('1|' || shingle)) AS sig_1,
+                MIN(md5('2|' || shingle)) AS sig_2, MIN(md5('3|' || shingle)) AS sig_3,
+                MIN(md5('4|' || shingle)) AS sig_4, MIN(md5('5|' || shingle)) AS sig_5,
+                MIN(md5('6|' || shingle)) AS sig_6, MIN(md5('7|' || shingle)) AS sig_7
+         FROM sh GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, band FROM (
+           SELECT doc_id,
+                  ['0|' || sig_0 || '|' || sig_1, '1|' || sig_2 || '|' || sig_3,
+                   '2|' || sig_4 || '|' || sig_5, '3|' || sig_6 || '|' || sig_7] AS bands
+           FROM sigs), UNNEST(bands) AS u(band))
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id""",
+)
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 MinHash LSH candidate pairs (8 hashes, 4 bands × 2 rows).
+
+    Pure-DF minhash (md5-based, engine-portable) — NOT ml.feature.MinHashLSH
+    — precisely so the oracle can recompute it.
+    """
+    from varda_spark.operators.dedup import minhash_candidates
+
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_candidates(d, num_hashes=8, bands=4, shingle_n=3)
+
+
+@q(
+    "sim_topk",
+    """WITH q AS (
+         SELECT vec_id, label,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+         FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                (SELECT SUM(a.e[i.range] * b.e[i.range])
+                 FROM range(1, 65) i) AS dot_q
+         FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, CAST(dot_q AS BIGINT) AS dot_q,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rank
+         FROM pairs)
+       SELECT query_id, neighbor_id, dot_q, rank FROM ranked WHERE rank <= 3""",
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 top-k similarity search, label-blocked (IVF-style scale path).
+
+    Integer-quantized dot ranking → exact across engines (float cosine API
+    is operators/similarity.cosine_topk, pytest-compared to this ranking).
+    """
+    from varda_spark.operators.similarity import quantized_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return quantized_topk(e, k=3)
+
+
+@q(
+    "text_tokens",
+    """SELECT doc_id,
+              CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_m,
+              CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct_tokens
+       FROM documents""",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 token counting per document."""
+    from varda_spark.operators.text import with_token_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return with_token_stats(d).select("doc_id", "n_tokens", "n_chars_m", "n_distinct_tokens")
+
+
+@q(
+    "text_ngrams",
+    """WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       grams AS (
+         SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                       i -> w[i] || ' ' || w[i + 1])) AS ngram
+         FROM words)
+       SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+       FROM grams GROUP BY ngram HAVING COUNT(*) >= 5""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 word bigrams with counts."""
+    from varda_spark.operators.text import ngrams
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        ngrams(d.select("doc_id", "text"), n=2)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@q(
+    "text_stats",
+    """SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+              CAST(SUM(length(text)) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 corpus statistics per language."""
+    from varda_spark.operators.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("total_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "text_quality",
+    """WITH t AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       scored AS (
+         SELECT doc_id, len(w) AS n,
+                CAST(floor(len(list_distinct(w)) * 100 / greatest(len(w), 1)) AS BIGINT)
+                    AS distinct_ratio_pct
+         FROM t)
+       SELECT doc_id,
+              CAST(100
+                - (CASE WHEN n < 5 THEN 40 WHEN n < 20 THEN 10 ELSE 0 END)
+                - (CASE WHEN distinct_ratio_pct < 30 THEN 30
+                        WHEN distinct_ratio_pct < 60 THEN 10 ELSE 0 END)
+                AS BIGINT) AS quality,
+              distinct_ratio_pct
+       FROM scored""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 quality scoring: integer 0..100 heuristic (oracle-exact)."""
+    from varda_spark.operators.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    return quality_score(d).select("doc_id", "quality", "distinct_ratio_pct")
+
+
+@q(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(lower(array_to_string(string_split(trim(text), ' '), ' '))) AS fp
+       FROM documents""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4/A7 document fingerprint (content address of token stream)."""
+    from varda_spark.operators.text import fingerprint
+
+    d = read_table(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "fp")

@@ -1,0 +1,158 @@
+"""Deduplication operators — exact and near-dup (MinHash LSH, SimHash).
+
+Reference analog: varda's checksum duplicate-import guard (A7, SHA1 over
+file content [P]); extended per the north star to document-level dedup for
+training-data pipelines.
+
+Scale design:
+- exact dedup: hash → window keep-first. One shuffle on the digest; at
+  100 TB the digest groupBy is near-uniform (no skew).
+- MinHash LSH: shingle → k signatures → band buckets → candidate pairs by
+  bucket equi-join. Fan-out is bounded by band count; NEVER a cross join.
+  Signatures use md5 (available in both Spark and DuckDB, so the pure-DF
+  variant is oracle-checkable; a production swap to xxhash64 is one line).
+- SimHash: per-token md5 bit-vote → 64-bit fingerprint; near-dups =
+  fingerprints within Hamming distance d, found by band equi-join on
+  16-bit chunks (d<=3 guarantees one identical chunk of 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from varda_spark.operators.text import tokens
+
+
+def dedup_exact(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Keep the lowest-key document per exact (md5-normalized) text.
+
+    Window keep-first rather than dropDuplicates so the SURVIVOR is
+    deterministic (dropDuplicates keeps an arbitrary row).
+    """
+    h = F.md5(F.lower(F.trim(F.col(text))).cast("binary"))
+    w = Window.partitionBy("_h").orderBy(F.col(key))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text: str = "text", out: str = "shingle") -> DataFrame:
+    """Explode n-word shingles of the token stream."""
+    df = df.withColumn("_w", tokens(text))
+    parts = ", ".join(f"element_at(_w, i + {j})" for j in range(n))
+    return df.withColumn(
+        out,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(_w) - {n - 1}, 0)), i -> concat_ws(' ', {parts}))"
+            )
+        ),
+    ).drop("_w")
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 8, shingle_n: int = 3, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = MIN(md5(i || shingle)).
+
+    Lexicographic MIN over fixed-width lowercase hex == numeric MIN over
+    the hash value, and md5 agrees across engines → oracle-exact.
+    Output: key + sig_0..sig_{n-1} (strings).
+    """
+    sh = shingles(df.select(key, text), n=shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")).cast("binary"))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(key).agg(*aggs)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the MinHash signature.
+
+    rows-per-band = num_hashes/bands; docs agreeing on ALL rows of ≥1 band
+    become a candidate pair (a < b). Bucket equi-join per band — the scale
+    path: shuffle keys are (band_id, band_value), bounded fan-out.
+    """
+    sigs = minhash_signatures(df, num_hashes, shingle_n, key, text)
+    rows = num_hashes // bands
+    band_cols = [
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(key), *band_cols)
+    stacked = banded.select(
+        F.col(key),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("bucket"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .select(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, key: str = "doc_id", text: str = "text", out: str = "simhash") -> DataFrame:
+    """64-bit SimHash fingerprint from per-token md5 bit votes.
+
+    bit_j(doc) = 1 iff more tokens hash with bit j set than unset. Pure
+    Column math: per token take md5 → first 16 hex chars → bigint via
+    conv(); per bit aggregate the vote sign.
+    """
+    tok = df.select(key, F.explode(tokens(text)).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast("bigint")
+    tok = tok.withColumn("_h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(60)
+    ]
+    agg = tok.groupBy(key).agg(*votes)
+    fp = sum(
+        (F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(60)),
+        start=F.lit(0).cast("bigint"),
+    )
+    return agg.select(F.col(key), fp.alias(out))
+
+
+def ngram_jaccard(
+    df: DataFrame, candidate_pairs: DataFrame, shingle_n: int = 3, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification stage).
+
+    Runs AFTER LSH blocking so the pair set is small; outputs integer
+    intersection/union sizes plus jaccard_pct (bigint, oracle-exact).
+    """
+    sh = shingles(df.select(key, text), n=shingle_n).distinct()
+    a = sh.withColumnRenamed(key, "doc_a").withColumnRenamed("shingle", "sh_a")
+    b = sh.withColumnRenamed(key, "doc_b").withColumnRenamed("shingle", "sh_b")
+    sizes = sh.groupBy(key).agg(F.countDistinct("shingle").alias("n_sh"))
+    inter = (
+        candidate_pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))  # pushed into the join cond
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(key, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(key, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .withColumn("jaccard_pct", (F.col("n_inter") * 100 / F.col("n_union")).cast("bigint"))
+    )
+    return out.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_pct")

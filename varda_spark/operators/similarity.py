@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (north-star K3).
+
+Brute-force cosine top-k as the correctness baseline; label-blocked (IVF-
+style) variant as the scale path. At 100 TB you never all-pairs join: the
+blocking key (here `label`; in production a coarse-quantizer cell id)
+bounds each bucket, and the per-bucket self-join shuffles on that key only.
+
+Dot products use ``zip_with`` + ``aggregate`` — JVM-side, sequential fold,
+deterministic. For oracle-checkable ranking the catalog uses the quantized
+integer dot (associative → order-independent → exact across engines);
+``cosine_topk`` below is the real float API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: str, b: str) -> Column:
+    """Deterministic double dot product of two array<float|double> cols."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+
+
+def quantized(a: str, scale: int = 10000) -> Column:
+    """array<bigint> quantization: floor(x * scale). Integer dot products
+    over these are exact and associative → engine-independent ranking."""
+    return F.expr(f"transform({a}, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
+
+
+def qdot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    block: str | None = "label",
+) -> DataFrame:
+    """Top-k nearest neighbors per vector by cosine similarity.
+
+    block=None → brute force all-pairs (baseline, small data only);
+    block=<col> → IVF-style bucket self-join (the scale path).
+    """
+    cols = [key, vec] + ([block] if block else [])
+    base = emb.select(*cols).withColumn("_norm", norm(vec))
+    a = base.select([F.col(c).alias(f"a_{c}") for c in base.columns])
+    b = base.select([F.col(c).alias(f"b_{c}") for c in base.columns])
+    cond = F.col(f"a_{key}") != F.col(f"b_{key}")
+    if block:
+        cond = cond & (F.col(f"a_{block}") == F.col(f"b_{block}"))
+    pairs = a.join(b, cond)
+    pairs = pairs.withColumn(
+        "cosine", dot(f"a_{vec}", f"b_{vec}") / (F.col("a__norm") * F.col("b__norm"))
+    )
+    w = Window.partitionBy(f"a_{key}").orderBy(F.col("cosine").desc(), F.col(f"b_{key}"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col(f"a_{key}").alias("query_id"),
+            F.col(f"b_{key}").alias("neighbor_id"),
+            "cosine",
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    k: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    block: str = "label",
+    scale: int = 10000,
+) -> DataFrame:
+    """Oracle-exact variant: rank by integer quantized dot product."""
+    base = emb.select(key, block, quantized(vec, scale).alias("_q"))
+    a = base.select(F.col(key).alias("query_id"), F.col(block).alias("_bl"), F.col("_q").alias("_qa"))
+    b = base.select(F.col(key).alias("neighbor_id"), F.col(block).alias("_bl"), F.col("_q").alias("_qb"))
+    pairs = a.join(b, ["_bl"]).filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = pairs.withColumn("dot_q", qdot("_qa", "_qb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "dot_q", F.col("rn").cast("bigint").alias("rank"))
+    )

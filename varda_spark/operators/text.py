@@ -1,0 +1,103 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not in the reference (varda has no text surface); mandated by the north
+star (BASELINE.json). All pure Column expressions over the `documents`
+table — tokenization, n-grams, quality scoring, language-ID heuristic,
+rolling-hash fingerprinting. At 100 TB these run in whole-stage codegen
+per-partition with no shuffle until the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+# tiny marker-token lists for the language-ID heuristic; deterministic and
+# oracle-expressible (CASE WHEN in SQL). Real deployments plug in fastText —
+# the operator contract (text -> lang_pred, score) stays the same.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "que"],
+    "de": ["der", "und", "die"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), TOKEN_SPLIT)
+
+
+def with_token_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """n_tokens, n_chars, avg token length, distinct-token ratio."""
+    t = tokens(text)
+    return (
+        df.withColumn("n_tokens", F.size(t).cast("bigint"))
+        .withColumn("n_chars_m", F.length(F.col(text)).cast("bigint"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(t)).cast("bigint"))
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length, repetition, all-caps/punct ratios.
+
+    The score is a deterministic integer 0..100 so oracle hashing is exact:
+    start at 100, subtract penalties.
+    """
+    t = tokens(text)
+    n = F.size(t)
+    # floor, not cast: double→bigint cast truncates in Spark but rounds in
+    # DuckDB — floor() agrees everywhere
+    distinct_ratio_pct = F.floor(F.size(F.array_distinct(t)) * 100 / F.greatest(n, F.lit(1)))
+    len_penalty = F.when(n < 5, F.lit(40)).when(n < 20, F.lit(10)).otherwise(F.lit(0))
+    rep_penalty = F.when(distinct_ratio_pct < 30, F.lit(30)).when(distinct_ratio_pct < 60, F.lit(10)).otherwise(F.lit(0))
+    return df.withColumn(
+        "quality", (F.lit(100) - len_penalty - rep_penalty).cast("bigint")
+    ).withColumn("distinct_ratio_pct", distinct_ratio_pct)
+
+
+def ngrams(df: DataFrame, n: int = 2, text: str = "text", out: str = "ngram") -> DataFrame:
+    """Explode word n-grams (1-indexed element_at; codegen-friendly)."""
+    df = df.withColumn("_w", tokens(text))
+    parts = ", ".join(f"element_at(_w, i + {j})" for j in range(n))
+    df = df.withColumn(
+        out,
+        F.explode(
+            F.expr(f"transform(sequence(1, greatest(size(_w) - {n - 1}, 0)), i -> concat_ws(' ', {parts}))")
+        ),
+    )
+    return df.drop("_w")
+
+
+def language_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Marker-token language heuristic → lang_pred + marker hit count.
+
+    Scores each candidate language by how many of its marker tokens occur;
+    ties break by fixed language order. Pure Column expr (no UDF).
+    """
+    t = tokens(text)
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        score = sum(
+            (F.array_contains(t, m).cast("int") for m in markers), start=F.lit(0)
+        )
+        scores.append((lang, score))
+    # winner = first language (fixed order → deterministic ties) whose
+    # score equals the max, provided any marker hit at all
+    gsc = F.greatest(*[s for _, s in scores])
+    best = F.lit("unknown")
+    for lang, score in reversed(scores):
+        best = F.when((score == gsc) & (gsc > 0), F.lit(lang)).otherwise(best)
+    return df.withColumn("lang_pred", best).withColumn("lang_score", gsc.cast("bigint"))
+
+
+def fingerprint(df: DataFrame, text: str = "text", out: str = "fp") -> DataFrame:
+    """Document fingerprint: md5 of the normalized token stream.
+
+    (Rolling/winnowed hashes are in dedup.py's shingle machinery; this is
+    the whole-document content address, reference A7 checksum shape.)
+    """
+    norm = F.concat_ws(" ", tokens(text))
+    return df.withColumn(out, F.md5(F.lower(norm).cast("binary")))

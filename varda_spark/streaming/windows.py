@@ -1,0 +1,139 @@
+"""Streaming operators: batch-first cores + Structured Streaming wrappers.
+
+The reference has zero streaming (Celery batch imports only [P]); this
+surface is mandated by the north star for the events table. Design rule
+(SURVEY.md §2.I): every operator is a pure DF→DF *batch core* — that is
+what the DuckDB oracle checks — plus a thin wrapper that applies the same
+core to a ``readStream`` source with watermarking. Batch/stream equivalence
+is pytest-verified on sf0.001.
+
+Scale notes: tumbling/sliding aggs are partial-aggregated map-side before
+the shuffle on (window, key); session windows use Spark's native
+``session_window`` in streaming (state-store backed) and a gaps-and-islands
+window function in batch. Watermarks bound state: 10 min on event time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def tumbling_counts(ev: DataFrame, width: str = "1 hour") -> DataFrame:
+    """I1 tumbling window per event_type: count + exact value sum."""
+    return (
+        ev.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("bigint").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(ev: DataFrame, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """I2 sliding window per event_type (each event in width/slide windows)."""
+    return (
+        ev.groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("bigint").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows_batch(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """I3 session windows, batch core: gaps-and-islands per user.
+
+    A new session starts when the gap to the previous event exceeds
+    ``gap_minutes``. Output one row per session: start/end epoch-micros,
+    event count, exact value sum.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_minutes * 60 * 1_000_000
+    marked = (
+        ev.withColumn("_t", F.unix_micros("ts"))
+        .withColumn("_prev", F.lag("_t").over(w))
+        .withColumn(
+            "_new", F.when(F.col("_prev").isNull() | (F.col("_t") - F.col("_prev") > gap_us), 1).otherwise(0)
+        )
+        .withColumn("session_seq", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        marked.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("_t").alias("session_start_us"),
+            F.max("_t").alias("session_end_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Structured Streaming wrappers (file source; exercised in tests)
+# ---------------------------------------------------------------------
+
+def read_events_stream(spark, path: str, schema) -> DataFrame:
+    """File-source stream over parquet events (one-file-per-trigger)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_counts_stream(ev_stream: DataFrame, width: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """I1+I4: the same tumbling core under a watermark (late data bounded)."""
+    return (
+        ev_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("bigint").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows_stream(ev_stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """I3 streaming path: native session_window (state-store backed)."""
+    return (
+        ev_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(ev_stream: DataFrame, keys: list[str], watermark: str = "10 minutes") -> DataFrame:
+    """I5 stateful dedup: first event per key within the watermark horizon."""
+    return ev_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
