@@ -10,36 +10,23 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from varda_spark.catalog import REGISTRY, dsum
+from varda_spark.catalog import REGISTRY
 from varda_spark.session import configure
-from varda_spark.sources.tables import read_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: event-type "frequency".
+    """Flagship query at sf0.001: the varda core end-to-end (SURVEY.md §3).
 
-    The varda frequency shape (SURVEY.md §3) transposed to the events
-    table: per event_type ("variant"), VC = number of carrying users
-    ("support"), VN = all users observed in the window ("covered pool"),
-    VF = VC / VN — filter → aggregate → broadcast-join ratio, all
-    Catalyst-optimized.
+    Variant-frequency computation — numerator support sums over selected
+    active samples, denominator covered-pool via the UCSC-binned
+    point-in-interval join plus unconditional no-coverage-profile samples,
+    left-join completeness — on genomic-shaped tables synthesized from the
+    driver testdata. Same oracle-checked path as queries()['freq_variant'].
     """
     configure(spark)
-    ev = read_table(spark, "/root/testdata/sf0.001", "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("bigint").alias("vc_users"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        dsum("value", 4).alias("sum_value"),
-    )
-    total = ev.agg(F.countDistinct("user_id").cast("bigint").alias("vn_users"))
-    return (
-        per_type.crossJoin(F.broadcast(total))
-        .withColumn("vf", F.col("vc_users").cast("double") / F.col("vn_users").cast("double"))
-        .select("event_type", "vc_users", "vn_users", "vf", "n_events", "sum_value")
-        .orderBy("event_type")
-    )
+    return REGISTRY["freq_variant"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

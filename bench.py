@@ -25,6 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: one per operator family, weighted toward the scale-critical
 # paths (binned interval join, LSH dedup, blocked similarity, sessionization).
 HEADLINE = [
+    "freq_variant",     # THE varda core: frequency via binned interval join
     "agg_sum",          # TPC-H Q1 skeleton: full lineitem scan + grouped sums
     "join_equi",        # orders⋈customer shuffle join + agg
     "join_broadcast",   # dim broadcast join

@@ -1,0 +1,145 @@
+"""VCF/BED ingest + annotated-VCF sink round-trip tests (A1/A2/A4/A6).
+
+Fixtures replicate the reference's tricky records (FIXTURES.md §B):
+multi-ALT, indel normalization, pooled support, genotype zygosity.
+"""
+
+import glob
+
+import pytest
+
+from varda_spark.frequency import frequency
+from varda_spark.sources.bed import read_bed
+from varda_spark.sources.genome import quarantine_split, read_fasta, validate_reference
+from varda_spark.sources.sinks import (
+    format_annotated_vcf_lines,
+    write_annotated_vcf,
+    write_observations,
+)
+from varda_spark.sources.vcf import read_vcf
+
+VCF_WITH_SAMPLES = """##fileformat=VCFv4.2
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\tNA2
+chr1\t100\t.\tA\tG\t50\tPASS\tDP=10\tGT\t0/1\t1/1
+chr1\t200\t.\tCAG\tCTG,C\t99\tPASS\tDP=12\tGT\t1/2\t0/0
+chrM\t300\t.\tTC\tT\t10\tPASS\tDP=5\tGT\t./.\t0|1
+"""
+
+VCF_POOLED = """##fileformat=VCFv4.2
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO
+1\t100\t.\tA\tG,T\t50\tPASS\tSF_SUPPORT=3,2;DP=10
+2\t500\t.\tT\tTA\t50\tPASS\tDP=4
+"""
+
+BED = """# coverage for NA1
+chr1\t90\t250
+chr1\t240\t300
+chrM\t0\t1000
+"""
+
+
+@pytest.fixture()
+def vcf_path(tmp_path):
+    p = tmp_path / "in.vcf"
+    p.write_text(VCF_WITH_SAMPLES)
+    return str(p)
+
+
+def test_read_vcf_samples(spark, vcf_path):
+    obs = read_vcf(spark, vcf_path).orderBy("position", "observed", "sample_name").collect()
+    rows = [(r.chromosome, r.position, r.reference, r.observed, r.sample_name, r.zygosity, r.support) for r in obs]
+    # 100 A>G: NA1 het, NA2 hom
+    assert ("1", 100, "A", "G", "NA1", "heterozygous", 1) in rows
+    assert ("1", 100, "A", "G", "NA2", "homozygous", 1) in rows
+    # 200 CAG>CTG (ALT 1) normalizes to 201 A>T, only NA1 (GT 1/2 → het for each)
+    assert ("1", 201, "A", "T", "NA1", "heterozygous", 1) in rows
+    # 200 CAG>C (ALT 2) normalizes to 201 AG>'' deletion, NA1 het
+    assert ("1", 201, "AG", "", "NA1", "heterozygous", 1) in rows
+    # no observation for NA2 at 200 (GT 0/0), none for NA1 at 300 (./.)
+    assert not any(r[1] == 200 and r[4] == "NA2" for r in rows)
+    # chrM → MT; TC>T → 301 C>'' ; NA2 phased 0|1 het
+    assert ("MT", 301, "C", "", "NA2", "heterozygous", 1) in rows
+    assert len(rows) == 5
+
+
+def test_read_vcf_pooled(spark, tmp_path):
+    p = tmp_path / "pooled.vcf"
+    p.write_text(VCF_POOLED)
+    rows = {
+        (r.chromosome, r.position, r.reference, r.observed): (r.support, r.zygosity)
+        for r in read_vcf(spark, str(p)).collect()
+    }
+    assert rows[("1", 100, "A", "G")] == (3, None)
+    assert rows[("1", 100, "A", "T")] == (2, None)
+    # T>TA prefix-trims to ''>A at 501; no SF_SUPPORT → default support 1
+    assert rows[("2", 501, "", "A")][0] == 1
+
+
+def test_read_bed(spark, tmp_path):
+    p = tmp_path / "cov.bed"
+    p.write_text(BED)
+    rows = [(r.chromosome, r.begin, r.end) for r in read_bed(spark, str(p)).orderBy("begin").collect()]
+    assert ("1", 91, 250) in rows
+    assert ("1", 241, 300) in rows
+    assert ("MT", 1, 1000) in rows
+    df = read_bed(spark, str(p))
+    assert "bin" in df.columns
+
+
+def test_fasta_validation(spark, tmp_path):
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">1 test\nAAAAAAAAAA\nCCCCCCCCCC\n>2\nGGGG\n")
+    genome = read_fasta(str(fa))
+    assert genome["1"][9:12] == "ACC"  # pos 10..12 1-based
+    obs = spark.createDataFrame(
+        [
+            ("1", 10, "AC", "A"),   # matches AC at 10,11
+            ("1", 10, "T", "A"),    # mismatch
+            ("2", 1, "GG", "G"),    # matches
+            ("1", 5, "", "T"),      # pure insertion → trivially ok
+            ("3", 1, "A", "G"),     # unknown chromosome → quarantine
+        ],
+        ["chromosome", "position", "reference", "observed"],
+    )
+    valid, quarantined = quarantine_split(validate_reference(obs, genome))
+    assert valid.count() == 3 and quarantined.count() == 2
+
+
+def test_annotated_vcf_roundtrip(spark, tmp_path, vcf_path):
+    """Full 3.2 pipeline: VCF → observations → frequency → annotated VCF."""
+    from pyspark.sql import Row, functions as F
+
+    obs = read_vcf(spark, vcf_path)
+    name_to_id = {"NA1": 1, "NA2": 2}
+    mapping = spark.createDataFrame([Row(sample_name=k, sample_id=v) for k, v in name_to_id.items()])
+    obs_ids = obs.join(mapping, "sample_name")
+    samples = spark.createDataFrame(
+        [
+            Row(sample_id=1, name="NA1", pool_size=1, coverage_profile=False, public=True, active=True),
+            Row(sample_id=2, name="NA2", pool_size=1, coverage_profile=False, public=True, active=True),
+        ]
+    )
+    regions = spark.createDataFrame([], "region_id long, sample_id long, chromosome string, begin long, end long")
+    keys = obs.select("chromosome", "position", "reference", "observed").distinct()
+    freq = frequency(keys, obs_ids, regions, samples)
+    ann = freq.withColumnRenamed("vn", "ALL_vn").withColumnRenamed("vf", "ALL_vf")
+    lines = format_annotated_vcf_lines(ann, ["ALL"])
+    out = str(tmp_path / "out.vcf")
+    write_annotated_vcf(lines, out, ["ALL"])
+    text = "\n".join(open(f).read() for f in glob.glob(f"{out}/part-*"))
+    assert "##INFO=<ID=ALL_VN" in text
+    assert "1\t100\t.\tA\tG\t.\t.\tALL_VN=2;ALL_VF=1.0" in text
+    # deletion emitted with '.' for empty allele
+    assert "MT\t301\t.\tC\t.\t.\t.\tALL_VN=2;ALL_VF=0.5" in text
+
+
+def test_write_observations_layout(spark, tmp_path, vcf_path):
+    """A5 warehouse layout: chromosome partition dirs exist."""
+    obs = read_vcf(spark, vcf_path)
+    path = str(tmp_path / "obs_warehouse")
+    write_observations(obs, path)
+    dirs = {d.split("/")[-1] for d in glob.glob(f"{path}/chromosome=*")}
+    assert dirs == {"chromosome=1", "chromosome=MT"}
+    back = spark.read.parquet(path)
+    assert back.count() == obs.count()

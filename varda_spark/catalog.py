@@ -1068,3 +1068,233 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return fingerprint(d).select("doc_id", "fp")
+
+
+# =====================================================================
+# The varda core as a driver-checked query: full frequency pipeline on
+# synthesized genomic-shaped tables (samples/regions/observations from
+# supplier/lineitem so the oracle can rebuild everything in SQL)
+# =====================================================================
+
+def _genomic_trio(spark: SparkSession, sf_dir: str):
+    sup = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    samples = sup.select(
+        F.col("s_suppkey").alias("sample_id"),
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("name"),
+        F.when(F.col("s_suppkey") % 10 == 0, F.lit(10)).otherwise(F.lit(1)).alias("pool_size"),
+        (F.col("s_suppkey") % 3 != 0).alias("coverage_profile"),
+        (F.col("s_suppkey") % 2 == 0).alias("public"),
+        (F.col("s_suppkey") % 11 != 0).alias("active"),
+    )
+    regions = sup.select(
+        F.col("s_suppkey").alias("sample_id"),
+        (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("begin"),
+    ).withColumn("end", F.col("begin") + 200 + (F.col("sample_id") % 7) * 500)
+    observations = li.select(
+        F.col("l_suppkey").alias("sample_id"),
+        (F.col("l_partkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("l_partkey") * 31) % 100000 + 1).cast("long").alias("position"),
+        F.lit("A").alias("reference"),
+        F.lit("G").alias("observed"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit("homozygous"))
+        .when(F.col("l_linenumber") % 3 == 1, F.lit("heterozygous"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("zygosity"),
+        (1 + F.col("l_linenumber") % 2).cast("int").alias("support"),
+    )
+    return samples, regions, observations
+
+
+_FREQ_ORACLE = """
+WITH samples AS (
+  SELECT s_suppkey AS sample_id,
+         CASE WHEN s_suppkey % 10 = 0 THEN 10 ELSE 1 END AS pool_size,
+         s_suppkey % 3 <> 0 AS coverage_profile,
+         s_suppkey % 11 <> 0 AS active
+  FROM supplier),
+regions AS (
+  SELECT s_suppkey AS sample_id,
+         CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+         CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+         CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
+  FROM supplier),
+obs AS (
+  SELECT l_suppkey AS sample_id,
+         CAST(l_partkey % 5 AS VARCHAR) AS chromosome,
+         CAST((l_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+         'A' AS reference, 'G' AS observed,
+         CASE WHEN l_linenumber % 3 = 0 THEN 'homozygous'
+              WHEN l_linenumber % 3 = 1 THEN 'heterozygous' END AS zygosity,
+         1 + l_linenumber % 2 AS support
+  FROM lineitem),
+sel AS (SELECT * FROM samples WHERE active),
+keys AS (SELECT DISTINCT chromosome, position, reference, observed FROM obs),
+num AS (
+  SELECT chromosome, position, reference, observed,
+         CAST(SUM(support) AS BIGINT) AS vc
+  FROM obs JOIN sel USING (sample_id)
+  GROUP BY 1, 2, 3, 4),
+cov_samples AS (
+  SELECT DISTINCT k.chromosome, k.position, r.sample_id
+  FROM (SELECT DISTINCT chromosome, position FROM keys) k
+  JOIN regions r ON r.chromosome = k.chromosome
+                AND k.position >= r.begin AND k.position <= r."end"
+  JOIN sel s ON s.sample_id = r.sample_id AND s.coverage_profile),
+covered AS (
+  SELECT c.chromosome, c.position, CAST(SUM(s.pool_size) AS BIGINT) AS vn_covered
+  FROM cov_samples c JOIN sel s USING (sample_id)
+  GROUP BY 1, 2),
+uncond AS (
+  SELECT CAST(COALESCE(SUM(pool_size), 0) AS BIGINT) AS vn_uncond
+  FROM sel WHERE NOT coverage_profile)
+SELECT k.chromosome, k.position, k.reference, k.observed,
+       CAST(COALESCE(c.vn_covered, 0) + u.vn_uncond AS BIGINT) AS vn,
+       CAST(COALESCE(n.vc, 0) AS BIGINT) AS vc,
+       CASE WHEN COALESCE(c.vn_covered, 0) + u.vn_uncond > 0
+            THEN CAST(COALESCE(n.vc, 0) AS DOUBLE)
+                 / CAST(COALESCE(c.vn_covered, 0) + u.vn_uncond AS DOUBLE)
+            ELSE 0.0 END AS vf
+FROM keys k
+LEFT JOIN num n USING (chromosome, position, reference, observed)
+LEFT JOIN covered c ON c.chromosome = k.chromosome AND c.position = k.position
+CROSS JOIN uncond u
+"""
+
+
+@q("freq_variant", _FREQ_ORACLE)
+def freq_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference core (SURVEY.md §3): variant frequency VN/VC/VF via
+    binned interval join + broadcast dims + left-join completeness,
+    end-to-end, oracle-checked against a full SQL rebuild."""
+    from varda_spark.frequency import frequency
+
+    samples, regions, observations, = _genomic_trio(spark, sf_dir)
+    keys = observations.select("chromosome", "position", "reference", "observed").distinct()
+    out = frequency(keys, observations, regions, samples)
+    return out.select(
+        "chromosome",
+        "position",
+        "reference",
+        "observed",
+        F.col("vn").cast("bigint").alias("vn"),
+        F.col("vc").cast("bigint").alias("vc"),
+        F.col("vf").cast("double").alias("vf"),
+    )
+
+
+# =====================================================================
+# J. UDF surface
+# =====================================================================
+
+@q(
+    "udf_pandas_scalar",
+    """SELECT l_orderkey, l_linenumber,
+              l_quantity * 2.0 + 1.0 AS score
+       FROM lineitem WHERE l_orderkey < 1000""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: Arrow-batched scalar pandas UDF (IEEE-deterministic poly)."""
+    from varda_spark.functions.udfs import poly_score
+
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select("l_orderkey", "l_linenumber", poly_score("l_quantity").alias("score"))
+
+
+@q(
+    "udf_grouped_agg",
+    """SELECT l_returnflag,
+              CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qsum
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: grouped-agg pandas UDF (exact integer arithmetic in pandas)."""
+    from varda_spark.functions.udfs import quantized_sum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(quantized_sum("l_quantity").alias("qsum"))
+
+
+@q("udf_grouped_map", None)  # float std is order-sensitive → rows-only
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: applyInPandas grouped-map (per-segment z-score of acctbal)."""
+    from varda_spark.functions.udfs import zscore_by_group
+
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    return zscore_by_group(c, "c_mktsegment", "c_acctbal")
+
+
+# =====================================================================
+# D4 approx + I5 stream dedup
+# =====================================================================
+
+@q("agg_approx_cd", None)  # HLL estimate is engine-specific → rows-only
+def agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 approx_count_distinct — the 100 TB substitute for exact
+    countDistinct (single-pass HLL, no dedup shuffle)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@q(
+    "stream_dedup",
+    """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_first_views
+       FROM (
+         SELECT user_id, event_type,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                                   date_trunc('minute', ts)
+                                   ORDER BY ts, event_id) AS rn
+         FROM events)
+       WHERE rn = 1 GROUP BY user_id, event_type""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 batch core of dropDuplicatesWithinWatermark: first event per
+    (user, type, minute); streaming twin in streaming/windows.py."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", F.date_trunc("minute", "ts")).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_first_views"))
+    )
+
+
+# =====================================================================
+# K5. Multimodal columns
+# =====================================================================
+
+@q(
+    "multimodal_meta",
+    """SELECT doc_id AS item_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                   ELSE 'video/mp4' END AS mime,
+              md5(text) AS content_md5,
+              CAST(length(text) AS BIGINT) AS n_bytes
+       FROM documents""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: binary payload column + typed metadata, content-addressed.
+
+    Payloads are synthesized (utf-8 bytes of text — container has no
+    codecs); the schema/addressing pipeline is the real one.
+    """
+    from varda_spark.sources.multimodal import synthesize_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return synthesize_blobs(d).select("item_id", "mime", "content_md5", "n_bytes")
+
+
+@q("multimodal_features", None)  # mapInPandas stage → rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: Arrow-batched mapInPandas decode stage (deterministic fake)."""
+    from varda_spark.sources.multimodal import decode_image_features, synthesize_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_image_features(synthesize_blobs(d), fake=True)

@@ -1,0 +1,96 @@
+"""Sinks: partitioned warehouse writes + the annotated-VCF text sink (A5/A6).
+
+Warehouse layout (replaces the reference's PostgreSQL tables + B-trees,
+SURVEY.md §4): Parquet partitioned by chromosome, sorted by position within
+files — partition pruning replaces the (chromosome) index prefix and
+row-group min/max skipping replaces the position B-tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_observations(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Observation fact table: partition by chromosome, sort by position.
+
+    sortWithinPartitions before write → every parquet file has tight
+    position min/max stats; a (chrom, pos) point lookup reads ~1 row group.
+    """
+    (
+        df.repartition("chromosome")
+        .sortWithinPartitions("position")
+        .write.mode(mode)
+        .partitionBy("chromosome")
+        .parquet(path)
+    )
+
+
+def write_regions(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Region fact table: partition by chromosome, sort by (bin, begin)."""
+    (
+        df.repartition("chromosome")
+        .sortWithinPartitions("bin", "begin")
+        .write.mode(mode)
+        .partitionBy("chromosome")
+        .parquet(path)
+    )
+
+
+def format_annotated_vcf_lines(
+    annotated: DataFrame,
+    query_names: list[str],
+    *,
+    chrom: str = "chromosome",
+    pos: str = "position",
+    ref: str = "reference",
+    obs: str = "observed",
+) -> DataFrame:
+    """A6: render per-variant frequency results as VCF body lines.
+
+    For each query name Q the DF must carry columns ``{Q}_vn`` and
+    ``{Q}_vf``; INFO becomes ``Q_VN=..;Q_VF=..`` per query (the
+    reference's write_annotation INFO fields [P]). Alleles that trimmed
+    to '' are VCF-illegal, so emit '.' (caller may re-anchor instead).
+    """
+    info = F.concat_ws(
+        ";",
+        *[
+            F.concat(
+                F.lit(f"{q}_VN="),
+                F.col(f"{q}_vn").cast("string"),
+                F.lit(f";{q}_VF="),
+                F.round(F.col(f"{q}_vf"), 6).cast("string"),
+            )
+            for q in query_names
+        ],
+    )
+    line = F.concat_ws(
+        "\t",
+        F.col(chrom),
+        F.col(pos).cast("string"),
+        F.lit("."),
+        F.when(F.length(ref) > 0, F.col(ref)).otherwise(F.lit(".")),
+        F.when(F.length(obs) > 0, F.col(obs)).otherwise(F.lit(".")),
+        F.lit("."),
+        F.lit("."),
+        info,
+    )
+    return annotated.select(line.alias("value")).orderBy(F.col(chrom), F.col(pos))
+
+
+def write_annotated_vcf(lines: DataFrame, path: str, header_queries: list[str]) -> None:
+    """Write VCF text: INFO headers + body. coalesce(1) is demo-scale only —
+    at 100 TB you write sharded text and cat at serve time."""
+    spark = lines.sparkSession
+    header = ["##fileformat=VCFv4.2"]
+    for q in header_queries:
+        header.append(
+            f'##INFO=<ID={q}_VN,Number=1,Type=Integer,Description="Pool size covering locus ({q})">'
+        )
+        header.append(
+            f'##INFO=<ID={q}_VF,Number=1,Type=Float,Description="Variant frequency ({q})">'
+        )
+    header.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+    hdf = spark.createDataFrame([(h,) for h in header], ["value"])
+    hdf.unionByName(lines).coalesce(1).write.mode("overwrite").text(path)
