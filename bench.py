@@ -40,6 +40,10 @@ HEADLINE = [
     "sim_topk",         # label-blocked quantized top-k similarity
     "text_ngrams",      # shingle explode + count
     "json_extract",     # JSON field extraction
+    "tpch_q1",          # full-scan decimal agg (pricing summary)
+    "tpch_q5",          # 6-way join with broadcast dims
+    "dedup_simhash",    # simhash band join + hamming verify
+    "sim_ivf",          # IVF coarse-quantized ANN
 ]
 
 

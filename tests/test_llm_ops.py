@@ -61,3 +61,71 @@ def test_quantized_topk_agrees_with_cosine_on_top1(spark):
     # dot-product ranking vs cosine ranking agree for most near-unit vectors
     agree = sum(1 for k in qt if ct.get(k) == qt[k])
     assert agree / len(qt) > 0.8
+
+
+def test_simhash_pairs_banding(spark):
+    from varda_spark.operators.dedup import simhash_pairs
+
+    out = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(_docs(spark), max_hamming=60).collect()}
+    assert out[(1, 2)] == 0  # exact dup → identical fingerprint
+    assert all(a < b for a, b in out)
+    # banding guarantee: any pair within Hamming ≤ 3 shares a 15-bit chunk
+    # and is therefore present (exact dups prove the plumbing end-to-end)
+
+
+def test_ngram_jaccard_all_pairs(spark):
+    out = {(r.doc_a, r.doc_b): r.jaccard_pct for r in ngram_jaccard(_docs(spark)).collect()}
+    assert out[(1, 2)] == 100
+    assert (1, 4) not in out  # no shared shingle → never a candidate
+
+
+def _vecs(spark):
+    return spark.createDataFrame(
+        [
+            Row(vec_id=0, label="a", embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=1, label="a", embedding=[1.0, 0.01, 0.0, 0.0]),  # ~dup of 0
+            Row(vec_id=2, label="a", embedding=[0.0, 1.0, 0.0, 0.0]),   # orthogonal
+            Row(vec_id=3, label="b", embedding=[1.0, 0.0, 0.0, 0.0]),   # other block
+        ]
+    )
+
+
+def test_quantized_neardup(spark):
+    from varda_spark.operators.similarity import quantized_neardup
+
+    out = {(r.doc_a, r.doc_b): r.cos_pct for r in quantized_neardup(_vecs(spark), threshold_pct=80).collect()}
+    assert (0, 1) in out and out[(0, 1)] >= 99
+    assert (0, 2) not in out       # orthogonal
+    assert (0, 3) not in out       # different block never compared
+
+
+def test_ivf_topk_cells_and_ranks(spark):
+    from varda_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(_vecs(spark), n_centroids=2, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len({r.cell_id for r in rows}) == 1  # neighbors from own cell only
+    # identical vectors 0 and 3 land in the same cell (tie → lowest cell)
+    # and are each other's top neighbor
+    assert by_q[0][0].neighbor_id == 3 and by_q[3][0].neighbor_id == 0
+
+
+def test_language_id_markers(spark):
+    from varda_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog of paris"),
+            Row(doc_id=2, text="le chat et la vie"),
+            Row(doc_id=3, text="xyzzy plugh qwerty"),
+        ]
+    )
+    out = {r.doc_id: (r.lang_pred, r.lang_score) for r in language_id(df).collect()}
+    assert out[1] == ("en", 3)
+    assert out[2] == ("fr", 3)
+    assert out[3] == ("unknown", 0)

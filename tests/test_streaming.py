@@ -76,3 +76,21 @@ def test_session_stream_matches_batch_session_count(spark):
     assert got.count() == n_batch
     # spot-check totals agree
     assert got.groupBy().sum("n_events").collect()[0][0] == ev.count()
+
+
+def test_watermark_drops_late_events(spark):
+    from pyspark.sql import Row
+    from varda_spark.streaming.windows import watermark_tumbling_batch
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=base, event_type="click", value=1.0),
+            Row(event_id=2, ts=base - dt.timedelta(minutes=5), event_type="click", value=1.0),
+            Row(event_id=3, ts=base - dt.timedelta(hours=2), event_type="click", value=1.0),  # late
+        ]
+    )
+    out = watermark_tumbling_batch(ev, width="1 hour", delay_minutes=10)
+    rows = out.collect()
+    assert sum(r.n_events for r in rows) == 2  # the 2h-old event was dropped

@@ -1298,3 +1298,360 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return decode_image_features(synthesize_blobs(d), fake=True)
+
+
+# =====================================================================
+# TPC-H classics — relational breadth + the bench-critical scale paths
+# (multi-way joins, selective date filters, grouped decimal aggs)
+# =====================================================================
+
+@q(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))
+                       * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+              CAST(COUNT(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= DATE '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical full-scan grouped agg.
+
+    Decimal interior math (exact, associative) → oracle-exact doubles.
+    Scale: map-side partial agg into 6 groups — shuffle is ~bytes."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    d = lambda c: F.col(c).cast("decimal(18,4)") if isinstance(c, str) else c.cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(d("l_extendedprice") * d(F.lit(1) - F.col("l_discount"))).cast("double").alias("sum_disc_price"),
+        F.sum(
+            d("l_extendedprice") * d(F.lit(1) - F.col("l_discount")) * d(F.lit(1) + F.col("l_tax"))
+        ).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+
+
+@q(
+    "tpch_q3",
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              o_orderdate
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: selective 3-way join + top-10.
+
+    customer filter → broadcast into orders; date filters pushed to scans."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-03-15"))
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-03-15"))
+    dd = lambda c_: F.col(c_).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dd("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q5",
+    """SELECT n_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+                     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                     JOIN nation ON s_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+       GROUP BY n_name""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier revenue: 6-way join, dims broadcast."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dd = lambda c_: F.col(c_).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dd("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double").alias("revenue")
+        )
+    )
+
+
+@q(
+    "tpch_q10",
+    """SELECT c_custkey, c_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+                     JOIN nation ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: join + group + top-20."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    dd = lambda c_: F.col(c_).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(dd("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double").alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue", F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name"
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# =====================================================================
+# K (continued): SimHash, n-gram Jaccard, embedding near-dup, IVF ANN,
+# language ID — the remaining graded LLM-pipeline operators
+# =====================================================================
+
+_SIMHASH_FP_SQL = """
+  tok AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+  h AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+  votes AS (
+    SELECT doc_id, j.range AS j,
+           SUM(CASE WHEN (h >> j.range) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM h CROSS JOIN range(60) j GROUP BY 1, 2),
+  fp AS (
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS simhash
+    FROM votes GROUP BY doc_id)
+"""
+
+
+@q(
+    "dedup_simhash",
+    """WITH """ + _SIMHASH_FP_SQL + """
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+         AND ((a.simhash >> 0) & 32767 = (b.simhash >> 0) & 32767
+           OR (a.simhash >> 15) & 32767 = (b.simhash >> 15) & 32767
+           OR (a.simhash >> 30) & 32767 = (b.simhash >> 30) & 32767
+           OR (a.simhash >> 45) & 32767 = (b.simhash >> 45) & 32767)""",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 SimHash near-dup: 60-bit md5 bit-vote fingerprints, 4×15-bit
+    chunk banding (pigeonhole-complete for Hamming ≤ 3), exact
+    bit_count(xor) distance on candidates. Oracle brute-forces pairs;
+    the Spark plan never does — band equi-join only."""
+    from varda_spark.operators.dedup import simhash_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=10).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@q(
+    "dedup_ngram",
+    """WITH words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+         FROM words),
+       sizes AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n_sh FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              CAST(n_inter AS BIGINT) AS n_inter,
+              CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union,
+              CAST(floor(n_inter * 100 / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jaccard_pct
+       FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE floor(n_inter * 100 / (sa.n_sh + sb.n_sh - n_inter)) >= 20""",
+)
+def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 n-gram (3-shingle) Jaccard near-dup via inverted-index join —
+    fan-out bounded by shingle frequency, never an all-pairs join."""
+    from varda_spark.operators.dedup import ngram_jaccard
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard(d).filter(F.col("jaccard_pct") >= 20).select(
+        "doc_a", "doc_b",
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.col("n_union").cast("bigint").alias("n_union"),
+        "jaccard_pct",
+    )
+
+
+@q(
+    "dedup_embcos",
+    """WITH q AS (
+         SELECT vec_id, label,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, label, e,
+                (SELECT SUM(e[i.range] * e[i.range]) FROM range(1, 65) i) AS n2
+         FROM q),
+       pairs AS (
+         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                (SELECT SUM(a.e[i.range] * b.e[i.range]) FROM range(1, 65) i) AS dq,
+                a.n2 AS na2, b.n2 AS nb2
+         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+       SELECT doc_a, doc_b,
+              CAST(floor(100.0 * dq / sqrt(CAST(na2 * nb2 AS DOUBLE))) AS BIGINT) AS cos_pct
+       FROM pairs
+       WHERE dq > 0 AND floor(100.0 * dq / sqrt(CAST(na2 * nb2 AS DOUBLE))) >= 30""",
+)
+def dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K near-dup by embedding cosine ≥ 0.30, label-blocked.
+
+    Integer-quantized dot/norms (exact) + single correctly-rounded IEEE
+    sqrt/div/floor → bit-identical across engines."""
+    from varda_spark.operators.similarity import quantized_neardup
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return quantized_neardup(e, threshold_pct=30)
+
+
+@q(
+    "sim_ivf",
+    """WITH q AS (
+         SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         FROM embeddings),
+       cents AS (
+         SELECT vec_id AS cell_id, e AS ec FROM q ORDER BY vec_id LIMIT 8),
+       scored AS (
+         SELECT q.vec_id, cents.cell_id,
+                (SELECT SUM(q.e[i.range] * cents.ec[i.range]) FROM range(1, 65) i) AS cd
+         FROM q CROSS JOIN cents),
+       assigned AS (
+         SELECT vec_id, cell_id FROM (
+           SELECT vec_id, cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell_id) AS arn
+           FROM scored) WHERE arn = 1),
+       pairs AS (
+         SELECT a.vec_id AS query_id, a.cell_id, b.vec_id AS neighbor_id,
+                (SELECT SUM(qa.e[i.range] * qb.e[i.range]) FROM range(1, 65) i) AS dot_q
+         FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+              JOIN q qa ON qa.vec_id = a.vec_id
+              JOIN q qb ON qb.vec_id = b.vec_id)
+       SELECT query_id, CAST(cell_id AS BIGINT) AS cell_id, neighbor_id,
+              CAST(dot_q AS BIGINT) AS dot_q, rank
+       FROM (
+         SELECT query_id, cell_id, neighbor_id, dot_q,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rank
+         FROM pairs) WHERE rank <= 3""",
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 IVF-bucketed ANN: broadcast coarse quantizer (8 cells), map-side
+    assignment, within-cell exact top-3 — the 100 TB similarity path."""
+    from varda_spark.operators.similarity import ivf_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, n_centroids=8, k=3)
+
+
+@q(
+    "text_langid",
+    """WITH t AS (
+         SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+       s AS (
+         SELECT doc_id, lang,
+                list_contains(w,'the')::INT + list_contains(w,'and')::INT + list_contains(w,'of')::INT AS s_en,
+                list_contains(w,'le')::INT + list_contains(w,'la')::INT + list_contains(w,'et')::INT AS s_fr,
+                list_contains(w,'el')::INT + list_contains(w,'los')::INT + list_contains(w,'que')::INT AS s_es,
+                list_contains(w,'der')::INT + list_contains(w,'und')::INT + list_contains(w,'die')::INT AS s_de,
+                list_contains(w,'de')::INT + list_contains(w,'shi')::INT + list_contains(w,'le')::INT AS s_zh
+         FROM t),
+       g AS (SELECT *, greatest(s_en, s_fr, s_es, s_de, s_zh) AS gsc FROM s)
+       SELECT doc_id, lang,
+              CASE WHEN gsc = 0 THEN 'unknown'
+                   WHEN s_en = gsc THEN 'en'
+                   WHEN s_fr = gsc THEN 'fr'
+                   WHEN s_es = gsc THEN 'es'
+                   WHEN s_de = gsc THEN 'de'
+                   ELSE 'zh' END AS lang_pred,
+              CAST(gsc AS BIGINT) AS lang_score
+       FROM g""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 language-ID heuristic (marker n-gram voting, pure Column)."""
+    from varda_spark.operators.text import language_id
+
+    d = read_table(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang", "lang_pred", "lang_score")
+
+
+@q(
+    "stream_watermark",
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+       kept AS (
+         SELECT * FROM events CROSS JOIN mx
+         WHERE epoch_us(ts) >= m - 1440::BIGINT * 60 * 1000000)
+       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+              event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       FROM kept GROUP BY 1, 2""",
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 watermark batch core: drop events older than max(ts)-1d,
+    then the tumbling agg — the final state of the streaming query."""
+    from varda_spark.streaming.windows import watermark_tumbling_batch
+
+    return watermark_tumbling_batch(read_table(spark, sf_dir, "events"), delay_minutes=1440)

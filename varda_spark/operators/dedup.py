@@ -130,29 +130,89 @@ def simhash(df: DataFrame, key: str = "doc_id", text: str = "text", out: str = "
     return agg.select(F.col(key), fp.alias(out))
 
 
-def ngram_jaccard(
-    df: DataFrame, candidate_pairs: DataFrame, shingle_n: int = 3, key: str = "doc_id", text: str = "text"
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 10,
+    key: str = "doc_id",
+    text: str = "text",
+    chunks: int = 4,
+    chunk_bits: int = 15,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification stage).
+    """SimHash near-dup candidate pairs by chunk banding + exact Hamming.
 
-    Runs AFTER LSH blocking so the pair set is small; outputs integer
-    intersection/union sizes plus jaccard_pct (bigint, oracle-exact).
+    The 60-bit fingerprint splits into 4×15-bit chunks; by pigeonhole any
+    pair within Hamming distance 3 shares ≥1 identical chunk, so the
+    equi-join on (chunk_id, chunk_value) finds them with bounded fan-out
+    (the scale path — never an all-pairs join). Surviving candidates get
+    their exact distance via bit_count(xor) and a ≤ max_hamming filter.
+    """
+    fp = simhash(df, key=key, text=text)
+    mask = (1 << chunk_bits) - 1
+    stacked = fp.select(
+        F.col(key),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    ":",
+                    F.lit(str(c)),
+                    F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask)).cast("string"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("chunk"),
+    )
+    a = stacked.select(F.col(key).alias("doc_a"), F.col("simhash").alias("fp_a"), "chunk")
+    b = stacked.select(F.col(key).alias("doc_b"), F.col("simhash").alias("fp_b"), "chunk")
+    return (
+        a.join(b, ["chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    candidate_pairs: DataFrame | None = None,
+    shingle_n: int = 3,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exact shingle-set Jaccard per candidate pair.
+
+    candidate_pairs=None → candidates are all pairs sharing ≥1 shingle
+    (inverted-index self-join: fan-out bounded by shingle frequency, the
+    classic n-gram-Jaccard shape). Otherwise runs AFTER LSH blocking as a
+    verification stage. Outputs integer intersection/union sizes plus
+    jaccard_pct (bigint, oracle-exact).
     """
     sh = shingles(df.select(key, text), n=shingle_n).distinct()
-    a = sh.withColumnRenamed(key, "doc_a").withColumnRenamed("shingle", "sh_a")
-    b = sh.withColumnRenamed(key, "doc_b").withColumnRenamed("shingle", "sh_b")
     sizes = sh.groupBy(key).agg(F.countDistinct("shingle").alias("n_sh"))
-    inter = (
-        candidate_pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(F.col("sh_a") == F.col("sh_b"))  # pushed into the join cond
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if candidate_pairs is None:
+        a_ = sh.select(F.col(key).alias("doc_a"), "shingle")
+        b_ = sh.select(F.col(key).alias("doc_b"), "shingle")
+        inter = (
+            a_.join(b_, ["shingle"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = sh.withColumnRenamed(key, "doc_a").withColumnRenamed("shingle", "sh_a")
+        b = sh.withColumnRenamed(key, "doc_b").withColumnRenamed("shingle", "sh_b")
+        inter = (
+            candidate_pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter(F.col("sh_a") == F.col("sh_b"))  # pushed into the join cond
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed(key, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed(key, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-        .withColumn("jaccard_pct", (F.col("n_inter") * 100 / F.col("n_union")).cast("bigint"))
+        .withColumn("jaccard_pct", F.floor(F.col("n_inter") * 100 / F.col("n_union")).cast("bigint"))
     )
     return out.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_pct")

@@ -81,6 +81,97 @@ def cosine_topk(
     )
 
 
+def quantized_neardup(
+    emb: DataFrame,
+    threshold_pct: int = 80,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    block: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) within a block.
+
+    cos_pct = floor(100 * dot / sqrt(|a|²·|b|²)) over integer-quantized
+    vectors: the dot and squared norms are exact bigints, and the final
+    sqrt/divide/floor are single correctly-rounded IEEE ops — bit-identical
+    across engines. Block bounds the self-join fan-out (scale path: at
+    100 TB the block key is an LSH/IVF cell, never a full cross join).
+    """
+    base = (
+        emb.select(key, block, quantized(vec, scale).alias("_q"))
+        .withColumn("_n2", qdot("_q", "_q"))
+    )
+    a = base.select(
+        F.col(key).alias("doc_a"), F.col(block).alias("_bl"),
+        F.col("_q").alias("_qa"), F.col("_n2").alias("_na2"),
+    )
+    b = base.select(
+        F.col(key).alias("doc_b"), F.col(block).alias("_bl"),
+        F.col("_q").alias("_qb"), F.col("_n2").alias("_nb2"),
+    )
+    pairs = a.join(b, ["_bl"]).filter(F.col("doc_a") < F.col("doc_b"))
+    cos_pct = F.floor(
+        F.lit(100).cast("double")
+        * F.col("_dq").cast("double")
+        / F.sqrt((F.col("_na2") * F.col("_nb2")).cast("double"))
+    ).cast("bigint")
+    return (
+        pairs.withColumn("_dq", qdot("_qa", "_qb"))
+        .withColumn("cos_pct", cos_pct)
+        .filter((F.col("_dq") > 0) & (F.col("cos_pct") >= threshold_pct))
+        .select("doc_a", "doc_b", "cos_pct")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    k: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to the nearest of n_centroids seed
+    vectors (argmax integer dot), then exact top-k within each cell.
+
+    The scale path for K3: centroid table is tiny → broadcast, assignment
+    is map-side (no shuffle), and the self-join shuffles on cell id only.
+    Centroids are the n_centroids lowest-key vectors (deterministic; a
+    production system plugs in k-means output — same plan shape).
+    """
+    q_ = emb.select(key, quantized(vec, scale).alias("_q"))
+    cents = (
+        q_.orderBy(key).limit(n_centroids)
+        .select(F.col(key).alias("cell_id"), F.col("_q").alias("_qc"))
+    )
+    scored = q_.crossJoin(F.broadcast(cents)).withColumn("_cd", qdot("_q", "_qc"))
+    wa = Window.partitionBy(key).orderBy(F.col("_cd").desc(), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("_arn", F.row_number().over(wa))
+        .filter(F.col("_arn") == 1)
+        .select(key, "cell_id", "_q")
+    )
+    a = assigned.select(F.col(key).alias("query_id"), "cell_id", F.col("_q").alias("_qa"))
+    b = assigned.select(F.col(key).alias("neighbor_id"), "cell_id", F.col("_q").alias("_qb"))
+    pairs = (
+        a.join(b, ["cell_id"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot_q", qdot("_qa", "_qb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("cell_id").cast("bigint").alias("cell_id"),
+            "neighbor_id",
+            "dot_q",
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def quantized_topk(
     emb: DataFrame,
     k: int = 3,

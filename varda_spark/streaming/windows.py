@@ -85,6 +85,20 @@ def session_windows_batch(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def watermark_tumbling_batch(ev: DataFrame, width: str = "1 hour", delay_minutes: int = 10) -> DataFrame:
+    """I4 batch core of watermarked tumbling agg: events older than
+    (global max event time - delay) are "late" and dropped, mirroring the
+    final state of the streaming query once the watermark has advanced to
+    the end of input. Deterministic → oracle-checkable."""
+    horizon = ev.agg(F.max(F.unix_micros("ts")).alias("_mx"))
+    kept = (
+        ev.withColumn("_t", F.unix_micros("ts"))
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.col("_t") >= F.col("_mx") - delay_minutes * 60 * 1_000_000)
+    )
+    return tumbling_counts(kept.drop("_t", "_mx"), width)
+
+
 # ---------------------------------------------------------------------
 # Structured Streaming wrappers (file source; exercised in tests)
 # ---------------------------------------------------------------------
