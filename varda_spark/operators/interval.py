@@ -29,13 +29,32 @@ def interval_join(
     ival_begin: str = "begin",
     ival_end: str = "end",
     how: str = "inner",
+    strategy: str = "binned",
 ) -> DataFrame:
     """Join each point to every closed interval [begin,end] containing it.
 
-    Equi-join on (chromosome, bin) + residual range predicate. Interval
-    columns keep their names; clashing names on the interval side get an
-    ``i_`` prefix.
+    strategy='binned' (default): equi-join on (chromosome, bin) + residual
+    range predicate — the scale path; both sides shuffle on an even key.
+    strategy='broadcast': plain theta join with the interval side broadcast
+    (BroadcastNestedLoop) — measured FASTER when the interval side fits in
+    a broadcast (sf0.1: 0.4s vs 1.4s binned) because it skips the explode
+    and shuffle entirely; unusable when both sides are large. Callers pick
+    by interval-side size; there is no automatic switch because sizing the
+    side costs a job (AQE cannot rewrite a manual bin join back).
+
+    Interval columns keep their names; clashing names on the interval side
+    get an ``i_`` prefix.
     """
+    if strategy == "broadcast":
+        return interval_join_naive(
+            points,
+            F.broadcast(intervals),
+            point_chrom=point_chrom,
+            point_pos=point_pos,
+            ival_chrom=ival_chrom,
+            ival_begin=ival_begin,
+            ival_end=ival_end,
+        )
     pts = points.withColumn("_bin", F.explode(point_bins(point_pos)))
     ivs = with_bin(intervals, ival_begin, ival_end, out="_bin")
     # disambiguate clashing column names (e.g. both sides have 'chromosome')
