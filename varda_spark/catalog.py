@@ -1655,3 +1655,260 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varda_spark.streaming.windows import watermark_tumbling_batch
 
     return watermark_tumbling_batch(read_table(spark, sf_dir, "events"), delay_minutes=1440)
+
+
+# =====================================================================
+# TPC-H continued (adapted where the driver's column subset requires:
+# lineitem has no commitdate/receiptdate/shipmode, part no container)
+# =====================================================================
+
+@q(
+    "tpch_q6",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: pure scan+filter+agg.
+
+    All three predicates push to the parquet scan; zero shuffle rows
+    (single scalar out of map-side partials)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)") * F.col("l_discount").cast("decimal(18,4)"))
+        .cast("double").alias("revenue")
+    )
+
+
+@q(
+    "tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year,
+              CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume
+         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31') shipping
+       GROUP BY supp_nation, cust_nation, l_year""",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations (disjunctive join pred)."""
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") <= F.lit("1997-12-31"))
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            (F.col("l_extendedprice").cast("decimal(18,4)")
+             * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(F.col("volume").cast("decimal(18,4)")).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q12",
+    """SELECT l_linestatus,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+       GROUP BY l_linestatus""",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: linestatus for shipmode, shipdate for receipt —
+    driver schema has neither shipmode nor receiptdate): priority counts."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "tpch_q14",
+    """SELECT 100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_revenue
+       FROM (
+         SELECT SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l_discount AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS total
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01')""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: conditional agg over lineitem⋈part.
+
+    Decimal ratio → deterministic double. part is broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    p = read_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("promo"),
+        F.sum(disc).alias("total"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo").cast("double") / F.col("total").cast("double")).alias("promo_revenue")
+    )
+
+
+@q(
+    "tpch_q18",
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+              CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+       FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (
+         SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 212)
+       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: HAVING subquery as a semi-join."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .filter(F.col("q") > 212)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"), "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@q(
+    "tpch_q19",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+              AND l_quantity >= 1 AND l_quantity <= 30)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+              AND l_quantity >= 10 AND l_quantity <= 40)""",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted: no p_container in driver schema) — disjunctive
+    join predicates; Catalyst extracts p_partkey=l_partkey as the equi key
+    and evaluates the OR residual post-join (broadcast part side)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    c1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 30)
+    c2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 40)
+    return j.filter(c1 | c2).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+              * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")).cast("double").alias("revenue")
+    )
+
+
+# =====================================================================
+# Pivot + SQL API surface
+# =====================================================================
+
+@q(
+    "agg_pivot",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+              CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+       FROM events GROUP BY 1""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: pivot (wide conditional agg). Explicit value list → single pass,
+    no values-discovery job; DuckDB twin is the CASE WHEN expansion."""
+    ev = read_table(spark, sf_dir, "events")
+    types = ["signup", "click", "view", "purchase", "error"]
+    out = (
+        ev.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select("day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types])
+
+
+_SQL_API = """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@q("sql_api", _SQL_API)
+def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: identical ANSI text runs on spark.sql and the
+    DuckDB oracle (engine parity at the SQL surface, not just DataFrame)."""
+    for t in ("customer", "nation"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API)
