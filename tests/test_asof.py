@@ -1,0 +1,43 @@
+"""As-of join semantics: ties, no-match NULLs, per-key isolation."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from varda_spark.operators.asof import asof_join
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=_t(10), lv=100),
+            Row(k=1, ts=_t(5), lv=101),   # tie with right at s=5 → matches it
+            Row(k=2, ts=_t(7), lv=102),   # right for k=2 only at s=9 → NULL
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_t(5), rv=200),
+            Row(k=1, ts=_t(8), rv=201),
+            Row(k=2, ts=_t(9), rv=202),
+        ]
+    )
+    out = {
+        (r.k, r.ts.second): (r.rv_right, r.ts_right.second if r.ts_right else None)
+        for r in asof_join(left, right, by="k", on="ts").collect()
+    }
+    assert out[(1, 10)] == (201, 8)   # latest at-or-before
+    assert out[(1, 5)] == (200, 5)    # <= semantics: equal ts matches
+    assert out[(2, 7)] == (None, None)  # nothing before → NULLs
+
+
+def test_resize_stub(spark):
+    from varda_spark.sources.multimodal import resize_images, synthesize_blobs
+
+    d = spark.createDataFrame([Row(doc_id=1, text="x" * 100)])
+    out = resize_images(synthesize_blobs(d), width=4, height=4, fake=True).collect()
+    assert len(out[0].content) == 16 and out[0].n_bytes == 16

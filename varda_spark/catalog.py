@@ -1912,3 +1912,88 @@ def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "nation"):
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_API)
+
+
+# =====================================================================
+# As-of join, deterministic sampling, multimodal frame sampling
+# =====================================================================
+
+@q(
+    "join_asof",
+    """WITH v AS (
+         SELECT user_id, ts, MAX(event_id) AS view_event_id
+         FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+       p AS (
+         SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+       SELECT p.user_id, p.event_id,
+              epoch_us(p.ts) AS ts_us,
+              v.view_event_id,
+              epoch_us(v.ts) AS view_ts_us,
+              epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+       FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C: as-of join — each purchase matched to the user's most recent
+    view at-or-before it. One shuffle + one carry-forward window (no
+    per-row subquery, no range self-join); DuckDB's native ASOF JOIN is
+    the oracle."""
+    from varda_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    out = asof_join(purchases, views, by="user_id", on="ts", right_cols=["view_event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("view_event_id_right").alias("view_event_id"),
+        F.unix_micros("ts_right").alias("view_ts_us"),
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("gap_us"),
+    )
+
+
+@q(
+    "sample_hash",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+       FROM lineitem
+       WHERE CAST('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 4) AS INT) % 10 = 0""",
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash — reproducible across
+    engines, runs, and partitionings (unlike TABLESAMPLE/rand(seed));
+    the train/test-split primitive of a data pipeline. Pure map-side."""
+    li = read_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    bucket = F.conv(F.substring(F.md5(key.cast("binary")), 1, 4), 16, 10).cast("int") % 10
+    return li.filter(bucket == 0).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@q(
+    "multimodal_frames",
+    """WITH mm AS (
+         SELECT doc_id AS item_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                     WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                     ELSE 'video/mp4' END AS mime,
+                text, length(text) AS n_bytes
+         FROM documents),
+       idx AS (
+         SELECT item_id, mime, text,
+                unnest(range(0, least(CAST(floor(n_bytes / 64) AS BIGINT), 3) + 1)) AS frame_idx
+         FROM mm)
+       SELECT item_id, mime, CAST(frame_idx AS INT) AS frame_idx,
+              md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+       FROM idx""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 frame sampling: fixed-stride blob slices (the keyframe-extraction
+    plan shape; codec call swaps in via mapInPandas at deployment)."""
+    from varda_spark.sources.multimodal import frame_sample, synthesize_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return frame_sample(synthesize_blobs(d)).select("item_id", "mime", "frame_idx", "frame_md5")

@@ -105,6 +105,30 @@ def decode_image_features(mm: DataFrame, *, fake: bool = False, dims: int = 8) -
     return mm.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
+def resize_images(mm: DataFrame, *, width: int = 64, height: int = 64, fake: bool = False) -> DataFrame:
+    """mapInPandas resize stage (STUB — see module doc).
+
+    fake=True: 'resized' content = first width*height bytes of the blob
+    (deterministic, library-free stand-in keeping the real batch shape).
+    fake=False raises NotImplementedError — plug in PIL here.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL (not in this container); "
+            "pass fake=True for the deterministic truncation stand-in"
+        )
+    n = width * height
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["content"] = [None if b is None else bytes(b)[:n] for b in pdf["content"]]
+            out["n_bytes"] = [0 if b is None else len(b) for b in out["content"]]
+            yield out
+
+    return mm.mapInPandas(_batches, schema=mm.schema)
+
+
 def frame_sample(mm: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
     """'Frame sampling' plumbing: slice the blob at fixed strides (pure
     Column exprs — at scale this is the shape of keyframe extraction,
