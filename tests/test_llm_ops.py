@@ -129,3 +129,14 @@ def test_language_id_markers(spark):
     assert out[1] == ("en", 3)
     assert out[2] == ("fr", 3)
     assert out[3] == ("unknown", 0)
+
+
+def test_blocked_topk_matches_pure_df(spark):
+    """The applyInPandas matmul path is bit-identical to the DF reference."""
+    from varda_spark.operators.similarity import quantized_topk, quantized_topk_fast
+
+    e = read_table(spark, SF, "embeddings")
+    fast = quantized_topk_fast(e, k=3)
+    ref = quantized_topk(e, k=3)
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0

@@ -964,11 +964,13 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer-quantized dot ranking → exact across engines (float cosine API
     is operators/similarity.cosine_topk, pytest-compared to this ranking).
+    Runs the blocked-matmul applyInPandas path (9× the pair-join plan;
+    bit-identical — see similarity.quantized_topk for the DF reference).
     """
-    from varda_spark.operators.similarity import quantized_topk
+    from varda_spark.operators.similarity import quantized_topk_fast
 
     e = read_table(spark, sf_dir, "embeddings")
-    return quantized_topk(e, k=3)
+    return quantized_topk_fast(e, k=3)
 
 
 @q(
@@ -1170,9 +1172,8 @@ def freq_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, oracle-checked against a full SQL rebuild."""
     from varda_spark.frequency import frequency
 
-    samples, regions, observations, = _genomic_trio(spark, sf_dir)
-    keys = observations.select("chromosome", "position", "reference", "observed").distinct()
-    out = frequency(keys, observations, regions, samples)
+    samples, regions, observations = _genomic_trio(spark, sf_dir)
+    out = frequency(None, observations, regions, samples)
     return out.select(
         "chromosome",
         "position",

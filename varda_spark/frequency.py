@@ -34,7 +34,7 @@ VARIANT_KEY = ["chromosome", "position", "reference", "observed"]
 
 
 def frequency(
-    variant_keys: DataFrame,
+    variant_keys: DataFrame | None,
     observations: DataFrame,
     regions: DataFrame,
     samples: DataFrame,
@@ -44,7 +44,10 @@ def frequency(
 ) -> DataFrame:
     """Per variant key: VN (covered pool), VC (support sum), VF (=VC/VN).
 
-    variant_keys: distinct (chromosome, position, reference, observed).
+    variant_keys: distinct (chromosome, position, reference, observed);
+    None = annotate every key present in `observations` (the database-wide
+    frequency table), which skips the numerator's semi-join — one fewer
+    shuffle on the widest data.
     selection: extra boolean Column over `samples` (the B3 expression DSL
     compiles to this); None = all samples. Inactive samples never count.
     """
@@ -53,13 +56,18 @@ def frequency(
         sel = sel.filter(selection)
     sel = F.broadcast(sel.select("sample_id", "pool_size", "coverage_profile"))
 
-    keys = variant_keys.select(*VARIANT_KEY).distinct()
+    if variant_keys is None:
+        keys = observations.select(*VARIANT_KEY).distinct()
+        restricted = observations.join(sel.select("sample_id"), "sample_id")
+    else:
+        keys = variant_keys.select(*VARIANT_KEY).distinct()
+        restricted = observations.join(sel.select("sample_id"), "sample_id").join(
+            keys, VARIANT_KEY, "left_semi"
+        )
 
     # ---- numerator: support sum over selected samples' observations ----
     num = (
-        observations.join(sel.select("sample_id"), "sample_id")
-        .join(keys, VARIANT_KEY, "left_semi")
-        .groupBy(*VARIANT_KEY)
+        restricted.groupBy(*VARIANT_KEY)
         .agg(
             F.sum("support").alias("vc"),
             F.sum(F.when(F.col("zygosity") == "homozygous", F.col("support")).otherwise(F.lit(0))).alias("vc_hom"),
