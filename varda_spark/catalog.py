@@ -1998,3 +1998,176 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return frame_sample(synthesize_blobs(d)).select("item_id", "mime", "frame_idx", "frame_md5")
+
+
+# =====================================================================
+# TPC-H continued: Q4/Q8/Q13/Q15/Q17 (adapted to driver column subset)
+# =====================================================================
+
+@q(
+    "tpch_q4",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY o_orderpriority""",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order priority checking (adapted: EXISTS on returned
+    lineitems — driver schema has no commit/receipt dates). EXISTS → semi
+    join; aggregation after, so each order counts once."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li.select("l_orderkey"), o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@q(
+    "tpch_q8",
+    """SELECT o_year,
+              CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+       FROM (
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume,
+                n1.n_name AS supp_nation
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region ON n2.n_regionkey = r_regionkey
+         WHERE r_name = 'AMERICA'
+           AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+       GROUP BY o_year""",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share (no part table in the driver's
+    lineitem keys needed): conditional share of a nation's supply volume."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") <= F.lit("1997-12-31"))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .select(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                vol.alias("volume"), "supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return j.groupBy("o_year").agg(
+        (F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast("double")
+         / F.sum("volume").cast("double")).cast("double").alias("mkt_share")
+    )
+
+
+@q(
+    "tpch_q13",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+       FROM (
+         SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey)
+       GROUP BY c_count""",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: left join preserves
+    zero-order customers, two-level aggregation."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+
+
+@q(
+    "tpch_q15",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: scalar-subquery max on EXACT decimal
+    revenue (double equality would be engine-dependent; decimal is not)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+              * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+@q(
+    "tpch_q17",
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / 7.0 AS DOUBLE) AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+            JOIN (SELECT l_partkey AS pk,
+                         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                         COUNT(*) AS cnt
+                  FROM lineitem GROUP BY l_partkey) pp ON pk = l_partkey
+       WHERE p_brand = 'Brand#1'
+         AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sum_qty""",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity revenue (adapted: brand filter only — no
+    p_container). Correlated avg subquery → one pre-aggregation joined
+    back; the 0.2*avg comparison cross-multiplies to stay in EXACT
+    decimals (qty*5*count < sum — no float threshold ambiguity)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity").cast("decimal(18,4)") * 5 * F.col("cnt") < F.col("sum_qty"))
+    )
+    return j.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / F.lit(7.0))
+        .cast("double").alias("avg_yearly")
+    )
