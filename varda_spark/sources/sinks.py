@@ -94,3 +94,27 @@ def write_annotated_vcf(lines: DataFrame, path: str, header_queries: list[str]) 
     header.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
     hdf = spark.createDataFrame([(h,) for h in header], ["value"])
     hdf.unionByName(lines).coalesce(1).write.mode("overwrite").text(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 32,
+    sort_key: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed warehouse table: co-locates joins/aggs on bucket_key.
+
+    Two tables bucketed the same way join with ZERO shuffle (Catalyst
+    sees the hash-distribution requirement already satisfied) — at 100 TB
+    this is the difference between a full-network shuffle of the fact
+    table and a local merge. Requires saveAsTable (bucket metadata lives
+    in the catalog, not the parquet files).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_key)
+    if sort_key:
+        w = w.sortBy(sort_key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -151,3 +151,42 @@ def session_windows_stream(ev_stream: DataFrame, gap: str = "30 minutes", waterm
 def dedup_within_watermark(ev_stream: DataFrame, keys: list[str], watermark: str = "10 minutes") -> DataFrame:
     """I5 stateful dedup: first event per key within the watermark horizon."""
     return ev_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def running_user_totals_stream(ev_stream: DataFrame, timeout_minutes: int | None = None) -> DataFrame:
+    """I5+ custom stateful operator via applyInPandasWithState: per-user
+    running event count + value sum, emitted on every micro-batch update.
+
+    The state store holds one (count, sum) pair per user — O(active
+    users), not O(events). Pass ``timeout_minutes`` in production to evict
+    idle users and bound state growth; note ProcessingTimeTimeout keeps
+    the query triggering even without new data (by design — timeouts must
+    fire), so tests that drain with processAllAvailable use the default
+    NoTimeout.
+    Batch equivalence: groupBy(user_id).agg(count, sum) — pytest-checked.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, s double"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_minutes else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if timeout_minutes and state.hasTimedOut:
+            state.remove()
+            return
+        n, s = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(s, 4)]})
+
+    return ev_stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
