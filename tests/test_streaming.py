@@ -135,3 +135,43 @@ def test_apply_in_pandas_with_state_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join converges to the batch core result."""
+    import pyspark.sql.functions as F
+    from varda_spark.sources.tables import read_table
+    from varda_spark.streaming.windows import (
+        purchase_view_join_batch,
+        purchase_view_join_stream,
+    )
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src = str(tmp_path / "ev")
+    ev.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    p = stream.filter(F.col("event_type") == "purchase")
+    v = stream.filter(F.col("event_type") == "view")
+    q = (
+        purchase_view_join_stream(p, v)
+        .writeStream.format("memory")
+        .queryName("pv_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM pv_join").collect()
+    }
+    want = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in purchase_view_join_batch(ev).collect()
+    }
+    # streaming append-mode emits exactly the batch pairs (watermark only
+    # bounds state here; no rows are late relative to file order + horizon)
+    assert got == want

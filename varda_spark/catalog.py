@@ -2171,3 +2171,111 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / F.lit(7.0))
         .cast("double").alias("avg_yearly")
     )
+
+
+# =====================================================================
+# BPE-ish tokens, stream-stream join core, Q22, ntile windows
+# =====================================================================
+
+@q(
+    "text_tokens_bpe",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+                  AS n_bpe_tokens,
+              CAST(len(list_distinct(regexp_extract_all(lower(text),
+                  '[a-z0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_distinct_bpe
+       FROM documents""",
+)
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 BPE-pretokenizer counting (word runs + punctuation marks) —
+    the token-budget estimator of a training pipeline."""
+    from varda_spark.operators.text import bpe_ish_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    t = bpe_ish_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_bpe"),
+    )
+
+
+@q(
+    "stream_join",
+    """SELECT p.user_id, p.event_id AS purchase_id,
+              epoch_us(p.ts) AS p_ts_us,
+              v.event_id AS view_id,
+              epoch_us(v.ts) AS v_ts_us
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ON p.user_id = v.user_id
+        AND v.ts <= p.ts
+        AND v.ts >= p.ts - INTERVAL 60 MINUTES""",
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 stream-stream join batch core: purchases × preceding-hour views
+    per user. The time bound is what makes the streaming twin's state
+    finite (see streaming/windows.purchase_view_join_stream)."""
+    from varda_spark.streaming.windows import purchase_view_join_batch
+
+    return purchase_view_join_batch(read_table(spark, sf_dir, "events"))
+
+
+@q(
+    "tpch_q22",
+    """WITH avg_bal AS (
+         SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4))) AS ab
+         FROM customer WHERE c_acctbal > 0),
+       eligible AS (
+         SELECT c_custkey, c_nationkey, c_acctbal
+         FROM customer CROSS JOIN avg_bal
+         WHERE CAST(c_acctbal AS DECIMAL(18,4)) > ab
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= DATE '1999-01-01'))
+       SELECT CAST(c_nationkey AS BIGINT) AS cntry,
+              CAST(COUNT(*) AS BIGINT) AS numcust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+       FROM eligible GROUP BY c_nationkey""",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (adapted: nationkey for phone
+    country code): above-average-balance customers with no orders —
+    scalar subquery + anti join + grouped agg."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(18,4)")).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("decimal(18,4)") > F.col("ab"))
+        .join(o.filter(F.col("o_orderdate") >= F.lit("1999-01-01")), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@q(
+    "win_ntile",
+    """SELECT c_custkey, c_mktsegment,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              percent_rank() OVER w AS pct_rank,
+              cume_dist() OVER w AS cum_dist
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: ntile / percent_rank / cume_dist (total order via custkey
+    tiebreak → deterministic; the ratios are single IEEE divisions)."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )

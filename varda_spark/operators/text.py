@@ -101,3 +101,17 @@ def fingerprint(df: DataFrame, text: str = "text", out: str = "fp") -> DataFrame
     """
     norm = F.concat_ws(" ", tokens(text))
     return df.withColumn(out, F.md5(F.lower(norm).cast("binary")))
+
+
+BPE_ISH_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Sub-word-style tokenization: word runs + individual punctuation
+    marks (the BPE-pretokenizer shape; a real BPE merges from here).
+    Engine-portable regex — verified char-identical DuckDB/Spark."""
+    c = F.col(text) if isinstance(text, str) else text
+    # Spark's SQL parser consumes one level of backslash escaping in the
+    # string literal, so \s must be written \\s in the expr text
+    pat = BPE_ISH_PATTERN.replace("\\", "\\\\")
+    return F.expr(f"regexp_extract_all(lower({c._jc.toString()}), '{pat}', 0)")

@@ -190,3 +190,49 @@ def running_user_totals_stream(ev_stream: DataFrame, timeout_minutes: int | None
     return ev_stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def purchase_view_join_batch(ev: DataFrame, horizon_minutes: int = 60) -> DataFrame:
+    """I5 stream-stream join, batch core: each purchase joined to every
+    view by the same user within the preceding ``horizon_minutes``.
+
+    The streaming twin (purchase_view_join_stream) is the same join under
+    watermarks; the time bound is what lets Spark expire join state —
+    an unbounded stream-stream join would hold both streams forever.
+    """
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return p.join(v, cond).select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        "view_id",
+        F.unix_micros("v_ts").alias("v_ts_us"),
+    )
+
+
+def purchase_view_join_stream(
+    purchases: DataFrame, views: DataFrame, horizon_minutes: int = 60, watermark: str = "10 minutes"
+) -> DataFrame:
+    """I5 streaming twin: watermarked stream-stream interval join."""
+    p = purchases.withWatermark("ts", watermark).select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return p.join(v, cond).select("user_id", "purchase_id", "p_ts", "view_id", "v_ts")
