@@ -44,6 +44,7 @@ HEADLINE = [
     "tpch_q5",          # 6-way join with broadcast dims
     "dedup_simhash",    # simhash band join + hamming verify
     "sim_ivf",          # IVF coarse-quantized ANN
+    "join_asof",        # as-of join via carry-forward window
 ]
 
 
