@@ -46,3 +46,24 @@ def test_normalize_chromosome(spark):
     df = spark.createDataFrame(rows).select(normalize_chromosome("raw"))
     got = [r.chromosome for r in df.collect()]
     assert got == ["1", "2", "MT", "MT", "MT", "X", "X", "17"]
+
+
+def test_normalize_random_corpus_matches_py(spark):
+    """200 seeded random allele pairs: batch Columns ≡ plain-Python twin."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(7)
+    cases = []
+    for i in range(200):
+        ref = "".join(rng.choice("ACGT") for _ in range(rng.randint(0, 6)))
+        obs = "".join(rng.choice("ACGT") for _ in range(rng.randint(0, 6)))
+        cases.append((i, rng.randint(1, 10**6), ref, obs))
+    df = spark.createDataFrame([Row(id=i, position=p, reference=r, observed=o) for i, p, r, o in cases])
+    got = {
+        r.id: (r.position, r.reference, r.observed)
+        for r in normalize_variant_cols(df).collect()
+    }
+    for i, p, ref, obs in cases:
+        assert got[i] == normalize_variant_py(p, ref, obs), (p, ref, obs)

@@ -2279,3 +2279,103 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+# =====================================================================
+# H (continued): edit distance, regex, null handling, date arithmetic,
+# exact percentiles
+# =====================================================================
+
+@q(
+    "str_editdist",
+    """SELECT c_custkey,
+              CAST(levenshtein(substring(c_name, 1, 8), 'Customer') AS BIGINT) AS d_prefix,
+              CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS d_seg
+       FROM customer WHERE c_custkey <= 200""",
+)
+def str_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 Levenshtein edit distance (fuzzy-matching primitive)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.substring("c_name", 1, 8), F.lit("Customer")).cast("bigint").alias("d_prefix"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("bigint").alias("d_seg"),
+    )
+
+
+@q(
+    "str_regex",
+    """SELECT p_partkey,
+              regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+              regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+              CAST(p_name ~ '^Part.*[02468]$' AS BOOLEAN) AS even_tail
+       FROM part WHERE p_partkey <= 300""",
+)
+def str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 regex extract / global replace / match."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("name_devoweled"),
+        F.col("p_name").rlike(r"^Part.*[02468]$").alias("even_tail"),
+    )
+
+
+@q(
+    "null_funcs",
+    """SELECT o_orderkey,
+              coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+              CAST(o_totalprice IS NOT NULL AS BOOLEAN) AS has_price,
+              ifnull(CAST(NULL AS VARCHAR), o_orderpriority) AS prio
+       FROM orders WHERE o_orderkey <= 500""",
+)
+def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H: NULL semantics — coalesce / nullif / ifnull / IS NOT NULL."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_or_open"),
+        F.col("o_totalprice").isNotNull().alias("has_price"),
+        F.ifnull(F.lit(None).cast("string"), F.col("o_orderpriority")).alias("prio"),
+    )
+
+
+@q(
+    "date_arith",
+    """SELECT o_orderkey,
+              CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+              CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+              CAST(last_day(o_orderdate) AS DATE) AS month_end,
+              CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS yyyymm
+       FROM orders WHERE o_orderkey <= 400""",
+)
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 date arithmetic: interval add, datediff, last_day, parts."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint").alias("days_since_epoch_start"),
+        F.last_day(F.col("o_orderdate")).alias("month_end"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint").alias("yyyymm"),
+    )
+
+
+@q(
+    "agg_quantile",
+    """SELECT l_returnflag,
+              quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med_qty,
+              quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS p90_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: exact percentiles (sort-based; linear interpolation matches
+    DuckDB quantile_cont). At 100 TB use approx_percentile — same API
+    shape, sketch-based (see agg_approx_cd for the HLL analog)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").alias("med_qty"),
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)").alias("p90_price"),
+    )

@@ -62,3 +62,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views for spark.sql() use."""
     for t in TABLES:
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def register_tables(spark, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every driver table as a temp view → full spark.sql access.
+
+    The SQL twin of the DataFrame API: after this, any ANSI query the
+    DuckDB oracle runs works verbatim on spark.sql (see catalog sql_api).
+    """
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
