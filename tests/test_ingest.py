@@ -6,6 +6,7 @@ multi-ALT, indel normalization, pooled support, genotype zygosity.
 
 import glob
 
+import pyspark.sql.functions as Fn
 import pytest
 
 from varda_spark.frequency import frequency
@@ -143,3 +144,37 @@ def test_write_observations_layout(spark, tmp_path, vcf_path):
     assert dirs == {"chromosome=1", "chromosome=MT"}
     back = spark.read.parquet(path)
     assert back.count() == obs.count()
+
+
+def test_annotate_vcf_one_call(spark, tmp_path, vcf_path):
+    """annotate.py end-to-end: two named queries, left-join completeness."""
+    import glob as _glob
+
+    from pyspark.sql import Row
+
+    from varda_spark.annotate import annotate_vcf
+
+    samples = spark.createDataFrame(
+        [
+            Row(sample_id=1, name="NA1", pool_size=1, coverage_profile=False, public=True, active=True),
+            Row(sample_id=2, name="NA2", pool_size=1, coverage_profile=False, public=False, active=True),
+        ]
+    )
+    obs = read_vcf(spark, vcf_path).join(
+        samples.select(Fn.col("name").alias("sample_name"), "sample_id"), "sample_name"
+    )
+    regions = spark.createDataFrame([], "sample_id long, chromosome string, begin long, end long")
+    out = str(tmp_path / "out.vcf")
+    ann = annotate_vcf(
+        spark, vcf_path, obs, regions, samples,
+        {"ALL": "*", "PUB": "public"}, out,
+    ).collect()
+    by_key = {(r.chromosome, r.position, r.reference, r.observed): r for r in ann}
+    r = by_key[("1", 100, "A", "G")]
+    assert r.ALL_vn == 2 and r.ALL_vf == 1.0      # both samples carry A>G
+    assert r.PUB_vn == 1 and r.PUB_vf == 1.0      # only NA1 is public
+    body = [
+        ln for f in _glob.glob(out + "/part-*") for ln in open(f).read().splitlines()
+        if ln and not ln.startswith("#")
+    ]
+    assert any("ALL_VN=2" in ln and "PUB_VN=1" in ln for ln in body)

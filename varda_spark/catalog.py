@@ -2379,3 +2379,37 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").alias("med_qty"),
         F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)").alias("p90_price"),
     )
+
+
+@q(
+    "arr_funcs",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS q
+         FROM embeddings WHERE vec_id < 200)
+       SELECT vec_id,
+              list_sort(q)[1] AS q_min,
+              list_max(q) AS q_max,
+              CAST(list_position(q, list_max(q)) AS BIGINT) AS argmax_1based,
+              list_slice(list_reverse(q), 1, 3) AS last3_reversed,
+              CAST(len(list_filter(q, x -> x > 0)) AS BIGINT) AS n_positive,
+              CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS q_sum
+       FROM e""",
+)
+def arr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 array breadth: sort/max/position/slice/reverse/filter/reduce
+    over quantized embeddings — the Column-level toolkit for vector and
+    list-shaped feature columns."""
+    e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    q_ = F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT))")
+    d = e.select("vec_id", q_.alias("q"))
+    return d.select(
+        "vec_id",
+        F.element_at(F.sort_array("q"), 1).alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.array_position("q", F.array_max("q")).cast("bigint").alias("argmax_1based"),
+        F.slice(F.reverse("q"), 1, 3).alias("last3_reversed"),
+        F.size(F.filter("q", lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, b: a + b).alias("q_sum"),
+    )
