@@ -25,6 +25,8 @@ BNLJ_OK = {
     "tpch_q15",          # 1-row scalar max
     "agg_ratio",         # 1-row total
     "sim_ivf",           # n_centroids-row coarse quantizer (broadcast by design)
+    "join_cross",        # bounded dims-only cross join (25x5, documented)
+    "tpch_q22",          # 1-row scalar avg-balance subquery
 }
 
 

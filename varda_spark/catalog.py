@@ -2413,3 +2413,112 @@ def arr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("q", lambda x: x > 0)).cast("bigint").alias("n_positive"),
         F.aggregate("q", F.lit(0).cast("bigint"), lambda a, b: a + b).alias("q_sum"),
     )
+
+
+# =====================================================================
+# Join-type completeness (full outer, bounded cross, null-safe equality)
+# and argmin/argmax + ordered-collect aggregates
+# =====================================================================
+
+@q(
+    "join_full",
+    """WITH big AS (
+         SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey),
+       rich AS (
+         SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000)
+       SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+              c_name, n_orders
+       FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey""",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C: FULL OUTER join — rows survive from both unmatched sides."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    big = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    rich = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_name"
+    )
+    j = rich.join(big, rich.c_custkey == big.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"), "c_name", "n_orders"
+    )
+
+
+@q(
+    "join_cross",
+    """SELECT n_name, r_name FROM nation CROSS JOIN region""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C: bounded cross join (25×5) — dims only; a cross join on facts
+    would be flagged by tools/audit_plans.py."""
+    n = read_table(spark, sf_dir, "nation").select("n_name")
+    r = read_table(spark, sf_dir, "region").select("r_name")
+    return n.crossJoin(F.broadcast(r))
+
+
+@q(
+    "join_nullsafe",
+    """WITH a AS (
+         SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders
+         WHERE o_orderkey <= 200),
+       b AS (
+         SELECT nullif(o_orderstatus, 'O') AS st,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1)
+       SELECT a.o_orderkey, a.st, b.n
+       FROM a JOIN b ON a.st IS NOT DISTINCT FROM b.st""",
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C: null-safe equality join (<=> / IS NOT DISTINCT FROM) — NULL
+    keys match NULL keys instead of vanishing."""
+    o = read_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") <= 200).select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("st")
+    )
+    b = o.select(F.nullif("o_orderstatus", F.lit("O")).alias("st")).groupBy("st").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return a.join(b.withColumnRenamed("st", "st_b"), a.st.eqNullSafe(F.col("st_b"))).select(
+        "o_orderkey", "st", "n"
+    )
+
+
+@q(
+    "agg_minmax_by",
+    """SELECT c_mktsegment,
+              arg_min(c_name, c_acctbal) AS poorest,
+              arg_max(c_name, c_acctbal) AS richest,
+              CAST(min(c_acctbal) AS DOUBLE) AS min_bal,
+              CAST(max(c_acctbal) AS DOUBLE) AS max_bal
+       FROM customer GROUP BY c_mktsegment""",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: argmin/argmax (min_by/max_by) — unique acctbals in testdata
+    make the arg deterministic."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr("min_by(c_name, c_acctbal)").alias("poorest"),
+        F.expr("max_by(c_name, c_acctbal)").alias("richest"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+    )
+
+
+@q(
+    "agg_collect",
+    """SELECT n_nationkey,
+              list(s_name ORDER BY s_acctbal DESC, s_name)[1:3] AS top3_suppliers
+       FROM nation JOIN supplier ON n_nationkey = s_nationkey
+       GROUP BY n_nationkey""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: ordered collect (top-3 names per nation as an array column) —
+    sort_array over collected structs gives deterministic order."""
+    n = read_table(spark, sf_dir, "nation")
+    s = read_table(spark, sf_dir, "supplier")
+    j = n.join(s, n.n_nationkey == s.s_nationkey)
+    collected = F.expr(
+        "slice(transform(array_sort(collect_list(struct(-s_acctbal AS neg, s_name AS name))), "
+        "x -> x.name), 1, 3)"
+    )
+    return j.groupBy("n_nationkey").agg(collected.alias("top3_suppliers"))
