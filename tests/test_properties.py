@@ -1,0 +1,66 @@
+"""Property-based tests (hypothesis) for the engine's pure-Python twins.
+
+The Column implementations are proven equal to these twins by seeded-corpus
+tests (test_variant.py, test_binning.py); hypothesis then explores the
+semantic space cheaply without a Spark roundtrip per example.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from varda_spark.expressions import ExpressionError, compile_selection
+from varda_spark.functions.variant import normalize_variant_py
+
+alleles = st.text(alphabet="ACGT", min_size=0, max_size=12)
+
+
+@given(pos=st.integers(1, 10**9), ref=alleles, obs=alleles)
+@settings(max_examples=300, deadline=None)
+def test_normalize_fixpoint_and_anchoring(pos, ref, obs):
+    p2, r2, o2 = normalize_variant_py(pos, ref, obs)
+    # canonical: no shared first or last character remains (unless empty)
+    if r2 and o2:
+        assert r2[0] != o2[0] and r2[-1] != o2[-1]
+    # idempotent
+    assert normalize_variant_py(p2, r2, o2) == (p2, r2, o2)
+    # position advances by exactly the trimmed prefix length
+    assert p2 >= pos and p2 - pos <= min(len(ref), len(obs))
+    # trimming only removes characters, never adds
+    assert len(r2) <= len(ref) and len(o2) <= len(obs)
+
+
+@given(pos=st.integers(1, 10**6), core_r=alleles, core_o=alleles,
+       prefix=alleles, suffix=alleles)
+@settings(max_examples=300, deadline=None)
+def test_normalize_invariant_under_shared_affixes(pos, core_r, core_o, prefix, suffix):
+    """Adding the same prefix+suffix to both alleles must not change the
+    normalized variant (up to the position shift of the prefix)."""
+    base = normalize_variant_py(pos + len(prefix), core_r, core_o)
+    padded = normalize_variant_py(pos, prefix + core_r + suffix, prefix + core_o + suffix)
+    assert padded == base
+
+
+@st.composite
+def dsl_expr(draw, depth=0):
+    if depth > 3 or draw(st.booleans()):
+        return draw(st.sampled_from(["*", "public", "pooled", "covered", "sample:GONL"]))
+    kind = draw(st.sampled_from(["and", "or", "not", "paren"]))
+    if kind == "not":
+        return f"not {draw(dsl_expr(depth + 1))}"
+    if kind == "paren":
+        return f"({draw(dsl_expr(depth + 1))})"
+    return f"{draw(dsl_expr(depth + 1))} {kind} {draw(dsl_expr(depth + 1))}"
+
+
+@given(expr=dsl_expr())
+@settings(max_examples=200, deadline=None)
+def test_dsl_always_compiles(expr):
+    compile_selection(expr)  # must not raise for grammatical input
+
+
+def test_dsl_rejects_garbage():
+    for bad in ["and", "sample:", "((*)", "* or", "frobnicate", ""]:
+        try:
+            compile_selection(bad)
+            assert False, f"accepted {bad!r}"
+        except ExpressionError:
+            pass
