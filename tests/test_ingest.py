@@ -77,6 +77,23 @@ def test_read_vcf_pooled(spark, tmp_path):
     assert rows[("2", 501, "", "A")][0] == 1
 
 
+def test_read_vcf_rejects_ref_eq_alt(spark, tmp_path):
+    """Ingest guard: a record whose ALT equals its REF is not a variant and
+    must be dropped (the normalizer's output is undefined for ref==obs)."""
+    p = tmp_path / "bad.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\n"
+        "1\t100\t.\tA\tA\t50\tPASS\tDP=1\tGT\t0/1\n"       # ref==alt → drop
+        "1\t200\t.\tCAG\tCAG,CTG\t50\tPASS\tDP=1\tGT\t1/2\n"  # drop ALT1, keep ALT2
+    )
+    rows = [
+        (r.position, r.reference, r.observed)
+        for r in read_vcf(spark, str(p)).collect()
+    ]
+    assert rows == [(201, "A", "T")]
+
+
 def test_read_bed(spark, tmp_path):
     p = tmp_path / "cov.bed"
     p.write_text(BED)

@@ -11,6 +11,12 @@ no-ops, indels like pos=10 ref="CAG" obs="CTG" → pos=11 "A">"T".
 strip a leading ``chr``/``CHR`` prefix and canonicalize mitochondrial
 naming M → MT.
 
+Domain note: ref==obs is NOT a variant. For such input both alleles trim to
+'' with the position left at the suffix-consumed anchor — a well-defined but
+meaningless value (two spellings of "no variant" can land on different
+positions). VCF ingest rejects ref==alt records (sources/vcf.py), so these
+never reach the engine; both twins below agree exactly on every input.
+
 Everything here is pure Column expressions (no Python UDF): at 100 TB these
 run inside whole-stage codegen on every ingested observation, so they must
 stay JVM-side. The common-suffix/prefix lengths are computed with

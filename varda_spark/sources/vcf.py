@@ -116,4 +116,9 @@ def read_vcf(spark: SparkSession, path: str, *, pooled_support_info: str = "SF_S
             support.alias("support"),
         ).select("chromosome", "position", "reference", "observed", "sample_name", "zygosity", "support")
 
+    # Ingest guard: a record whose ALT equals its REF is not a variant — the
+    # normalizer's output is undefined for ref==obs (both alleles trim to ''
+    # with an ambiguous position), so such records are rejected here, before
+    # normalization, exactly like zero-support observations above.
+    obs = obs.filter(F.col("reference") != F.col("observed"))
     return normalize_variant_cols(obs).filter(F.col("observed") != F.lit("<NON_REF>"))
