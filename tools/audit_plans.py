@@ -9,6 +9,7 @@ Usage: python tools/audit_plans.py [sf_dir]
 
 from __future__ import annotations
 
+import json
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -16,10 +17,17 @@ sys.path.insert(0, "/root/repo")
 from varda_spark.catalog import REGISTRY  # noqa: E402
 from varda_spark.session import get_spark  # noqa: E402
 
+# queries where a single-partition global sort/window is the documented,
+# intentionally small-result shape (each docstring says why)
+GLOBAL_ONE_TASK_OK = {
+    "paginate_window",   # offset-compat paging; scale path is paginate_seek
+}
+
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
 # scalar/tiny build sides (documented in their docstrings)
 BNLJ_OK = {
     "freq_variant",      # 1-row unconditional-pool scalar
+    "freq_zygosity",     # same 1-row scalar as freq_variant
     "join_range",        # small range dim (demo of non-equi)
     "stream_watermark",  # 1-row max-ts horizon
     "tpch_q15",          # 1-row scalar max
@@ -35,7 +43,8 @@ def main() -> None:
     spark = get_spark("audit")
     bad = 0
     for name, entry in REGISTRY.items():
-        plan = entry.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        qe = entry.fn(spark, sf_dir)._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
         flags = []
         if "CartesianProduct" in plan:
             flags.append("CARTESIAN")
@@ -43,6 +52,19 @@ def main() -> None:
             flags.append("BNLJ")
         if "BatchEvalPython" in plan:
             flags.append("ROW_PYTHON_UDF")
+        # A Window with an empty partition spec forces every row through ONE
+        # task (WindowExec single-partitions its input; even when Catalyst
+        # pushes a limit below it, the window itself is still one task).
+        # "Exchange SinglePartition" alone is not reliable in the plan
+        # string, so inspect the optimized plan tree for Window nodes with
+        # partitionSpec == [].
+        if name not in GLOBAL_ONE_TASK_OK:
+            nodes = json.loads(qe.optimizedPlan().toJSON())
+            if any(
+                n.get("class", "").endswith(".Window") and not n.get("partitionSpec")
+                for n in nodes
+            ):
+                flags.append("ONE_TASK_WINDOW")
         if flags:
             bad += 1
             print(f"{name:24s} {','.join(flags)}")

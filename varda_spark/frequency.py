@@ -102,6 +102,8 @@ def frequency(
         .crossJoin(F.broadcast(uncond))
         .withColumn("vn", F.coalesce(F.col("vn_covered"), F.lit(0)) + F.col("vn_uncond"))
         .withColumn("vc", F.coalesce(F.col("vc"), F.lit(0)))
+        .withColumn("vc_hom", F.coalesce(F.col("vc_hom"), F.lit(0)))
+        .withColumn("vc_het", F.coalesce(F.col("vc_het"), F.lit(0)))
         .withColumn(
             "vf",
             F.when(F.col("vn") > 0, F.col("vc") / F.col("vn")).otherwise(F.lit(0.0)),
