@@ -140,3 +140,29 @@ def test_blocked_topk_matches_pure_df(spark):
     ref = quantized_topk(e, k=3)
     assert fast.exceptAll(ref).count() == 0
     assert ref.exceptAll(fast).count() == 0
+
+
+def test_blocked_topk_max_block_split(spark):
+    """The max_block guard splits oversized blocks into hash sub-blocks:
+    output stays structurally valid (k rows per query, self excluded,
+    neighbors from the same original block) and is exact within sub-blocks.
+    """
+    from pyspark.sql import functions as F
+
+    from varda_spark.operators.similarity import blocked_topk_pandas, quantized
+
+    e = (
+        read_table(spark, SF, "embeddings")
+        .limit(100)
+        .select("vec_id", F.lit("one").alias("label"), quantized("embedding").alias("_q"))
+    )
+    out = blocked_topk_pandas(e, k=3, max_block=32).toPandas()
+    # every query present, exactly k neighbors each (sub-blocks have ≥33 rows)
+    assert len(out) == 100 * 3
+    assert out.groupby("query_id").size().eq(3).all()
+    assert (out["query_id"] != out["neighbor_id"]).all()
+    # unsplit call on the same data is the exact superset ranking: rank-1
+    # dot of the split run can never exceed the true rank-1 dot
+    exact = blocked_topk_pandas(e, k=1, max_block=8192).toPandas().set_index("query_id")["dot_q"]
+    split1 = out[out["rank"] == 1].set_index("query_id")["dot_q"]
+    assert (split1 <= exact.loc[split1.index]).all()

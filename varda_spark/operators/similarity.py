@@ -88,6 +88,7 @@ def blocked_topk_pandas(
     key: str = "vec_id",
     block: str = "label",
     qcol: str = "_q",
+    max_block: int = 8192,
 ) -> DataFrame:
     """Per-block exact top-k by integer dot product via applyInPandas.
 
@@ -96,31 +97,67 @@ def blocked_topk_pandas(
     every vector ships once instead of once per candidate pair. Measured
     9× faster than the pair-join formulation at sf0.1 (0.5s vs 4.6s)
     with bit-identical output (ties break by neighbor id ascending).
-    At 100 TB block size is bounded by the blocking key (IVF cell /
-    LSH bucket), keeping each batch in executor memory.
+    The whole per-block ranking is vectorized numpy (matmul + one stable
+    row-wise argsort) — no Python-level per-row loop.
+
+    ``max_block`` bounds the Arrow batch: a block with more than
+    ``max_block`` rows is split into ceil(n/max_block) sub-blocks by a
+    hash of ``key`` (same shape as the dedup banding split), so a hot
+    IVF cell / label can neither straggle nor OOM an executor. RECALL
+    NOTE: when the split triggers, neighbors are found within the
+    sub-block only — exact for any block ≤ max_block (the salt is the
+    constant 0 there), approximate above it. Size max_block so that
+    max_block² int64 gram cells fit executor memory (8192² = 512 MiB).
     """
     import numpy as np
     import pandas as pd
 
+    empty = pd.DataFrame(columns=[block, "query_id", "neighbor_id", "dot_q", "rank"])
+
     def _block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[key].to_numpy()
+        ids = pdf[key].to_numpy(dtype=np.int64)
+        n = len(ids)
+        kk = min(k, n - 1)
+        if kk <= 0:
+            return empty
         blk = pdf[block].iloc[0]
         Q = np.vstack(pdf[qcol].to_numpy())
         G = Q @ Q.T  # int64, exact
-        n = len(ids)
-        kk = min(k, n - 1)
-        rows = []
-        for i in range(n):
-            cand = np.where(np.arange(n) != i)[0]
-            order = np.lexsort((ids[cand], -G[i][cand]))[:kk]
-            for r, ci in enumerate(order, 1):
-                j = cand[ci]
-                rows.append((blk, int(ids[i]), int(ids[j]), int(G[i][j]), r))
-        return pd.DataFrame(rows, columns=[block, "query_id", "neighbor_id", "dot_q", "rank"])
+        # Tie-break by neighbor id ascending, fully vectorized: permute the
+        # columns into id-ascending order, then a STABLE row-wise argsort
+        # on the negated dots keeps that id order within equal dots.
+        col_order = np.argsort(ids, kind="stable")
+        Gs = G[:, col_order]
+        inv = np.empty(n, dtype=np.int64)
+        inv[col_order] = np.arange(n)
+        # self never ranks: sentinel below any real dot (min+1 so the
+        # negation used for descending sort cannot overflow)
+        Gs[np.arange(n), inv] = np.iinfo(np.int64).min + 1
+        top = np.argsort(-Gs, axis=1, kind="stable")[:, :kk]
+        ids_sorted = ids[col_order]
+        return pd.DataFrame(
+            {
+                block: np.repeat(blk, n * kk),
+                "query_id": np.repeat(ids, kk),
+                "neighbor_id": ids_sorted[top].ravel(),
+                "dot_q": np.take_along_axis(Gs, top, axis=1).ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), n),
+            }
+        )
 
     block_t = dict(base.dtypes)[block]
     schema = f"{block} {block_t}, query_id bigint, neighbor_id bigint, dot_q bigint, rank bigint"
-    return base.select(key, block, qcol).groupBy(block).applyInPandas(_block, schema)
+    w = Window.partitionBy(block)
+    sel = (
+        base.select(key, block, qcol)
+        .withColumn("_bn", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(key)), F.greatest(F.lit(1), F.ceil(F.col("_bn") / max_block))),
+        )
+        .drop("_bn")
+    )
+    return sel.groupBy(block, "_salt").applyInPandas(_block, schema)
 
 
 def quantized_topk_fast(
