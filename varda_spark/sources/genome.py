@@ -6,9 +6,13 @@ genome are rejected. Our Spark translation: the genome (or just the
 chromosomes present in the batch) is loaded driver-side and broadcast;
 validation is a join-free Column check via a broadcast map of slices.
 
-For real genomes (3 GB) you broadcast per-chromosome byte arrays or use
-a faidx-indexed local file per executor via mapInPandas; this module keeps
-the contract small: validate(df) → df + ref_ok boolean, quarantine split.
+Two paths, same contract (validate(df) → df + ref_ok, quarantine split):
+- dict loader + broadcast map (read_fasta/validate_reference) for tiny
+  test genomes;
+- faidx-style windowed access (build_fai/fetch_region/
+  validate_reference_indexed) for real genomes (GRCh38 ≈ 3 GB): only the
+  byte-offset INDEX is broadcast, each executor seek-reads the slices its
+  batch needs — O(bytes compared) I/O, no whole-genome copy anywhere.
 """
 
 from __future__ import annotations
@@ -36,6 +40,99 @@ def read_fasta(path: str) -> dict[str, str]:
     if name is not None:
         out[name] = "".join(chunks)
     return out
+
+
+# ---------------------------------------------------------------------
+# A4 scale path: faidx-style windowed access. A real genome (GRCh38 ≈ 3 GB)
+# must never be dict-loaded per executor; instead a tiny index of byte
+# offsets (name, length, offset, linebases, linewidth — the samtools .fai
+# contract) is built once driver-side, broadcast, and executors seek-read
+# only the slices a batch needs.
+# ---------------------------------------------------------------------
+
+def build_fai(path: str) -> dict[str, tuple[int, int, int, int]]:
+    """One sequential driver-side pass → {chrom: (length, offset,
+    linebases, linewidth)}. Matches the samtools faidx fields; requires
+    uniform line length within each sequence body (standard FASTA).
+    Plain files only — gzip has no random access (bgzip+.gzi would);
+    gzipped test genomes should use the dict loader above.
+    """
+    fai: dict[str, tuple[int, int, int, int]] = {}
+    name = None
+    length = offset = linebases = linewidth = 0
+    with open(path, "rb") as f:
+        pos = 0
+        for raw in f:
+            if raw.startswith(b">"):
+                if name is not None:
+                    fai[name] = (length, offset, linebases, linewidth)
+                name = raw[1:].split()[0].decode()
+                pos += len(raw)
+                offset, length, linebases, linewidth = pos, 0, 0, 0
+            else:
+                bases = len(raw.rstrip(b"\r\n"))
+                if linebases == 0:
+                    linebases, linewidth = bases, len(raw)
+                length += bases
+                pos += len(raw)
+    if name is not None:
+        fai[name] = (length, offset, linebases, linewidth)
+    return fai
+
+
+def fetch_region(
+    path_or_file, fai: dict[str, tuple[int, int, int, int]], chrom: str, start: int, length: int
+) -> str | None:
+    """1-based slice [start, start+length) of `chrom`, reading only the
+    covered bytes (seek + one bounded read spanning the newlines).
+    Returns None for unknown chromosome; clamps at sequence end.
+    """
+    rec = fai.get(chrom)
+    if rec is None:
+        return None
+    seq_len, offset, linebases, linewidth = rec
+    start0 = max(0, start - 1)
+    end0 = min(seq_len, start0 + length)
+    if start0 >= end0 or linebases == 0:
+        return ""
+    byte_lo = offset + (start0 // linebases) * linewidth + start0 % linebases
+    byte_hi = offset + ((end0 - 1) // linebases) * linewidth + (end0 - 1) % linebases + 1
+    own = isinstance(path_or_file, str)
+    f = open(path_or_file, "rb") if own else path_or_file
+    try:
+        f.seek(byte_lo)
+        raw = f.read(byte_hi - byte_lo)
+    finally:
+        if own:
+            f.close()
+    return raw.replace(b"\n", b"").replace(b"\r", b"").decode().upper()
+
+
+def validate_reference_indexed(df: DataFrame, path: str, fai=None) -> DataFrame:
+    """Windowed twin of validate_reference: broadcast the .fai INDEX (a few
+    KB) instead of the genome; each executor lazily opens the local FASTA
+    once and seek-reads only the alleles' slices. Arrow-batched pandas UDF —
+    one file handle per worker, O(bytes actually compared) I/O.
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(fai if fai is not None else build_fai(path))
+    handles: dict[str, object] = {}
+
+    @F.pandas_udf("boolean")
+    def _ok(chrom: pd.Series, pos: pd.Series, ref: pd.Series) -> pd.Series:
+        f = handles.get(path)
+        if f is None:
+            f = handles[path] = open(path, "rb")
+        fai_ = bc.value
+
+        def check(c, p, r):
+            if r is None or r == "":
+                return True
+            return fetch_region(f, fai_, c, int(p), len(r)) == r.upper()
+
+        return pd.Series([check(c, p, r) for c, p, r in zip(chrom, pos, ref)])
+
+    return df.withColumn("ref_ok", _ok(F.col("chromosome"), F.col("position"), F.col("reference")))
 
 
 def validate_reference(df: DataFrame, genome: dict[str, str]) -> DataFrame:
