@@ -124,6 +124,47 @@ def test_fasta_validation(spark, tmp_path):
     assert valid.count() == 3 and quarantined.count() == 2
 
 
+def test_read_vcf_wide_samples(spark, tmp_path):
+    """1000-Genomes-width stress: 1,000 sample columns must ingest in
+    bounded time — the plan is slice+posexplode (constant-size expression
+    tree), not one struct per sample column."""
+    import time
+
+    n_samples = 1000
+    names = [f"S{i:04d}" for i in range(n_samples)]
+    header = (
+        "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(names) + "\n"
+    )
+    # sample j carries the variant at record i iff (i + j) % 50 == 0; every
+    # 10th carrier is homozygous
+    recs = []
+    for i in range(30):
+        gts = [
+            ("1/1" if (i + j) % 500 == 0 else "0/1") if (i + j) % 50 == 0 else "0/0"
+            for j in range(n_samples)
+        ]
+        recs.append(f"1\t{100 + i}\t.\tA\tG\t50\tPASS\tDP=9\tGT\t" + "\t".join(gts))
+    p = tmp_path / "wide.vcf"
+    p.write_text(header + "\n".join(recs) + "\n")
+
+    t0 = time.time()
+    obs = read_vcf(spark, str(p))
+    got = obs.groupBy("zygosity").count().collect()
+    wall = time.time() - t0
+    by_z = {r.zygosity: r["count"] for r in got}
+    expected_total = sum(1 for i in range(30) for j in range(n_samples) if (i + j) % 50 == 0)
+    expected_hom = sum(1 for i in range(30) for j in range(n_samples) if (i + j) % 500 == 0)
+    assert by_z.get("homozygous", 0) == expected_hom
+    assert by_z.get("heterozygous", 0) == expected_total - expected_hom
+    # a per-sample-column codegen tree takes minutes at this width; the
+    # slice+explode plan is seconds
+    assert wall < 60, f"wide-sample ingest took {wall:.0f}s"
+    # spot-check name mapping at both ends of the sample array
+    names_seen = {r.sample_name for r in obs.filter(Fn.col("position") == 100).collect()}
+    assert {"S0000", "S0050", "S0950"} <= names_seen
+
+
 def test_faidx_windowed_access(spark, tmp_path):
     """A4 scale path: the .fai index + seek reads only the requested slice —
     whole-file load is asserted NOT to occur via byte accounting."""

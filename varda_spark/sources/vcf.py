@@ -63,40 +63,45 @@ def read_vcf(spark: SparkSession, path: str, *, pooled_support_info: str = "SF_S
         p.getItem(3).alias("ref_raw"),
         F.split(p.getItem(4), ",").alias("alts"),
         p.getItem(7).alias("info"),
-        *[p.getItem(9 + i).alias(f"_s_{name}") for i, name in enumerate(samples)],
+        # all sample fields as ONE array column: the expression tree stays
+        # constant-size at any sample width (1000-Genomes is 2,504 columns —
+        # per-sample struct codegen would explode; a slice+explode doesn't)
+        *([F.slice(p, 10, len(samples)).alias("_gts")] if samples else []),
     ).withColumnRenamed("chromosome_raw", "chromosome")
     base = base.select(
         "*", F.posexplode("alts").alias("alt_idx0", "observed_raw")
     ).withColumn("alt_i", F.col("alt_idx0") + 1)
 
     if samples:
-        per_sample = []
-        for name in samples:
-            gt = F.split(F.regexp_extract(F.col(f"_s_{name}"), r"^([^:]+)", 1), r"[/|]")
-            n_match = F.size(F.filter(gt, lambda a: a == F.col("alt_i").cast("string")))
-            n_total = F.size(F.filter(gt, lambda a: a != "."))
-            zyg = (
-                F.when((n_match > 0) & (n_match == n_total), F.lit("homozygous"))
-                .when(n_match > 0, F.lit("heterozygous"))
-                .otherwise(F.lit(None).cast("string"))
-            )
-            per_sample.append(
-                F.struct(
-                    F.lit(name).alias("sample_name"),
-                    zyg.alias("zygosity"),
-                    F.when(n_match > 0, F.lit(1)).otherwise(F.lit(0)).alias("support"),
-                )
-            )
+        names = F.lit(samples)  # single array<string> literal, broadcast with the plan
+        exploded = base.select(
+            "chromosome",
+            "position",
+            F.col("ref_raw").alias("reference"),
+            F.col("observed_raw").alias("observed"),
+            "alt_i",
+            F.posexplode("_gts").alias("s_idx", "_gt_raw"),
+        )
+        gt = F.split(F.regexp_extract(F.col("_gt_raw"), r"^([^:]+)", 1), r"[/|]")
+        n_match = F.size(F.filter(gt, lambda a: a == F.col("alt_i").cast("string")))
+        n_total = F.size(F.filter(gt, lambda a: a != "."))
+        zyg = (
+            F.when((n_match > 0) & (n_match == n_total), F.lit("homozygous"))
+            .when(n_match > 0, F.lit("heterozygous"))
+            .otherwise(F.lit(None).cast("string"))
+        )
         obs = (
-            base.select(
+            exploded.withColumn("_nm", n_match)
+            .filter(F.col("_nm") > 0)
+            .select(
                 "chromosome",
                 "position",
-                F.col("ref_raw").alias("reference"),
-                F.col("observed_raw").alias("observed"),
-                F.explode(F.array(*per_sample)).alias("s"),
+                "reference",
+                "observed",
+                F.element_at(names, F.col("s_idx") + 1).alias("sample_name"),
+                zyg.alias("zygosity"),
+                F.lit(1).alias("support"),
             )
-            .select("chromosome", "position", "reference", "observed", "s.*")
-            .filter(F.col("support") > 0)
         )
     else:
         extracted = F.nullif(
