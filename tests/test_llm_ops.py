@@ -142,6 +142,32 @@ def test_blocked_topk_matches_pure_df(spark):
     assert ref.exceptAll(fast).count() == 0
 
 
+def test_connected_components_transitive(spark):
+    """Pairs are not transitive-closed; components are: a chain 1-2, 2-3,
+    5-6 plus isolated pair 8-9 yields clusters {1,2,3}, {5,6}, {8,9} with
+    min-id canonical."""
+    from varda_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6), (9, 8), (3, 1)], ["doc_a", "doc_b"]
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
+def test_kmeans_assign_properties(spark):
+    """Every vector gets exactly one cell; cells are 0..k-1; assignment is
+    deterministic across invocations."""
+    from varda_spark.operators.similarity import kmeans_assign
+
+    e = read_table(spark, SF, "embeddings")
+    a1 = kmeans_assign(e, k=4, iters=2).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(a1) == e.count()
+    assert set(a1["cell_id"].unique()) <= set(range(4))
+    a2 = kmeans_assign(e, k=4, iters=2).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert a1.equals(a2)
+
+
 def test_blocked_topk_max_block_split(spark):
     """The max_block guard splits oversized blocks into hash sub-blocks:
     output stays structurally valid (k rows per query, self excluded,

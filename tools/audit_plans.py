@@ -21,6 +21,7 @@ from varda_spark.session import get_spark  # noqa: E402
 # intentionally small-result shape (each docstring says why)
 GLOBAL_ONE_TASK_OK = {
     "paginate_window",   # offset-compat paging; scale path is paginate_seek
+    "sim_kmeans",        # row_number over the k-row centroid init only
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -33,6 +34,7 @@ BNLJ_OK = {
     "tpch_q15",          # 1-row scalar max
     "agg_ratio",         # 1-row total
     "sim_ivf",           # n_centroids-row coarse quantizer (broadcast by design)
+    "sim_kmeans",        # k-row centroid broadcast per Lloyd round (by design)
     "join_cross",        # bounded dims-only cross join (25x5, documented)
     "tpch_q22",          # 1-row scalar avg-balance subquery
 }

@@ -1631,6 +1631,62 @@ def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_components",
+    """WITH RECURSIVE words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+         FROM words),
+       sigs AS (
+         SELECT doc_id,
+                MIN(md5('0|' || shingle)) AS sig_0, MIN(md5('1|' || shingle)) AS sig_1,
+                MIN(md5('2|' || shingle)) AS sig_2, MIN(md5('3|' || shingle)) AS sig_3,
+                MIN(md5('4|' || shingle)) AS sig_4, MIN(md5('5|' || shingle)) AS sig_5,
+                MIN(md5('6|' || shingle)) AS sig_6, MIN(md5('7|' || shingle)) AS sig_7
+         FROM sh GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, band FROM (
+           SELECT doc_id,
+                  ['0|' || sig_0 || '|' || sig_1, '1|' || sig_2 || '|' || sig_3,
+                   '2|' || sig_4 || '|' || sig_5, '3|' || sig_6 || '|' || sig_7] AS bands
+           FROM sigs), UNNEST(bands) AS u(band)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       verts AS (SELECT DISTINCT src AS id FROM edges),
+       walk(id, comp) AS (
+         SELECT id, id FROM verts
+         UNION
+         SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
+       SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component,
+              id = MIN(comp) AS is_canonical
+       FROM walk GROUP BY id""",
+)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 completion: MinHash candidate pairs → connected components →
+    canonical survivor per cluster (min doc id). The step every real dedup
+    pipeline needs between 'found near-dup pairs' and 'dropped duplicates':
+    pairs are not transitive-closed, clusters are. Spark side is iterative
+    min-label propagation (operators/dedup.py connected_components); the
+    oracle is the same closure via DuckDB recursive CTE."""
+    from varda_spark.operators.dedup import connected_components, minhash_candidates
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d, num_hashes=8, bands=4, shingle_n=3)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+@q(
     "dedup_embcos",
     """WITH q AS (
          SELECT vec_id, label,
@@ -1660,6 +1716,113 @@ def dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return quantized_neardup(e, threshold_pct=30)
+
+
+def _lsh_oracle() -> str:
+    """Oracle for sim_lsh: the SAME md5-derived ±1 hyperplane matrix
+    (operators/similarity.py lsh_hyperplane_coefs) baked as a VALUES list;
+    projections, sign buckets, bucket join, and exact quantized-cosine
+    verification all recomputed in SQL."""
+    from varda_spark.operators.similarity import lsh_hyperplane_coefs
+
+    coefs = lsh_hyperplane_coefs(tables=4, bits=4, dim=64)
+    rows = ", ".join(f"({t}, {coefs[t]})" for t in range(16))
+    return f"""WITH hp(t, co) AS (SELECT * FROM (VALUES {rows}) v(t, co)),
+       q AS (
+         SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, e,
+                (SELECT SUM(e[i.range] * e[i.range]) FROM range(1, 65) i) AS n2
+         FROM q),
+       proj AS (
+         SELECT q.vec_id, hp.t,
+                (SELECT SUM(q.e[r.range] * hp.co[r.range]) FROM range(1, 65) r) AS s
+         FROM q CROSS JOIN hp),
+       buckets AS (
+         SELECT vec_id,
+                CAST(t // 4 AS VARCHAR) || '|' ||
+                string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY t) AS bucket
+         FROM proj GROUP BY vec_id, t // 4),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       pairs AS (
+         SELECT doc_a, doc_b,
+                (SELECT SUM(na.e[i.range] * nb.e[i.range]) FROM range(1, 65) i) AS dq,
+                na.n2 AS na2, nb.n2 AS nb2
+         FROM cand JOIN n na ON na.vec_id = doc_a JOIN n nb ON nb.vec_id = doc_b)
+       SELECT doc_a, doc_b,
+              CAST(floor(100.0 * dq / sqrt(CAST(na2 * nb2 AS DOUBLE))) AS BIGINT) AS cos_pct
+       FROM pairs
+       WHERE dq > 0 AND floor(100.0 * dq / sqrt(CAST(na2 * nb2 AS DOUBLE))) >= 30"""
+
+
+@q("sim_lsh", _lsh_oracle())
+def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 content-based ANN: 4 tables × 4-bit hyperplane (sign-random-
+    projection) LSH buckets generate candidates from the vector itself —
+    no label column needed — then exact quantized cosine verifies. The
+    100 TB shape when no natural blocking key exists: bucket fan-out
+    bounded by 2^bits per table, all math integer or single-IEEE-op."""
+    from varda_spark.operators.similarity import lsh_neardup
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return lsh_neardup(e, threshold_pct=30)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Machine-generated oracle for sim_kmeans: the same fixed number of
+    Lloyd rounds (assignment CTE + per-dim floor-avg update CTE per round,
+    empty cells keep their previous centroid) unrolled as chained CTEs."""
+    head = f"""WITH q AS (
+         SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         FROM embeddings),
+       c0 AS (
+         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, e AS ce
+         FROM (SELECT vec_id, e FROM q ORDER BY vec_id LIMIT {k}))"""
+    blocks = []
+    for it in range(iters + 1):
+        blocks.append(f"""
+       s{it} AS (
+         SELECT q.vec_id, c{it}.cell_id,
+                (SELECT SUM(-2 * q.e[i.range] * c{it}.ce[i.range]
+                            + c{it}.ce[i.range] * c{it}.ce[i.range])
+                 FROM range(1, 65) i) AS score
+         FROM q CROSS JOIN c{it}),
+       a{it} AS (
+         SELECT vec_id, cell_id FROM (
+           SELECT vec_id, cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell_id) AS rn
+           FROM s{it}) WHERE rn = 1)""")
+        if it < iters:
+            blocks.append(f"""
+       u{it} AS (
+         SELECT a.cell_id, d.i AS dim,
+                CAST(floor(CAST(SUM(q.e[d.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         FROM a{it} a JOIN q USING (vec_id), range(1, 65) d(i)
+         GROUP BY a.cell_id, d.i),
+       c{it + 1} AS (
+         SELECT p.cell_id, COALESCE(n.ce, p.ce) AS ce
+         FROM c{it} p LEFT JOIN (
+           SELECT cell_id, list(cv ORDER BY dim) AS ce FROM u{it} GROUP BY cell_id
+         ) n USING (cell_id))""")
+    tail = f"""
+       SELECT vec_id, CAST(cell_id AS BIGINT) AS cell_id FROM a{iters}"""
+    return head + "," + ",".join(blocks) + tail
+
+
+@q("sim_kmeans", _kmeans_oracle())
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: real Lloyd's k-means coarse quantizer (3 rounds, deterministic
+    integer math) — upgrades sim_ivf's seeded-centroid stand-in. Broadcast
+    centroids, map-side assignment, (cell,dim) shuffle only for updates."""
+    from varda_spark.operators.similarity import kmeans_assign
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=8, iters=3)
 
 
 @q(
@@ -2617,6 +2780,132 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x -> x.name), 1, 3)"
     )
     return j.groupBy("n_nationkey").agg(collected.alias("top3_suppliers"))
+
+
+@q(
+    "text_gopher",
+    """WITH t AS (
+         SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents),
+       m AS (
+         SELECT doc_id, text, w, len(w) AS n,
+                CAST(floor(list_sum(list_transform(w, x -> length(x))) * 100.0
+                     / greatest(len(w), 1)) AS BIGINT) AS mwl_x100,
+                CAST(floor(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 100.0
+                     / greatest(len(w), 1)) AS BIGINT) AS alpha_pct,
+                CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+                     ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop,
+                CAST(floor((length(text) - length(replace(text, '#', ''))) * 100.0
+                     / greatest(length(text), 1)) AS BIGINT) AS hash_pct
+         FROM t)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_words, mwl_x100, alpha_pct, n_stop, hash_pct,
+              (n >= 3 AND n <= 10000 AND mwl_x100 >= 150 AND mwl_x100 <= 1000
+               AND alpha_pct >= 80 AND n_stop >= 2 AND hash_pct <= 10) AS gopher_pass
+       FROM m""",
+)
+def text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 Gopher-style quality rules (Rae et al. 2021, public): word count
+    band, mean word length band, alphabetic-word ratio, stopword presence,
+    symbol (#) density → per-doc signals + pass flag. Pure higher-order
+    Column functions — no explode, no UDF, whole-stage codegen throughout;
+    at 100 TB this is a single map-side scan."""
+    d = read_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    n = F.size(w)
+    g1 = F.greatest(n, F.lit(1))
+    mwl = F.floor(
+        F.expr(
+            "aggregate(transform(split(trim(text), ' '), x -> CAST(length(x) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, v) -> a + v)"
+        )
+        * 100.0 / g1
+    ).cast("bigint")
+    alpha = F.floor(
+        F.size(F.expr("filter(split(trim(text), ' '), x -> x rlike '[A-Za-z]')")) * 100.0 / g1
+    ).cast("bigint")
+    stops = F.array(*[F.lit(s) for s in ["the", "be", "to", "of", "and", "that", "have", "with"]])
+    n_stop = F.size(F.array_intersect(F.expr("transform(split(trim(text), ' '), x -> lower(x))"), stops)).cast("bigint")
+    tl = F.length("text")
+    hash_pct = F.floor(
+        (tl - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))) * 100.0
+        / F.greatest(tl, F.lit(1))
+    ).cast("bigint")
+    out = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mwl.alias("mwl_x100"),
+        alpha.alias("alpha_pct"),
+        n_stop.alias("n_stop"),
+        hash_pct.alias("hash_pct"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 3) & (F.col("n_words") <= 10000)
+        & (F.col("mwl_x100") >= 150) & (F.col("mwl_x100") <= 1000)
+        & (F.col("alpha_pct") >= 80) & (F.col("n_stop") >= 2) & (F.col("hash_pct") <= 10),
+    )
+
+
+@q(
+    "win_sessionize",
+    """WITH o AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, ts,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+         FROM o)
+       SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              MIN(ts) AS session_start, MAX(ts) AS session_end
+       FROM s GROUP BY user_id, session_seq""",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+: batch sessionization (gaps-and-islands): a >30-min silence opens
+    a new session per user; lag flag + running sum numbers the islands.
+    The batch twin of the streaming session window (I3) — partitioned
+    window, shuffles once on user_id, no global ordering anywhere."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1000000), 1).otherwise(0)
+    return (
+        ev.withColumn("session_seq", F.sum(new_s).over(w))
+        .groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@q(
+    "sample_stratified",
+    """SELECT c_custkey, c_mktsegment FROM customer
+       WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 100
+             < CASE c_mktsegment WHEN 'BUILDING' THEN 20 WHEN 'MACHINERY' THEN 10 ELSE 5 END""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (sampleBy's contract without RNG
+    state): keep a row iff md5(key) mod 100 falls under its stratum's rate.
+    Content-hash selection is reproducible across engines, runs, and
+    cluster sizes — the property a 100 TB training-data pipeline needs for
+    resumable sampling; pure map-side, no shuffle."""
+    c = read_table(spark, sf_dir, "customer")
+    bucket = F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 100
+    rate = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 20)
+        .when(F.col("c_mktsegment") == "MACHINERY", 10)
+        .otherwise(5)
+    )
+    return c.filter(bucket < rate).select("c_custkey", "c_mktsegment")
 
 
 # =====================================================================

@@ -216,3 +216,47 @@ def ngram_jaccard(
         .withColumn("jaccard_pct", F.floor(F.col("n_inter") * 100 / F.col("n_union")).cast("bigint"))
     )
     return out.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_pct")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup pairs → cluster assignment: (id, component) with component =
+    the minimum doc id reachable through the pair graph. The canonical
+    survivor of each cluster is the row with id == component; everything
+    else is a removable duplicate.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds — near-dup clusters are shallow (pairs share content),
+    so this is a handful of rounds. Each round is one shuffle join + one
+    min-aggregate, with localCheckpoint() cutting the lineage so the plan
+    does not grow per round. At 100 TB swap the body for the large-star/
+    small-star formulation (Kiveris et al.) — same driver loop, fewer
+    rounds on high-degree graphs; the contract here is the output shape.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    comp = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    for _ in range(max_iter):
+        nb = edges.join(comp.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "comp"
+        )
+        new = comp.union(nb).groupBy("id").agg(F.min("comp").alias("comp")).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(comp.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp

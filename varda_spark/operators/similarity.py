@@ -278,3 +278,143 @@ def quantized_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "dot_q", F.col("rn").cast("bigint").alias("rank"))
     )
+
+
+def lsh_hyperplane_coefs(tables: int = 4, bits: int = 4, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix for sign-random-projection LSH
+    (Charikar SimHash for cosine): coefficient (t, i) is +1 iff the low bit
+    of md5(f"{t}|{i}") is 0. md5 agrees across Python/Spark/DuckDB, so both
+    the engine and the oracle bake the SAME literal matrix — the sketch is
+    reproducible anywhere, no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{t}|{i}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for t in range(tables * bits)
+    ]
+
+
+def lsh_neardup(
+    emb: DataFrame,
+    threshold_pct: int = 30,
+    *,
+    tables: int = 4,
+    bits: int = 4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+    dim: int = 64,
+) -> DataFrame:
+    """Content-based ANN near-dup: multi-table hyperplane LSH buckets as
+    candidate generation, exact quantized cosine as verification.
+
+    Unlike the label-blocked quantized_neardup, the blocking key here is
+    derived from the VECTOR itself — the true 100 TB shape when no label
+    exists: `tables` independent b-bit sign sketches, a pair collides if it
+    agrees on ALL b bits of ANY table (collision prob (1-θ/π)^b per table).
+    Bucket fan-out is bounded by 2^bits per table; candidates are verified
+    with the exact integer-math cosine before emit, so false positives cost
+    only the verification dot product. All integer/single-IEEE-op math —
+    oracle-exact.
+    """
+    coefs = lsh_hyperplane_coefs(tables, bits, dim)
+    base = emb.select(key, quantized(vec, scale).alias("_q")).withColumn("_n2", qdot("_q", "_q"))
+    bucket_cols = []
+    for tb in range(tables):
+        bit_exprs = []
+        for b_ in range(bits):
+            arr = "array(" + ",".join(str(c) for c in coefs[tb * bits + b_]) + ")"
+            bit_exprs.append(
+                F.expr(
+                    f"IF(aggregate(zip_with(_q, {arr}, (x, c) -> x * c), "
+                    f"CAST(0 AS BIGINT), (acc, v) -> acc + v) >= 0, '1', '0')"
+                )
+            )
+        bucket_cols.append(F.concat(F.lit(f"{tb}|"), *bit_exprs).alias(f"_b{tb}"))
+    tagged = base.select(key, "_q", "_n2", *bucket_cols)
+    buckets = tagged.select(
+        key, "_q", "_n2",
+        F.explode(F.array(*[F.col(f"_b{tb}") for tb in range(tables)])).alias("_bucket"),
+    )
+    a = buckets.select(
+        F.col(key).alias("doc_a"), "_bucket", F.col("_q").alias("_qa"), F.col("_n2").alias("_na2")
+    )
+    b = buckets.select(
+        F.col(key).alias("doc_b"), "_bucket", F.col("_q").alias("_qb"), F.col("_n2").alias("_nb2")
+    )
+    pairs = a.join(b, ["_bucket"]).filter(F.col("doc_a") < F.col("doc_b"))
+    cos_pct = F.floor(
+        F.lit(100).cast("double")
+        * F.col("_dq").cast("double")
+        / F.sqrt((F.col("_na2") * F.col("_nb2")).cast("double"))
+    ).cast("bigint")
+    return (
+        pairs.withColumn("_dq", qdot("_qa", "_qb"))
+        .withColumn("cos_pct", cos_pct)
+        .filter((F.col("_dq") > 0) & (F.col("cos_pct") >= threshold_pct))
+        .select("doc_a", "doc_b", "cos_pct")
+        .distinct()  # a pair may collide in several tables; emit once
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over quantized vectors → (vec_id,
+    cell_id): the real coarse quantizer for IVF ANN (ivf_topk's seeded
+    centroids upgrade to this output).
+
+    Engine-portable by construction: init = the k lowest-key vectors
+    (cell_id 0..k-1 in key order); assignment = argmin integer L2 score
+    |c|² − 2x·c (ties → lowest cell); update = per-dimension
+    floor(sum/count) keeping centroids integer. Every round is one
+    broadcast of k centroids (map-side assignment, no shuffle) plus one
+    (cell, dim)-grouped aggregate — at 100 TB the assignment scan
+    dominates and parallelizes perfectly; k·64 centroid cells are
+    driver-trivial. Fixed iteration count (no convergence action) keeps
+    the plan static and the oracle replicable.
+    """
+    q_ = emb.select(key, quantized(vec, scale).alias("_q"))
+    w0 = Window.orderBy(key)
+    cents = (
+        q_.orderBy(key).limit(k)
+        .select((F.row_number().over(w0) - 1).alias("cell_id"), F.col("_q").alias("_ce"))
+    )
+    score = F.expr(
+        "aggregate(zip_with(_q, _ce, (x, c) -> -2 * x * c + c * c), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    wa = Window.partitionBy(key).orderBy(F.col("_score").asc(), F.col("cell_id").asc())
+    for it in range(iters + 1):
+        assigned = (
+            q_.crossJoin(F.broadcast(cents))
+            .withColumn("_score", score)
+            .withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") == 1)
+            .select(key, "cell_id", "_q")
+        )
+        if it == iters:
+            return assigned.select(key, F.col("cell_id").cast("bigint").alias("cell_id"))
+        upd = (
+            assigned.select("cell_id", F.posexplode("_q").alias("dim", "v"))
+            .groupBy("cell_id", "dim")
+            .agg(F.floor(F.sum("v").cast("double") / F.count(F.lit(1))).cast("bigint").alias("cv"))
+            .groupBy("cell_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)"
+                ).alias("_nce")
+            )
+        )
+        cents = (
+            cents.join(upd, "cell_id", "left")
+            .select("cell_id", F.coalesce(F.col("_nce"), F.col("_ce")).alias("_ce"))
+        )
