@@ -307,3 +307,22 @@ def test_annotate_vcf_one_call(spark, tmp_path, vcf_path):
         if ln and not ln.startswith("#")
     ]
     assert any("ALL_VN=2" in ln and "PUB_VN=1" in ln for ln in body)
+
+
+def test_compact_warehouse(spark, tmp_path, vcf_path):
+    """A5 maintenance: compaction collapses many small files per partition
+    dir into few, preserving every row."""
+    import glob as g
+
+    from varda_spark.sources.sinks import compact_warehouse
+
+    obs = read_vcf(spark, vcf_path).repartition(8)  # force many small files
+    path = str(tmp_path / "wh")
+    obs.write.mode("overwrite").partitionBy("chromosome").parquet(path)
+    files_before = len(g.glob(f"{path}/chromosome=*/part-*.parquet"))
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    n = compact_warehouse(spark, path, files_per_bucket=2)
+    files_after = len(g.glob(f"{path}/chromosome=*/part-*.parquet"))
+    assert n == len(before)
+    assert files_after < files_before
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before

@@ -175,3 +175,21 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     # streaming append-mode emits exactly the batch pairs (watermark only
     # bounds state here; no rows are late relative to file order + horizon)
     assert got == want
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static broadcast join: the streaming wrapper over a file
+    source equals the batch core (same enrich_counts code path)."""
+    from pyspark.sql import functions as F
+
+    from varda_spark.streaming.windows import enrich_counts
+
+    ev = read_table(spark, SF, "events")
+    dim = read_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    batch = {tuple(r) for r in enrich_counts(ev, dim).collect()}
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream_src = read_events_stream(spark, _staged_events_dir(), raw_schema)
+    if dict(stream_src.dtypes).get("ts") == "bigint":
+        stream_src = stream_src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    got = _run_stream_to_memory(spark, enrich_counts(stream_src, dim), "enrich_t", "complete")
+    assert {tuple(r) for r in got.collect()} == batch

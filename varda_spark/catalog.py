@@ -1772,7 +1772,7 @@ def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup(e, threshold_pct=30)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+def _kmeans_oracle(k: int = 8, iters: int = 3, tail: str | None = None) -> str:
     """Machine-generated oracle for sim_kmeans: the same fixed number of
     Lloyd rounds (assignment CTE + per-dim floor-avg update CTE per round,
     empty cells keep their previous centroid) unrolled as chained CTEs."""
@@ -1809,7 +1809,8 @@ def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
          FROM c{it} p LEFT JOIN (
            SELECT cell_id, list(cv ORDER BY dim) AS ce FROM u{it} GROUP BY cell_id
          ) n USING (cell_id))""")
-    tail = f"""
+    if tail is None:
+        tail = f"""
        SELECT vec_id, CAST(cell_id AS BIGINT) AS cell_id FROM a{iters}"""
     return head + "," + ",".join(blocks) + tail
 
@@ -2780,6 +2781,124 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x -> x.name), 1, 3)"
     )
     return j.groupBy("n_nationkey").agg(collected.alias("top3_suppliers"))
+
+
+_IVF_KMEANS_TAIL = """,
+       kpairs AS (
+         SELECT a.vec_id AS query_id, a.cell_id, b.vec_id AS neighbor_id,
+                (SELECT SUM(qa.e[i.range] * qb.e[i.range]) FROM range(1, 65) i) AS dot_q
+         FROM a3 a JOIN a3 b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+              JOIN q qa ON qa.vec_id = a.vec_id
+              JOIN q qb ON qb.vec_id = b.vec_id)
+       SELECT query_id, CAST(cell_id AS BIGINT) AS cell_id, neighbor_id,
+              CAST(dot_q AS BIGINT) AS dot_q, rank
+       FROM (
+         SELECT query_id, cell_id, neighbor_id, dot_q,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rank
+         FROM kpairs) WHERE rank <= 3"""
+
+
+@q("sim_ivf_kmeans", _kmeans_oracle(8, 3, _IVF_KMEANS_TAIL))
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 full production ANN: Lloyd's k-means coarse quantizer (sim_kmeans)
+    feeding the vectorized blocked-matmul exact top-k within each learned
+    cell — the composition a 100 TB similarity pipeline actually runs.
+    Oracle = the unrolled k-means CTE chain + within-cell top-k SQL."""
+    from varda_spark.operators.similarity import blocked_topk_pandas, kmeans_assign, quantized
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cells = kmeans_assign(e, k=8, iters=3)
+    assigned = e.select("vec_id", quantized("embedding", 1000).alias("_q")).join(cells, "vec_id")
+    topk = blocked_topk_pandas(assigned, k=3, key="vec_id", block="cell_id")
+    return topk.select(
+        "query_id",
+        F.col("cell_id").cast("bigint").alias("cell_id"),
+        "neighbor_id",
+        "dot_q",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@q(
+    "dedup_pipeline",
+    """WITH RECURSIVE hashed AS (
+         SELECT doc_id, text,
+                ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                   ORDER BY doc_id) AS rn
+         FROM documents),
+       d1 AS (SELECT doc_id, text FROM hashed WHERE rn = 1),
+       words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM d1),
+       sh AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+         FROM words),
+       sigs AS (
+         SELECT doc_id,
+                MIN(md5('0|' || shingle)) AS sig_0, MIN(md5('1|' || shingle)) AS sig_1,
+                MIN(md5('2|' || shingle)) AS sig_2, MIN(md5('3|' || shingle)) AS sig_3,
+                MIN(md5('4|' || shingle)) AS sig_4, MIN(md5('5|' || shingle)) AS sig_5,
+                MIN(md5('6|' || shingle)) AS sig_6, MIN(md5('7|' || shingle)) AS sig_7
+         FROM sh GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, band FROM (
+           SELECT doc_id,
+                  ['0|' || sig_0 || '|' || sig_1, '1|' || sig_2 || '|' || sig_3,
+                   '2|' || sig_4 || '|' || sig_5, '3|' || sig_6 || '|' || sig_7] AS bands
+           FROM sigs), UNNEST(bands) AS u(band)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+       cedges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       verts AS (SELECT DISTINCT src AS id FROM cedges),
+       walk(id, comp) AS (
+         SELECT id, id FROM verts
+         UNION
+         SELECT e.dst, w.comp FROM walk w JOIN cedges e ON e.src = w.id),
+       comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM walk GROUP BY id)
+       SELECT d1.doc_id FROM d1 LEFT JOIN comp USING (doc_id)
+       WHERE comp.component IS NULL OR comp.component = d1.doc_id""",
+)
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K2 end-to-end corpus dedup — what a user actually runs: exact
+    dedup (content-hash keep-first) → MinHash LSH candidate pairs over the
+    survivors → connected components → keep only cluster canonicals.
+    Output = surviving doc_ids. Every stage is the oracle-checked operator
+    it composes (dedup_exact, dedup_minhash, dedup_components)."""
+    from varda_spark.operators.dedup import (
+        connected_components,
+        dedup_exact,
+        minhash_candidates,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    s1 = dedup_exact(d)
+    pairs = minhash_candidates(s1, num_hashes=8, bands=4, shingle_n=3)
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("id") != F.col("comp")).select(F.col("id").alias("doc_id"))
+    return s1.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+@q(
+    "stream_enrich",
+    """SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY c_mktsegment, event_type""",
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I+ stream-static join: events enriched against a broadcast customer
+    dimension, counted per (segment, event_type). Batch core of the
+    streaming wrapper (streaming/windows.py enrich_counts — the same code
+    runs on a readStream source; equivalence in tests/test_streaming.py)."""
+    from varda_spark.streaming.windows import enrich_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return enrich_counts(ev, c)
 
 
 @q(

@@ -118,3 +118,42 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact_warehouse(
+    spark,
+    path: str,
+    partition_col: str = "chromosome",
+    files_per_bucket: int = 32,
+) -> int:
+    """A5 maintenance: small-file compaction of a partitioned warehouse.
+
+    Streaming/incremental ingest leaves many small parquet files per
+    partition directory; tiny files dominate task-scheduling and footer
+    overhead at scale. Rewrite: hash-repartition on the partition column
+    (so each partition value's rows land in few tasks → few output files),
+    write to a sibling temp dir, then swap. The directory swap is NOT
+    atomic — a production deployment does this as a metadata commit in a
+    table format (Iceberg/Delta rewrite-files action); the data motion,
+    which is the expensive part, is exactly this plan. Returns the row
+    count (verified equal before swap).
+    """
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    n_before = df.count()
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(files_per_bucket, F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:  # paranoia before destroying anything
+        shutil.rmtree(tmp)
+        raise RuntimeError(f"compaction row mismatch: {n_before} -> {n_after}")
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_after

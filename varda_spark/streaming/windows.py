@@ -236,3 +236,18 @@ def purchase_view_join_stream(
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
     )
     return p.join(v, cond).select("user_id", "purchase_id", "p_ts", "view_id", "v_ts")
+
+
+def enrich_counts(ev: DataFrame, dim: DataFrame, dim_key: str = "c_custkey",
+                  dim_val: str = "c_mktsegment") -> DataFrame:
+    """Stream-static enrichment (I+): join events against a broadcast
+    dimension and count per (dimension value, event_type). The SAME code
+    serves batch and streaming — Structured Streaming supports inner
+    stream-static joins natively; the static side is re-broadcast per
+    micro-batch, so dimension updates between batches are picked up. At
+    100 TB of stream the join is map-side (no shuffle on the stream);
+    the only shuffle is the final aggregate."""
+    joined = ev.join(F.broadcast(dim), ev["user_id"] == dim[dim_key])
+    return joined.groupBy(dim_val, "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
