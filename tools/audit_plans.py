@@ -22,6 +22,7 @@ from varda_spark.session import get_spark  # noqa: E402
 GLOBAL_ONE_TASK_OK = {
     "paginate_window",   # offset-compat paging; scale path is paginate_seek
     "sim_kmeans",        # row_number over the k-row centroid init only
+    "sim_ivf_kmeans",    # same k-row centroid init window
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -35,6 +36,7 @@ BNLJ_OK = {
     "agg_ratio",         # 1-row total
     "sim_ivf",           # n_centroids-row coarse quantizer (broadcast by design)
     "sim_kmeans",        # k-row centroid broadcast per Lloyd round (by design)
+    "sim_ivf_kmeans",    # same k-means subplan feeding blocked top-k
     "join_cross",        # bounded dims-only cross join (25x5, documented)
     "tpch_q22",          # 1-row scalar avg-balance subquery
 }

@@ -2884,6 +2884,113 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "join_nearest",
+    """WITH pts AS (
+         SELECT CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
+                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                p_partkey
+         FROM part),
+       ivs AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
+                s_suppkey AS sample_key
+         FROM supplier),
+       cand AS (
+         SELECT p.chromosome, p.position, p.p_partkey, i.sample_key,
+                GREATEST(i.begin - p.position, p.position - i."end", 0) AS distance
+         FROM pts p JOIN ivs i USING (chromosome))
+       SELECT chromosome, position, p_partkey,
+              CAST(sample_key AS BIGINT) AS nearest_key,
+              CAST(distance AS BIGINT) AS distance
+       FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY chromosome, position, p_partkey
+                                      ORDER BY distance, sample_key) AS rn
+         FROM cand) WHERE rn = 1""",
+)
+def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ bedtools-closest: nearest interval per point via the two-sided
+    sorted sweep (operators/interval.py nearest_interval) — one chromosome
+    shuffle + two windows, NO pair join; the oracle is the brute-force
+    theta-join nearest it provably equals."""
+    from varda_spark.operators.interval import nearest_interval
+
+    p, s = _points_intervals(spark, sf_dir)
+    return nearest_interval(p, s)
+
+
+@q(
+    "agg_coverage",
+    """WITH ivs AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
+         FROM supplier)
+       , tiles AS (
+         SELECT chromosome,
+                unnest(range(begin // 1000, "end" // 1000 + 1)) AS tile
+         FROM ivs)
+       SELECT chromosome, CAST(tile AS BIGINT) AS tile,
+              CAST(COUNT(*) AS BIGINT) AS depth
+       FROM tiles GROUP BY chromosome, tile""",
+)
+def agg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genome-coverage rollup (bedtools genomecov at tile granularity):
+    each interval explodes to its covered 1 kb tiles, then a plain
+    count per (chromosome, tile). Tile fan-out is interval_length/1000 —
+    bounded — and the aggregate combines map-side; the 100 TB shape for
+    depth tracks."""
+    _, s = _points_intervals(spark, sf_dir)
+    tiles = s.select(
+        "chromosome",
+        F.explode(
+            F.sequence(F.floor(F.col("begin") / 1000), F.floor(F.col("end") / 1000))
+        ).alias("tile"),
+    )
+    return tiles.groupBy("chromosome", F.col("tile").cast("bigint").alias("tile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("depth")
+    )
+
+
+@q(
+    "merge_upsert",
+    """WITH base AS (
+         SELECT l_orderkey, l_linenumber,
+                CAST(l_quantity AS DOUBLE) AS quantity, 0 AS version
+         FROM lineitem),
+       updates AS (
+         SELECT l_orderkey, l_linenumber,
+                CAST(l_quantity AS DOUBLE) + 100.0 AS quantity, 1 AS version
+         FROM lineitem WHERE l_orderkey % 7 = 0),
+       merged AS (SELECT * FROM base UNION ALL SELECT * FROM updates)
+       SELECT l_orderkey, l_linenumber, quantity, CAST(version AS BIGINT) AS version
+       FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+                                      ORDER BY version DESC, quantity) AS rn
+         FROM merged) WHERE rn = 1""",
+)
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ MERGE INTO keep-latest (operators/merge.py): an update batch
+    replaces same-key warehouse rows in ONE hash shuffle on the merge keys
+    — the Delta/Iceberg MERGE data motion without the table format."""
+    from varda_spark.operators.merge import merge_upsert
+
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"), F.lit(0).alias("version"),
+    )
+    updates = li.filter(F.col("l_orderkey") % 7 == 0).select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_quantity").cast("double") + 100.0).alias("quantity"), F.lit(1).alias("version"),
+    )
+    out = merge_upsert(base, updates, ["l_orderkey", "l_linenumber"], tiebreak=["quantity"])
+    return out.select(
+        "l_orderkey", "l_linenumber", "quantity", F.col("version").cast("bigint").alias("version")
+    )
+
+
+@q(
     "stream_enrich",
     """SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
        FROM events JOIN customer ON user_id = c_custkey

@@ -141,3 +141,93 @@ def interval_join_naive(
         & (F.col(point_pos) <= F.col(ival_end))
     )
     return points.join(ivs, cond, "inner")
+
+
+def nearest_interval(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_key: str = "p_partkey",
+    interval_key: str = "sample_key",
+) -> DataFrame:
+    """bedtools-closest: for each point the nearest interval (distance 0 if
+    overlapping; ties broken by lowest interval key) — WITHOUT an all-pairs
+    join, at any scale.
+
+    Three bounded candidate sources, no pair blow-up anywhere:
+    1. overlapping intervals (distance 0) from the binned interval join,
+       keeping the min key per point — handles the many-overlaps tie,
+       where a sweep's single best-end candidate is not the min-key one;
+    2. best strictly-left interval from an ascending sweep: running max of
+       struct(end, -key) over intervals with begin <= pos (for positive
+       distance pos-end, equal distance implies equal end, so -key inside
+       the max resolves the tie);
+    3. best strictly-right interval from a descending sweep: running min
+       of struct(begin, key) (equal distance implies equal begin).
+    The brute-force nearest with (distance, key) tie-break — which is what
+    the oracle computes — is provably one of the three. Cost: one shuffle
+    on (chromosome, bin), one on chromosome, two sorted windows.
+    """
+    from pyspark.sql.window import Window
+
+    ev_iv = intervals.select(
+        "chromosome",
+        F.col("begin").alias("k"),
+        F.lit(0).alias("tag"),
+        F.struct(F.col("end").alias("e"), (-F.col(interval_key)).alias("nk")).alias("lcand"),
+        F.struct(F.col("begin").alias("b"), F.col(interval_key).alias("pk")).alias("rcand"),
+        F.lit(None).cast("long").alias("position"),
+        F.lit(None).cast("long").alias(point_key),
+    )
+    ev_pt = points.select(
+        "chromosome",
+        F.col("position").alias("k"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("struct<e:long,nk:long>").alias("lcand"),
+        F.lit(None).cast("struct<b:long,pk:long>").alias("rcand"),
+        "position",
+        point_key,
+    )
+    ev = ev_iv.unionByName(ev_pt)
+    # ascending: intervals (tag 0) before points at equal k → begin <= pos
+    wl = Window.partitionBy("chromosome").orderBy("k", "tag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # descending: intervals before points at equal k → begin >= pos
+    wr = Window.partitionBy("chromosome").orderBy(F.col("k").desc(), F.col("tag").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = (
+        ev.withColumn("bestl", F.max("lcand").over(wl))
+        .withColumn("bestr", F.min("rcand").over(wr))
+        .filter(F.col("tag") == 1)
+    )
+    # left candidate only counts when strictly left (end < pos): overlap is
+    # source 1's job, and a left-overlapping best-end interval need not be
+    # the min-key overlap
+    dl = F.when(F.col("bestl.e") < F.col("position"), F.col("position") - F.col("bestl.e"))
+    kl = -F.col("bestl.nk")
+    dr = F.when(F.col("bestr.b") > F.col("position"), F.col("bestr.b") - F.col("position"))
+    kr = F.col("bestr.pk")
+    use_left = dl.isNotNull() & (dr.isNull() | (dl < dr) | ((dl == dr) & (kl <= kr)))
+    side = swept.select(
+        "chromosome",
+        "position",
+        point_key,
+        F.when(use_left, kl).otherwise(kr).cast("bigint").alias("s_key"),
+        F.when(use_left, dl).otherwise(dr).cast("bigint").alias("s_dist"),
+    )
+    ov = (
+        interval_join(points, intervals.select("chromosome", "begin", "end", interval_key))
+        .groupBy("chromosome", "position", point_key)
+        .agg(F.min(interval_key).alias("ov_key"))
+    )
+    return side.join(ov, ["chromosome", "position", point_key], "left").select(
+        "chromosome",
+        "position",
+        point_key,
+        F.coalesce(F.col("ov_key"), F.col("s_key")).cast("bigint").alias("nearest_key"),
+        F.when(F.col("ov_key").isNotNull(), F.lit(0))
+        .otherwise(F.col("s_dist"))
+        .cast("bigint")
+        .alias("distance"),
+    )
