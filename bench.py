@@ -45,6 +45,13 @@ HEADLINE = [
     "dedup_simhash",    # simhash band join + hamming verify
     "sim_ivf",          # IVF coarse-quantized ANN
     "join_asof",        # as-of join via carry-forward window
+    # round-2 additions (no round-1 record; baselines recorded in BASELINE.md)
+    "freq_zygosity",    # zygosity-split frequency (flagship variant)
+    "dedup_pipeline",   # exact dedup -> minhash -> components -> survivors
+    "sim_lsh",          # hyperplane-LSH ANN candidate + exact verify
+    "sim_kmeans",       # Lloyd's k-means coarse quantizer (3 rounds)
+    "join_nearest",     # bedtools-closest sweep join
+    "merge_upsert",     # warehouse MERGE keep-latest
 ]
 
 

