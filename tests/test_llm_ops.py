@@ -192,3 +192,26 @@ def test_blocked_topk_max_block_split(spark):
     exact = blocked_topk_pandas(e, k=1, max_block=8192).toPandas().set_index("query_id")["dot_q"]
     split1 = out[out["rank"] == 1].set_index("query_id")["dot_q"]
     assert (split1 <= exact.loc[split1.index]).all()
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc exactly once; bin token sums bounded by capacity unless a
+    single oversized doc (flagged); bins densely numbered; deterministic."""
+    from varda_spark.operators.packing import pack_sequences
+
+    d = read_table(spark, SF, "documents")
+    out = pack_sequences(d, max_tokens=256, n_shards=4).toPandas()
+    assert len(out) == d.count() and out["doc_id"].is_unique
+    sums = out.groupby(["shard", "bin_id"]).agg(
+        total=("n_tokens", "sum"), n_docs=("doc_id", "count"), over=("overflow", "any")
+    )
+    bad = sums[(sums["total"] > 256) & ~((sums["n_docs"] == 1) & sums["over"])]
+    assert bad.empty, f"overfull bins: {bad}"
+    for _, grp in out.groupby("shard"):
+        bins = sorted(grp["bin_id"].unique())
+        assert bins == list(range(len(bins)))
+    again = pack_sequences(d, max_tokens=256, n_shards=4).toPandas()
+    key = ["shard", "bin_id", "doc_id"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )

@@ -1,0 +1,44 @@
+"""Plan-shape regression guards: the queries the engine advertises as
+scale-critical must KEEP the physical plan that makes them scale — a
+refactor that silently reintroduces a cartesian product, loses a broadcast,
+or un-pushes a filter should fail here, not in a 100 TB run.
+(tools/audit_plans.py sweeps every key for anti-patterns; these tests pin
+the positive shape of a few load-bearing plans.)"""
+
+from varda_spark.catalog import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_freq_variant_broadcasts_dims(spark):
+    plan = plan_of(spark, "freq_variant")
+    assert "BroadcastHashJoin" in plan          # sample dim arrives broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_paginate_seek_is_take_ordered(spark):
+    plan = plan_of(spark, "paginate_seek")
+    assert "TakeOrderedAndProject" in plan       # per-partition top-n + tiny merge
+    assert "Exchange SinglePartition" not in plan
+    # the cursor predicate reaches the parquet scan
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(spark, "filter_eq")
+    assert "PushedFilters: []" not in plan       # predicate at the scan
+    plan2 = plan_of(spark, "agg_sum")
+    # column pruning: the lineitem scan must not read all 16 columns
+    scan = [ln for ln in plan2.splitlines() if "ReadSchema" in ln][0]
+    schema = scan.split("ReadSchema: struct<", 1)[1]
+    assert schema.count(",") + 1 <= 6, f"agg_sum scan reads too many columns: {scan}"
+
+
+def test_join_interval_is_equi_join(spark):
+    plan = plan_of(spark, "join_interval")
+    assert "BroadcastNestedLoopJoin" not in plan  # binned rewrite, not theta
+    assert "CartesianProduct" not in plan

@@ -2952,6 +2952,68 @@ def agg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("pack_sequences", None)  # greedy next-fit state is inherently sequential → rows-only
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K+ training-shard packing (operators/packing.py): hash-bucketed
+    shards, greedy next-fit bins of ≤512 tokens per shard. Invariants
+    (every doc once, bin sums bounded, determinism) are pytest-proven;
+    the packing order is not SQL-expressible, hence rows-only."""
+    from varda_spark.operators.packing import pack_sequences
+
+    d = read_table(spark, sf_dir, "documents")
+    return pack_sequences(d, max_tokens=512, n_shards=16)
+
+
+@q(
+    "win_range_frame",
+    """SELECT user_id, event_id, ts,
+              CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_last_hour
+       FROM events""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+: time-RANGE window frame — events per user in the trailing hour,
+    inclusive bounds on event time (not row count). Spark side ranges over
+    unix_micros; identical to the INTERVAL frame the oracle runs."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts", F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour")
+    )
+
+
+@q(
+    "bit_funcs",
+    """SELECT event_id,
+              CAST(event_id & 255 AS BIGINT) AS low_byte,
+              CAST(event_id | 15 AS BIGINT) AS or15,
+              CAST(xor(event_id, 12345) AS BIGINT) AS xored,
+              CAST(bit_count(event_id) AS BIGINT) AS popcount,
+              CAST(event_id << 2 AS BIGINT) AS shl2,
+              CAST(event_id >> 3 AS BIGINT) AS shr3
+       FROM events WHERE event_id < 5000""",
+)
+def bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H+: bitwise function breadth (and/or/xor/popcount/shifts) — the
+    primitives the SimHash/LSH family builds on, exposed as a surface."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        e.bitwiseOR(F.lit(15)).cast("bigint").alias("or15"),
+        e.bitwiseXOR(F.lit(12345)).cast("bigint").alias("xored"),
+        F.bit_count(e).cast("bigint").alias("popcount"),
+        F.shiftleft(e, 2).cast("bigint").alias("shl2"),
+        F.shiftright(e, 3).cast("bigint").alias("shr3"),
+    )
+
+
 @q(
     "merge_upsert",
     """WITH base AS (
