@@ -3015,6 +3015,114 @@ def bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_audio",
+    """WITH mm AS (
+         SELECT doc_id AS item_id, text, length(text) AS n_bytes
+         FROM documents WHERE doc_id % 3 = 1),
+       idx AS (
+         SELECT item_id, text, n_bytes,
+                unnest(range(0, CAST(ceil(n_bytes / 32.0) AS BIGINT))) AS chunk_idx
+         FROM mm)
+       SELECT item_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              CAST(chunk_idx * 32 AS BIGINT) AS offset,
+              CAST(least(32, n_bytes - chunk_idx * 32) AS BIGINT) AS chunk_len,
+              substring(text, CAST(chunk_idx * 32 + 1 AS INT), 32) AS chunk_text
+       FROM idx""",
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 audio segmentation (sources/multimodal.py chunk_audio): payloads
+    synthesized from document text (mime audio/wav ⇔ doc_id%3==1), split
+    into 32-byte chunks entirely map-side. The oracle re-chunks the same
+    text with VARCHAR math — byte == char for this ASCII corpus."""
+    from varda_spark.sources.multimodal import chunk_audio, synthesize_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_audio(synthesize_blobs(d), chunk_bytes=32)
+
+
+@q(
+    "win_fill_forward",
+    """SELECT user_id, event_id, ts,
+              last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+       FROM (
+         SELECT user_id, event_id, ts,
+                CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+         FROM events)""",
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ gap-fill: forward-fill the last non-null reading per user
+    (telemetry backfill): last(ignorenulls) over an ordered running frame.
+    Values pass through unchanged — no float arithmetic, exact."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.withColumn("v", v).select(
+        "user_id", "event_id", "ts", F.last("v", ignorenulls=True).over(w).alias("filled")
+    )
+
+
+@q(
+    "agg_stats",
+    """WITH b AS (
+         SELECT l_returnflag,
+                CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+                CAST(floor(l_extendedprice) AS BIGINT) AS y
+         FROM lineitem),
+       s AS (
+         SELECT l_returnflag,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
+                CAST(SUM(x * y) AS DOUBLE) AS sxy
+         FROM b GROUP BY l_returnflag)
+       SELECT l_returnflag,
+              (n * sxy - sx * sy) / (n * n) AS covar_pop,
+              (n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+              sqrt(n * sxx - sx * sx) / n AS stddev_x,
+              sqrt(n * syy - sy * sy) / n AS stddev_y
+       FROM s""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ second-moment statistics (covar_pop/corr/stddev_pop) WITHOUT the
+    engine's order-sensitive float accumulators: all moments are exact
+    integer sums (decimal interior — mergeable, partition-order-free), and
+    the final formula is the same short double expression in both engines
+    → bit-identical. The pattern scales: moments combine map-side."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100).cast("decimal(19,0)").alias("x"),
+        F.floor(F.col("l_extendedprice")).cast("decimal(19,0)").alias("y"),
+    )
+    s = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
+        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr"
+        ),
+        (F.sqrt(n * sxx - sx * sx) / n).alias("stddev_x"),
+        (F.sqrt(n * syy - sy * sy) / n).alias("stddev_y"),
+    )
+
+
+@q(
     "merge_upsert",
     """WITH base AS (
          SELECT l_orderkey, l_linenumber,

@@ -142,3 +142,29 @@ def frame_sample(mm: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) ->
         "mime",
         F.posexplode(frames).alias("frame_idx", "frame_bytes"),
     ).withColumn("frame_md5", F.md5("frame_bytes"))
+
+
+def chunk_audio(mm: DataFrame, chunk_bytes: int = 32) -> DataFrame:
+    """K5 audio path: split each audio payload into fixed-size chunks —
+    the segmentation step before any acoustic feature extraction (which
+    would slot in as a mapInPandas stage like decode_image_features).
+    Pure Column math: chunk count from n_bytes, posexplode of the index
+    sequence, substring on the BINARY payload. Rows stay (item, chunk_idx)
+    — at 100 TB chunking is map-side with zero shuffle."""
+    audio = mm.filter(F.col("mime") == "audio/wav")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.ceil(F.col("n_bytes") / chunk_bytes).cast("bigint") - 1)
+    ).alias("chunk_idx")
+    out = audio.select("item_id", "n_bytes", "content", idx)
+    return out.select(
+        "item_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx") * chunk_bytes).cast("bigint").alias("offset"),
+        F.least(
+            F.lit(chunk_bytes).cast("bigint"),
+            F.col("n_bytes") - F.col("chunk_idx") * chunk_bytes,
+        ).alias("chunk_len"),
+        F.expr(f"substring(content, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})")
+        .cast("string")
+        .alias("chunk_text"),
+    )
