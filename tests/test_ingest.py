@@ -326,3 +326,30 @@ def test_compact_warehouse(spark, tmp_path, vcf_path):
     assert n == len(before)
     assert files_after < files_before
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+
+
+def test_read_documents_jsonl_and_csv(spark, tmp_path):
+    """A-family breadth: JSONL (with corrupt-line quarantine) and CSV land
+    in the same (doc_id, lang, text) shape as the documents table."""
+    from varda_spark.sources.textfiles import read_documents_csv, read_documents_jsonl
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "lang": "en", "text": "hello world"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "lang": "fr", "text": "bonjour, \\"monde\\""}\n'
+    )
+    good, bad = read_documents_jsonl(spark, str(jl))
+    rows = {r.doc_id: (r.lang, r.text) for r in good.collect()}
+    assert rows == {1: ("en", "hello world"), 2: ("fr", 'bonjour, "monde"')}
+    assert bad.count() == 1
+
+    cv = tmp_path / "docs.csv"
+    cv.write_text('doc_id,lang,text\n1,en,"hello, quoted ""world"""\n2,de,plain\n')
+    out = {r.doc_id: (r.lang, r.text) for r in read_documents_csv(spark, str(cv)).collect()}
+    assert out == {1: ("en", 'hello, quoted "world"'), 2: ("de", "plain")}
+
+    # downstream operators run unchanged on the ingested shape
+    from varda_spark.operators.dedup import dedup_exact
+
+    assert dedup_exact(good).count() == 2

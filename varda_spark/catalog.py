@@ -3123,6 +3123,25 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_histogram",
+    """SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) / 5000) * 5000 AS BIGINT) AS bucket_lo,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_in_bucket
+       FROM lineitem GROUP BY 1""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ fixed-width histogram: floor-bucket + count/sum — the exact
+    map-side-combining shape dashboards need at 100 TB (contrast
+    width_bucket UDAFs that ship value lists)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    bucket = (F.floor(F.col("l_extendedprice").cast("double") / 5000) * 5000).cast("bigint")
+    return li.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("l_quantity").alias("qty_in_bucket"),
+    )
+
+
+@q(
     "merge_upsert",
     """WITH base AS (
          SELECT l_orderkey, l_linenumber,
