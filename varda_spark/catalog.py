@@ -3142,6 +3142,120 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_pii_scrub",
+    r"""SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed,
+               CAST(length(text)
+                    - length(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'))
+                    AS BIGINT) AS email_chars
+        FROM documents WHERE doc_id < 200""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 PII scrubbing (the CommonCrawl-pipeline masking step): email /
+    phone / IPv4 patterns replaced map-side with regexp_replace — Spark's
+    is global by default, the oracle passes the 'g' flag. Pure codegen'd
+    Column work, no shuffle at any scale."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+    ip = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+        ),
+        ip,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), email, ""))).cast(
+            "bigint"
+        ).alias("email_chars"),
+    )
+
+
+@q(
+    "text_decontaminate",
+    """WITH bench AS (
+         SELECT DISTINCT unnest(list_transform(
+                  range(1, greatest(len(string_split(text, ' ')) - 5, 1)),
+                  i -> array_to_string(string_split(text, ' ')[i:i+6], ' '))) AS gram
+         FROM documents WHERE doc_id % 97 = 0),
+       doc_grams AS (
+         SELECT doc_id, unnest(list_transform(
+                  range(1, greatest(len(string_split(text, ' ')) - 5, 1)),
+                  i -> array_to_string(string_split(text, ' ')[i:i+6], ' '))) AS gram
+         FROM documents),
+       hits AS (
+         SELECT doc_id, CAST(COUNT(DISTINCT d.gram) AS BIGINT) AS n_hits
+         FROM doc_grams d JOIN bench USING (gram)
+         GROUP BY doc_id)
+       SELECT doc_id, n_hits FROM hits WHERE n_hits >= 3""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 eval decontamination: flag corpus docs sharing ≥3 distinct
+    7-grams with a benchmark set (here: every 97th doc stands in for the
+    eval corpus). Inverted-index equi-join on the gram — the benchmark
+    side is tiny and broadcast; the corpus side explodes map-side. The
+    GPT-3/Llama-style contamination filter, shuffle-bounded at 100 TB."""
+    d = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 6, 0)), "
+        "i -> array_join(slice(split(text, ' '), i, 7), ' '))"
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    doc_grams = d.select("doc_id", F.explode(grams).alias("gram"))
+    return (
+        doc_grams.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("bigint").alias("n_hits"))
+        .filter(F.col("n_hits") >= 3)
+    )
+
+
+@q(
+    "dedup_keep_best",
+    """WITH scored AS (
+         SELECT doc_id, text, md5(lower(trim(text))) AS h,
+                CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS quality
+         FROM documents)
+       SELECT doc_id, quality FROM (
+         SELECT doc_id, quality,
+                ROW_NUMBER() OVER (PARTITION BY h
+                                   ORDER BY quality DESC, doc_id) AS rn
+         FROM scored) WHERE rn = 1""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 quality-aware survivor selection: within an exact-dup cluster
+    keep the HIGHEST-quality copy (distinct-word count as the stand-in
+    score), not the lowest id — what production dedup actually wants when
+    copies differ in extraction quality. Same single hash-shuffle shape
+    as dedup_exact."""
+    d = read_table(spark, sf_dir, "documents")
+    quality = F.size(F.array_distinct(F.split(F.trim(F.col("text")), " "))).cast("bigint")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    scored = d.select("doc_id", h.alias("_h"), quality.alias("quality"))
+    w = Window.partitionBy("_h").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality")
+    )
+
+
+@q(
     "merge_upsert",
     """WITH base AS (
          SELECT l_orderkey, l_linenumber,
