@@ -215,3 +215,21 @@ def test_pack_sequences_invariants(spark):
     assert out.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_udtf_sentences_matches_sql_split(spark):
+    """The Python UDTF splits exactly like the SQL posexplode twin."""
+    from varda_spark.catalog import REGISTRY
+
+    got = REGISTRY["udtf_sentences"].fn(spark, SF)
+    d = read_table(spark, SF, "documents").filter(F.col("doc_id") < 100)
+    twin = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\.")).alias("sent_idx", "raw"),
+        )
+        .select("doc_id", "sent_idx", F.trim(F.col("raw")).alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )
+    assert got.exceptAll(twin).count() == 0
+    assert twin.exceptAll(got).count() == 0

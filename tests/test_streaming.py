@@ -193,3 +193,44 @@ def test_stream_static_enrich_matches_batch(spark):
         stream_src = stream_src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     got = _run_stream_to_memory(spark, enrich_counts(stream_src, dim), "enrich_t", "complete")
     assert {tuple(r) for r in got.collect()} == batch
+
+
+def test_foreach_batch_streaming_upsert(spark, tmp_path):
+    """Streaming warehouse maintenance: each micro-batch MERGEs into the
+    parquet warehouse via foreachBatch + merge_upsert — the streaming
+    ingest → keep-latest pipeline end-to-end."""
+    from pyspark.sql import functions as F
+
+    from varda_spark.operators.merge import merge_upsert
+
+    wh = str(tmp_path / "wh")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0).alias("v"), F.lit(0).alias("version")
+    )
+    base.write.mode("overwrite").parquet(wh)
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    schema = "k bigint, v int, version int"
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    (tmp_path / "incoming" / "b1.json").write_text(
+        "\n".join(f'{{"k": {k}, "v": {k * 10}, "version": 1}}' for k in (3, 5, 7))
+    )
+
+    def upsert(batch_df, _batch_id):
+        merged = merge_upsert(spark.read.parquet(wh), batch_df, ["k"])
+        merged.write.mode("overwrite").parquet(wh + "_next")
+        out = spark.read.parquet(wh + "_next")
+        out.write.mode("overwrite").parquet(wh)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k: (r.v, r.version) for r in spark.read.parquet(wh).collect()}
+    assert len(got) == 10
+    assert got[3] == (30, 1) and got[5] == (50, 1) and got[7] == (70, 1)
+    assert got[0] == (0, 0) and got[9] == (0, 0)

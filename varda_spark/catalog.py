@@ -3256,6 +3256,52 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_salted",
+    """SELECT l_returnflag,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ skew pattern: two-stage salted aggregation (operators/skew.py
+    salted_agg) — a hot key spreads over 16 (key, salt) reducers before the
+    tiny final combine. The oracle is the PLAIN grouped sum: decimal sums
+    are associative, so the salted plan must be bit-identical — which is
+    the entire point of the pattern."""
+    from varda_spark.operators.skew import salted_agg
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", dec("l_quantity").alias("qty")
+    )
+    out = salted_agg(li, ["l_returnflag"], "qty", n_salts=16)
+    return out.select("l_returnflag", F.col("sum_qty").cast("double").alias("sum_qty"))
+
+
+@q("udtf_sentences", None)  # UDTF surface demo; SQL twin checked in pytest
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J+ Python UDTF (Spark 4 table function): one input doc → N output
+    sentence rows with ordinals. The lateral-join surface the reference's
+    per-record decompose loops map to when logic outgrows Columns; Arrow
+    handles the batching. Kept rows-only: the same split is SQL-expressible
+    (pytest proves equivalence), the key exercises the UDTF machinery."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, sent_idx: bigint, sentence: string")
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            for i, s in enumerate(t.strip() for t in (text or "").split(".")):
+                if s:
+                    yield doc_id, i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.sentence "
+        "FROM _docs_udtf, LATERAL split_sentences(doc_id, text) s"
+    )
+
+
+@q(
     "merge_upsert",
     """WITH base AS (
          SELECT l_orderkey, l_linenumber,

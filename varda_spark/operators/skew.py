@@ -48,3 +48,25 @@ def salted_join(
     d = explode_dim(dim.withColumnRenamed(key, f"_dim_{key}"), f"_dim_{key}", n_salts)
     out = f.join(d, f["_salted_key"] == d["_salted_key"], how)
     return out.drop("_salted_key", f"_dim_{key}")
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys: stage 1 sums within
+    (key, salt) — spreading a hot key over n_salts reducers — stage 2 sums
+    the ≤ n_salts partials per key. Result equals the plain groupBy sum
+    exactly (integer/decimal sums are associative); use when one group
+    holds a disproportionate share of rows and map-side partial
+    aggregation alone can't absorb it (e.g. high-cardinality payload
+    columns defeat hash-map combining)."""
+    # any per-row spreading value works — the final result is salt-
+    # independent because the sum is associative
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    stage1 = salted.groupBy(*group_cols, "_salt").agg(F.sum(agg_col).alias("_partial"))
+    return stage1.groupBy(*group_cols).agg(F.sum("_partial").alias(f"sum_{agg_col}"))
