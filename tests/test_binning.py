@@ -59,3 +59,20 @@ def test_assign_bin_contains_point_bins(spark):
     for r in df.collect():
         assert r.bin in r.pb, r
         assert 0 <= r.bin < 585 + (MAX_POSITION >> 17)
+
+
+def test_merge_intervals_islands(spark):
+    """bedtools-merge semantics: touching intervals merge (closed
+    intervals), disjoint ones don't, per chromosome."""
+    from varda_spark.operators.interval import merge_intervals
+
+    ivs = spark.createDataFrame(
+        [
+            ("1", 10, 20), ("1", 15, 30), ("1", 30, 40),   # one run 10-40
+            ("1", 42, 50),                                  # gap of 1 → new run
+            ("2", 10, 20),
+        ],
+        ["chromosome", "begin", "end"],
+    )
+    got = {(r.chromosome, r.begin, r.end): r.n_merged for r in merge_intervals(ivs).collect()}
+    assert got == {("1", 10, 40): 3, ("1", 42, 50): 1, ("2", 10, 20): 1}

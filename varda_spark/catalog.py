@@ -3285,7 +3285,7 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pytest proves equivalence), the key exercises the UDTF machinery."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id: bigint, sent_idx: bigint, sentence: string")
+    @udtf(returnType="doc_id: bigint, sent_idx: bigint, sentence: string", useArrow=True)
     class SplitSentences:
         def eval(self, doc_id: int, text: str):
             for i, s in enumerate(t.strip() for t in (text or "").split(".")):
@@ -3298,6 +3298,72 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.doc_id, s.sent_idx, s.sentence "
         "FROM _docs_udtf, LATERAL split_sentences(doc_id, text) s"
+    )
+
+
+@q(
+    "interval_merge",
+    """WITH ivs AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
+         FROM supplier),
+       o AS (
+         SELECT chromosome, begin, "end",
+                CASE WHEN MAX("end") OVER w IS NULL OR begin > MAX("end") OVER w
+                     THEN 1 ELSE 0 END AS new_i
+         FROM ivs
+         WINDOW w AS (PARTITION BY chromosome ORDER BY begin, "end"
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       s AS (
+         SELECT chromosome, begin, "end",
+                SUM(new_i) OVER (PARTITION BY chromosome ORDER BY begin, "end"
+                                 ROWS UNBOUNDED PRECEDING) AS island
+         FROM o)
+       SELECT chromosome, CAST(MIN(begin) AS BIGINT) AS begin,
+              CAST(MAX("end") AS BIGINT) AS "end",
+              CAST(COUNT(*) AS BIGINT) AS n_merged
+       FROM s GROUP BY chromosome, island""",
+)
+def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ bedtools merge (operators/interval.py merge_intervals):
+    overlapping coverage regions collapse to maximal disjoint runs via
+    one partitioned running-max window + one aggregate — no joins, scales
+    to any interval count. The primitive that keeps a coverage warehouse
+    canonical (varda's region table accumulates overlapping imports)."""
+    from varda_spark.operators.interval import merge_intervals
+
+    _, s = _points_intervals(spark, sf_dir)
+    out = merge_intervals(s.select("chromosome", "begin", "end"))
+    return out.select(
+        "chromosome",
+        F.col("begin").cast("bigint").alias("begin"),
+        F.col("end").cast("bigint").alias("end"),
+        "n_merged",
+    )
+
+
+@q(
+    "agg_mode",
+    """SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+       FROM (
+         SELECT user_id, event_type, COUNT(*) AS n,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY COUNT(*) DESC, event_type) AS rn
+         FROM events GROUP BY user_id, event_type)
+       WHERE rn = 1""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ mode (most frequent value) per group with a deterministic
+    lexicographic tie-break — count + one partitioned window over the
+    already-aggregated (group, value) rows, never over raw events."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").cast("bigint").alias("n"))
     )
 
 
@@ -3507,7 +3573,7 @@ _DRIVER_PRIORITY = [
     "paginate_seek",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_embcos", "sim_topk", "sim_ivf",
-    "text_tokens", "text_langid",
+    "dedup_pipeline", "sim_lsh",
     "stream_tumbling", "stream_session", "stream_watermark",
     "stream_dedup", "stream_join",
     "udf_pandas_scalar", "udf_grouped_agg",

@@ -231,3 +231,33 @@ def nearest_interval(
         .cast("bigint")
         .alias("distance"),
     )
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    chrom: str = "chromosome",
+    begin: str = "begin",
+    end: str = "end",
+) -> DataFrame:
+    """bedtools merge: collapse overlapping/touching intervals per
+    chromosome into maximal disjoint runs → (chromosome, begin, end,
+    n_merged). Gaps-and-islands: sorted per chromosome, an interval opens
+    a new island iff its begin exceeds the running max end of everything
+    before it; islands then group (one partitioned-window pass + one
+    aggregate, no joins — scales to any interval count)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(chrom).orderBy(begin, end)
+    prev_max = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(prev_max.isNull() | (F.col(begin) > prev_max), 1).otherwise(0)
+    island = F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        intervals.withColumn("_island", island)
+        .groupBy(chrom, "_island")
+        .agg(
+            F.min(begin).alias(begin),
+            F.max(end).alias(end),
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        )
+        .drop("_island")
+    )
