@@ -155,6 +155,18 @@ def test_connected_components_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8}
 
 
+def test_connected_components_long_chain(spark):
+    """Pointer jumping: a 200-node path converges in ~log2(200) rounds —
+    far under the default max_iter — and every node reaches component 0."""
+    from varda_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
+    )
+    got = connected_components(pairs, max_iter=12).toPandas()
+    assert (got["comp"] == 0).all() and len(got) == 201
+
+
 def test_kmeans_assign_properties(spark):
     """Every vector gets exactly one cell; cells are 0..k-1; assignment is
     deterministic across invocations."""
