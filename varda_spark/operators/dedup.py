@@ -261,21 +261,26 @@ def connected_components(
         .localCheckpoint()
     )
     comp = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    for _ in range(max_iter):
-        nb = edges.join(comp.withColumnRenamed("id", "src"), "src").select(
-            F.col("dst").alias("id"), "comp"
+    for it in range(max_iter):
+        cand = comp.union(
+            edges.join(comp.withColumnRenamed("id", "src"), "src").select(
+                F.col("dst").alias("id"), "comp"
+            )
         )
-        jump = (
-            comp.alias("a")
-            .join(comp.select(F.col("id").alias("comp"), F.col("comp").alias("cc")).alias("b"), "comp")
-            .select(F.col("a.id").alias("id"), F.col("cc").alias("comp"))
-        )
-        new = (
-            comp.union(nb).union(jump)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
-        )
+        if it >= 2:
+            # near-dup graphs are almost always shallow and converge in
+            # 1–3 neighbor rounds; pay for the shortcut join only when the
+            # graph has proven deeper than that
+            jump = (
+                comp.alias("a")
+                .join(
+                    comp.select(F.col("id").alias("comp"), F.col("comp").alias("cc")).alias("b"),
+                    "comp",
+                )
+                .select(F.col("a.id").alias("id"), F.col("cc").alias("comp"))
+            )
+            cand = cand.union(jump)
+        new = cand.groupBy("id").agg(F.min("comp").alias("comp")).localCheckpoint()
         changed = (
             new.alias("n")
             .join(comp.alias("o"), "id")
