@@ -1224,6 +1224,38 @@ def freq_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FREQ_SEL_ORACLE = _FREQ_ORACLE.replace(
+    "         s_suppkey % 11 <> 0 AS active",
+    "         s_suppkey % 2 = 0 AS public,\n         s_suppkey % 11 <> 0 AS active",
+).replace(
+    "sel AS (SELECT * FROM samples WHERE active)",
+    "sel AS (SELECT * FROM samples WHERE active AND public)",
+)
+
+
+@q("freq_selected", _FREQ_SEL_ORACLE)
+def freq_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The varda core under a sample-selection expression: the B3 boolean
+    DSL ('public') compiles to a Column that restricts the sample dimension
+    BEFORE anything heavy runs — numerator, covered pool, and unconditional
+    pool all shrink together, exactly like varda's named annotation
+    queries. Same single plan as freq_variant."""
+    from varda_spark.expressions import compile_selection
+    from varda_spark.frequency import frequency
+
+    samples, regions, observations = _genomic_trio(spark, sf_dir)
+    out = frequency(None, observations, regions, samples, selection=compile_selection("public"))
+    return out.select(
+        "chromosome",
+        "position",
+        "reference",
+        "observed",
+        F.col("vn").cast("bigint").alias("vn"),
+        F.col("vc").cast("bigint").alias("vc"),
+        F.col("vf").cast("double").alias("vf"),
+    )
+
+
 _FREQ_ZYG_ORACLE = _FREQ_ORACLE.replace(
     """         CAST(SUM(support) AS BIGINT) AS vc
   FROM obs JOIN sel USING (sample_id)""",
