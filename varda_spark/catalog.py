@@ -3334,6 +3334,74 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "rollup_incremental",
+    """WITH obs AS (
+         SELECT l_suppkey AS sample_id,
+                CAST(l_partkey % 5 AS VARCHAR) AS chromosome,
+                CAST((l_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                1 + l_linenumber % 2 AS support
+         FROM lineitem)
+       SELECT chromosome, CAST(position // 1000 AS BIGINT) AS tile,
+              CAST(SUM(support) AS BIGINT) AS support_sum,
+              CAST(COUNT(*) AS BIGINT) AS n_obs
+       FROM obs GROUP BY chromosome, position // 1000""",
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (operators/merge.py
+    merge_rollups): the per-(chromosome, 1kb-tile) support rollup is built
+    from TWO independent batch rollups (orderkey parity split) merged by
+    summing partials — and the oracle is the single-pass rollup over
+    everything, which the merge must equal exactly. The refresh path a
+    100 TB observation warehouse needs: aggregate the delta, merge
+    partials, never re-scan history."""
+    from varda_spark.operators.merge import merge_rollups
+
+    _, _, observations = _genomic_trio(spark, sf_dir)
+    obs = observations.withColumn("tile", (F.col("position") / 1000).cast("bigint"))
+
+    def batch_rollup(b):
+        return b.groupBy("chromosome", "tile").agg(
+            F.sum("support").alias("support_sum"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+
+    # two "import batches": the deterministic parity split of the fact rows
+    old = batch_rollup(obs.filter(F.crc32(F.concat_ws("|", "sample_id", "position")) % 2 == 0))
+    new = batch_rollup(obs.filter(F.crc32(F.concat_ws("|", "sample_id", "position")) % 2 == 1))
+    merged = merge_rollups([old, new], ["chromosome", "tile"], ["support_sum", "n_obs"])
+    return merged.select(
+        "chromosome",
+        "tile",
+        F.col("support_sum").cast("bigint").alias("support_sum"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+    )
+
+
+@q(
+    "sample_per_group",
+    """SELECT event_type, event_id FROM (
+         SELECT event_type, event_id,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+         FROM events) WHERE rn <= 20""",
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-count deterministic sample per group: hash-ordered row_number
+    gives every group exactly n pseudo-random rows, reproducible across
+    engines, runs, and partitionings (unlike rand()-based sampleBy).
+    The eval-set / debugging-slice primitive for a 100 TB corpus."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("event_type", "event_id")
+    )
+
+
+@q(
     "interval_merge",
     """WITH ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,

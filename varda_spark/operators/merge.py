@@ -31,3 +31,17 @@ def merge_upsert(
     order = [F.col(order_col).desc()] + [F.col(c) for c in (tiebreak or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
     return merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def merge_rollups(rollups: list[DataFrame], keys: list[str], sums: list[str]) -> DataFrame:
+    """Continuous-aggregate maintenance: a rollup whose measures are all
+    sum-mergeable (sums, counts) is maintained incrementally — aggregate
+    only the NEW batch, then combine partials per key. merge(rollup(A),
+    rollup(B)) == rollup(A ∪ B) exactly, because integer/decimal sums are
+    associative and commutative. At 100 TB this is the difference between
+    re-scanning the fact table per refresh and touching only the delta;
+    the combine shuffles ≤ |keys|-cardinality partial rows, never facts."""
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sums])
