@@ -3401,6 +3401,48 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_exprs():
+    """Morton (Z-order) interleave of two 16-bit dimensions via the classic
+    bit-spread ladder, generated once for both engines (only the shift
+    syntax differs: Spark shiftleft(), DuckDB <<)."""
+
+    def spread(col, shl):
+        x = f"({col} & 65535)"
+        for n, m in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+            x = f"(({x} | {shl(x, n)}) & {m})"
+        return x
+
+    def z(xc, yc, shl):
+        return f"({shl(spread(xc, shl), 1)} | {spread(yc, shl)})"
+
+    spark_shl = lambda x, n: f"shiftleft({x}, {n})"  # noqa: E731
+    duck_shl = lambda x, n: f"({x} << {n})"  # noqa: E731
+    xc, yc = "((p_partkey * 31) % 100000 + 1)", "p_partkey"
+    return z(xc, yc, spark_shl), z(xc, yc, duck_shl)
+
+
+_Z_SPARK, _Z_DUCK = _zorder_exprs()
+
+
+@q(
+    "sort_zorder",
+    f"""SELECT p_partkey, CAST({_Z_DUCK} AS BIGINT) AS zorder
+        FROM part ORDER BY zorder, p_partkey LIMIT 200""",
+)
+def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F+ data-layout primitive: Morton/Z-order key over two dimensions
+    (position × part key). Writing a warehouse sorted by this key keeps
+    rows close in BOTH dimensions within each parquet row group, so
+    min/max skipping prunes 2-D predicates — the Delta/Iceberg OPTIMIZE
+    ZORDER trick as a plain sortable column; pure codegen'd bit math."""
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.expr(_Z_SPARK).cast("bigint").alias("zorder"))
+        .orderBy("zorder", "p_partkey")
+        .limit(200)
+    )
+
+
 @q(
     "interval_merge",
     """WITH ivs AS (
