@@ -3444,6 +3444,87 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "join_band",
+    """SELECT o.o_orderkey, c.c_custkey
+       FROM orders o JOIN customer c
+         ON abs(CAST(o.o_totalprice AS DOUBLE) - CAST(c.c_acctbal AS DOUBLE) * 20) <= 50
+       WHERE o.o_orderkey < 2000""",
+)
+def join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6+ band join WITHOUT a nested loop: |x - y| <= δ becomes an
+    equi-join on floor(x/δ) against each side's three candidate buckets
+    (b-1, b, b+1) plus the exact residual predicate — the same rewrite
+    the UCSC binning does for intervals, applied to a numeric band. The
+    oracle is the plain theta join; at 100 TB the theta version is a
+    broadcast nested loop at best, this shuffles on an even bucket key."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("x")
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_acctbal").cast("double") * 20).alias("y")
+    )
+    delta = 50.0
+    ob = o.withColumn("_b", F.explode(F.array(
+        F.floor(F.col("x") / delta) - 1, F.floor(F.col("x") / delta), F.floor(F.col("x") / delta) + 1
+    )))
+    cb = c.withColumn("_b", F.floor(F.col("y") / delta))
+    return (
+        ob.join(cb, "_b")
+        .filter(F.abs(F.col("x") - F.col("y")) <= delta)
+        .select("o_orderkey", "c_custkey")
+    )
+
+
+@q(
+    "agg_gsets",
+    """SELECT o_orderpriority, o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+)
+def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6+ arbitrary GROUPING SETS (not just rollup/cube prefixes) with
+    grouping_id disambiguation of the NULL-vs-missing ambiguity."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+           FROM _orders_gs
+           GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"""
+    )
+
+
+@q(
+    "win_gaps",
+    """WITH s AS (
+         SELECT user_id, event_id,
+                LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+         FROM events)
+       SELECT user_id,
+              CAST(event_id + 1 AS BIGINT) AS gap_start,
+              CAST(nxt - 1 AS BIGINT) AS gap_end,
+              CAST(nxt - event_id - 1 AS BIGINT) AS gap_len
+       FROM s WHERE nxt - event_id > 1""",
+)
+def win_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ sequence-gap detection (missing ids per user): one lead() pass
+    emits each hole as a range — the integrity check an event warehouse
+    runs after every ingest; no self-join, no explode of the id space."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = ev.select("user_id", "event_id", F.lead("event_id").over(w).alias("nxt"))
+    return s.filter(F.col("nxt") - F.col("event_id") > 1).select(
+        "user_id",
+        (F.col("event_id") + 1).cast("bigint").alias("gap_start"),
+        (F.col("nxt") - 1).cast("bigint").alias("gap_end"),
+        (F.col("nxt") - F.col("event_id") - 1).cast("bigint").alias("gap_len"),
+    )
+
+
+@q(
     "interval_merge",
     """WITH ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
