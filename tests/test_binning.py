@@ -76,3 +76,65 @@ def test_merge_intervals_islands(spark):
     )
     got = {(r.chromosome, r.begin, r.end): r.n_merged for r in merge_intervals(ivs).collect()}
     assert got == {("1", 10, 40): 3, ("1", 42, 50): 1, ("2", 10, 20): 1}
+
+
+def test_merge_intervals_random_vs_bruteforce(spark):
+    """Property: merge_intervals equals a brute-force Python merge on
+    random interval sets (closed-interval semantics, touching merges)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        ("c%d" % rng.randint(0, 2), b, b + rng.randint(0, 40))
+        for _ in range(150)
+        for b in [rng.randint(1, 300)]
+    ]
+    got = {
+        (r.chromosome, r.begin, r.end, r.n_merged)
+        for r in __import__("varda_spark.operators.interval", fromlist=["merge_intervals"])
+        .merge_intervals(spark.createDataFrame(rows, ["chromosome", "begin", "end"]))
+        .collect()
+    }
+    expect = set()
+    by_c = {}
+    for c, b, e in rows:
+        by_c.setdefault(c, []).append((b, e))
+    for c, ivs in by_c.items():
+        ivs.sort()
+        cur_b, cur_e, n = ivs[0][0], ivs[0][1], 1
+        for b, e in ivs[1:]:
+            if b <= cur_e:          # closed intervals: touching == overlapping
+                cur_e, n = max(cur_e, e), n + 1
+            else:
+                expect.add((c, cur_b, cur_e, n))
+                cur_b, cur_e, n = b, e, 1
+        expect.add((c, cur_b, cur_e, n))
+    assert got == expect
+
+
+def test_nearest_interval_random_vs_bruteforce(spark):
+    """Property: the sweep+overlap nearest equals brute-force nearest with
+    (distance, key) tie-break on random data."""
+    import random
+
+    from varda_spark.operators.interval import nearest_interval
+
+    rng = random.Random(23)
+    pts = [("c", rng.randint(1, 500), i) for i in range(80)]
+    ivs = [
+        ("c", b, b + rng.randint(0, 30), k)
+        for k in range(40)
+        for b in [rng.randint(1, 500)]
+    ]
+    got = {
+        (r.position, r.p_partkey): (r.nearest_key, r.distance)
+        for r in nearest_interval(
+            spark.createDataFrame(pts, ["chromosome", "position", "p_partkey"]),
+            spark.createDataFrame(ivs, ["chromosome", "begin", "end", "sample_key"]),
+        ).collect()
+    }
+    for c, pos, pid in pts:
+        best = min(
+            (max(b - pos, pos - e, 0), k) for _, b, e, k in ivs
+        )
+        assert got[(pos, pid)] == (best[1], best[0]), (pos, pid)

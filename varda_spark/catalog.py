@@ -1256,6 +1256,41 @@ def freq_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FREQ_KEYS_ORACLE = _FREQ_ORACLE.replace(
+    "keys AS (SELECT DISTINCT chromosome, position, reference, observed FROM obs),",
+    "keys AS (SELECT DISTINCT chromosome, position, reference, observed FROM obs\n"
+    "         WHERE position % 3 = 0),",
+)
+
+
+@q("freq_keys", _FREQ_KEYS_ORACLE)
+def freq_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The annotate-a-VCF path: frequency() with an explicit variant_keys
+    set (every 3rd position stands in for an uploaded VCF's keys). This
+    exercises the OTHER branch of frequency(): the numerator left-semi-joins
+    observations against the requested keys BEFORE aggregating — at 100 TB
+    the semi-join prunes the fact scan down to the queried loci, and
+    left-join completeness still yields a row per requested key."""
+    from varda_spark.frequency import frequency
+
+    samples, regions, observations = _genomic_trio(spark, sf_dir)
+    keys = (
+        observations.select("chromosome", "position", "reference", "observed")
+        .filter(F.col("position") % 3 == 0)
+        .distinct()
+    )
+    out = frequency(keys, observations, regions, samples)
+    return out.select(
+        "chromosome",
+        "position",
+        "reference",
+        "observed",
+        F.col("vn").cast("bigint").alias("vn"),
+        F.col("vc").cast("bigint").alias("vc"),
+        F.col("vf").cast("double").alias("vf"),
+    )
+
+
 _FREQ_ZYG_ORACLE = _FREQ_ORACLE.replace(
     """         CAST(SUM(support) AS BIGINT) AS vc
   FROM obs JOIN sel USING (sample_id)""",
@@ -3521,6 +3556,56 @@ def win_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") + 1).cast("bigint").alias("gap_start"),
         (F.col("nxt") - 1).cast("bigint").alias("gap_end"),
         (F.col("nxt") - F.col("event_id") - 1).cast("bigint").alias("gap_len"),
+    )
+
+
+@q(
+    "join_recip_overlap",
+    """WITH a AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
+                s_suppkey AS a_key
+         FROM supplier WHERE s_suppkey % 2 = 0),
+       b AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
+                s_suppkey AS b_key
+         FROM supplier WHERE s_suppkey % 2 = 1)
+       SELECT a_key, b_key,
+              CAST(least(a."end", b."end") - greatest(a.begin, b.begin) + 1 AS BIGINT) AS ov_len
+       FROM a JOIN b ON a.chromosome = b.chromosome
+          AND a.begin <= b."end" AND a."end" >= b.begin
+       WHERE (least(a."end", b."end") - greatest(a.begin, b.begin) + 1) * 2
+                >= (a."end" - a.begin + 1)
+         AND (least(a."end", b."end") - greatest(a.begin, b.begin) + 1) * 2
+                >= (b."end" - b.begin + 1)""",
+)
+def join_recip_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ reciprocal-overlap join (bedtools intersect -f 0.5 -r, the SV
+    variant-matching criterion): intervals pair iff the overlap covers
+    ≥50% of BOTH. Candidates come from the binned range_overlap_join —
+    never a theta join — with the fraction test as an exact integer
+    residual (overlap*2 >= length avoids any division)."""
+    from varda_spark.operators.interval import range_overlap_join
+
+    _, s = _points_intervals(spark, sf_dir)
+    a = s.filter(F.col("sample_key") % 2 == 0).select(
+        "chromosome", "begin", "end", F.col("sample_key").alias("a_key")
+    )
+    b = s.filter(F.col("sample_key") % 2 == 1).select(
+        "chromosome", "begin", "end", F.col("sample_key").alias("b_key")
+    )
+    j = range_overlap_join(a, b)
+    ov = F.least(F.col("end"), F.col("r_end")) - F.greatest(F.col("begin"), F.col("r_begin")) + 1
+    return (
+        j.withColumn("ov_len", ov)
+        .filter(
+            (F.col("ov_len") * 2 >= F.col("end") - F.col("begin") + 1)
+            & (F.col("ov_len") * 2 >= F.col("r_end") - F.col("r_begin") + 1)
+        )
+        .select("a_key", "b_key", F.col("ov_len").cast("bigint").alias("ov_len"))
     )
 
 
