@@ -1,0 +1,150 @@
+"""The reference's user lifecycle as one façade: a varda user's REST
+workflow (SURVEY §3 — create sample, import variation/coverage, activate,
+annotate) becomes method calls over a parquet warehouse. Every method
+delegates to the oracle-/pytest-verified building blocks; this module adds
+only the lifecycle glue: directory layout, the duplicate-import checksum
+guard (A7), sample-dimension upserts, and activation gating.
+
+Warehouse layout under ``root/``:
+  samples/        dimension (sample_id, name, pool_size, coverage_profile,
+                  public, active)
+  observations/   fact, partitioned by chromosome (A5)
+  regions/        fact, partitioned by chromosome
+  manifest/       (checksum, kind, sample_id) — duplicate-import guard
+
+Scale notes: facts are append-only per import (one atomic parquet write
+each); the tiny dimensions rewrite via merge_upsert. Frequency/annotation
+read whatever imports have landed — the same decoupling varda gets from
+PostgreSQL MVCC, without row-level updates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+
+from varda_spark.annotate import annotate_keys
+from varda_spark.expressions import compile_selection
+from varda_spark.frequency import frequency
+from varda_spark.operators.merge import merge_upsert
+from varda_spark.sources.bed import read_bed
+from varda_spark.sources.vcf import read_vcf
+
+_SAMPLE_SCHEMA = (
+    "sample_id bigint, name string, pool_size int, coverage_profile boolean, "
+    "public boolean, active boolean, version int"
+)
+_MANIFEST_SCHEMA = "checksum string, kind string, sample_id bigint"
+_OBS_SCHEMA = (
+    "chromosome string, position long, reference string, observed string, "
+    "sample_name string, zygosity string, support int, sample_id long"
+)
+_REGION_SCHEMA = "chromosome string, begin long, end long, bin int, sample_id long"
+
+
+class DuplicateImportError(ValueError):
+    """Same content imported twice (A7 checksum guard)."""
+
+
+class VardaWarehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # ---- storage helpers -------------------------------------------------
+    def _path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def _read(self, name: str, schema: str) -> DataFrame:
+        path = self._path(name)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    def _overwrite_dim(self, name: str, df: DataFrame) -> None:
+        tmp = self._path(name) + "__new"
+        df.write.mode("overwrite").parquet(tmp)
+        final = self._path(name)
+        back = self.spark.read.parquet(tmp)
+        back.write.mode("overwrite").parquet(final)
+        import shutil
+
+        shutil.rmtree(tmp)
+
+    # ---- lifecycle (varda REST §3) --------------------------------------
+    def samples(self) -> DataFrame:
+        return self._read("samples", _SAMPLE_SCHEMA)
+
+    def create_sample(
+        self, name: str, *, pool_size: int = 1, public: bool = False
+    ) -> int:
+        cur = self.samples()
+        sample_id = (cur.agg(F.coalesce(F.max("sample_id"), F.lit(0))).collect()[0][0] or 0) + 1
+        row = self.spark.createDataFrame(
+            [Row(sample_id=sample_id, name=name, pool_size=pool_size,
+                 coverage_profile=False, public=public, active=False, version=0)],
+            _SAMPLE_SCHEMA,
+        )
+        self._overwrite_dim("samples", cur.unionByName(row))
+        return sample_id
+
+    def _guard_checksum(self, path: str, kind: str, sample_id: int) -> str:
+        digest = hashlib.sha1(open(path, "rb").read()).hexdigest()
+        manifest = self._read("manifest", _MANIFEST_SCHEMA)
+        if manifest.filter(F.col("checksum") == digest).limit(1).count() > 0:
+            raise DuplicateImportError(f"{kind} content {digest} already imported")
+        entry = self.spark.createDataFrame(
+            [Row(checksum=digest, kind=kind, sample_id=sample_id)], _MANIFEST_SCHEMA
+        )
+        entry.write.mode("append").parquet(self._path("manifest"))
+        return digest
+
+    def import_variation(self, sample_id: int, vcf_path: str) -> int:
+        """VCF → observations for this sample (per-ALT/per-sample decompose,
+        normalization, ref==alt guard all inside read_vcf). Returns rows."""
+        self._guard_checksum(vcf_path, "vcf", sample_id)
+        obs = read_vcf(self.spark, vcf_path).withColumn("sample_id", F.lit(sample_id).cast("long"))
+        obs.write.mode("append").partitionBy("chromosome").parquet(self._path("observations"))
+        return self._read("observations", _OBS_SCHEMA).filter(
+            F.col("sample_id") == sample_id
+        ).count()
+
+    def import_coverage(self, sample_id: int, bed_path: str) -> int:
+        """BED → regions; flips the sample's coverage_profile flag."""
+        self._guard_checksum(bed_path, "bed", sample_id)
+        reg = read_bed(self.spark, bed_path).withColumn("sample_id", F.lit(sample_id).cast("long"))
+        reg.write.mode("append").partitionBy("chromosome").parquet(self._path("regions"))
+        self._set_sample_flag(sample_id, "coverage_profile", True)
+        return reg.count()
+
+    def activate_sample(self, sample_id: int) -> None:
+        """Only activated samples count in any frequency (varda semantics)."""
+        self._set_sample_flag(sample_id, "active", True)
+
+    def _set_sample_flag(self, sample_id: int, flag: str, value: bool) -> None:
+        cur = self.samples()
+        upd = cur.filter(F.col("sample_id") == sample_id).withColumn(
+            flag, F.lit(value)
+        ).withColumn("version", F.col("version") + 1)
+        merged = merge_upsert(cur, upd, ["sample_id"])
+        self._overwrite_dim("samples", merged)
+
+    # ---- queries ---------------------------------------------------------
+    def observations(self) -> DataFrame:
+        return self._read("observations", _OBS_SCHEMA)
+
+    def regions(self) -> DataFrame:
+        return self._read("regions", _REGION_SCHEMA)
+
+    def frequency(self, selection: str | None = None, keys: DataFrame | None = None) -> DataFrame:
+        sel = compile_selection(selection) if selection else None
+        return frequency(keys, self.observations(), self.regions(), self.samples(), sel)
+
+    def annotate(self, vcf_path: str, queries: dict[str, str]) -> DataFrame:
+        """Annotate a VCF's variant keys with per-query VN/VF columns."""
+        keys = read_vcf(self.spark, vcf_path).select(
+            "chromosome", "position", "reference", "observed"
+        ).distinct()
+        return annotate_keys(keys, self.observations(), self.regions(), self.samples(), queries)
