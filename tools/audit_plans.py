@@ -31,6 +31,7 @@ BNLJ_OK = {
     "freq_variant",      # 1-row unconditional-pool scalar
     "freq_zygosity",     # same 1-row scalar as freq_variant
     "freq_selected",     # same 1-row scalar as freq_variant
+    "freq_keys",         # same 1-row scalar as freq_variant
     "join_range",        # small range dim (demo of non-equi)
     "stream_watermark",  # 1-row max-ts horizon
     "tpch_q15",          # 1-row scalar max
