@@ -3610,6 +3610,104 @@ def join_recip_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "str_funcs2",
+    """SELECT c_custkey,
+              split_part(c_name, '#', 2) AS name_num,
+              lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+              translate(c_mktsegment, 'AEIOU', 'aeiou') AS deaccented,
+              repeat('ab', 3) AS repeated,
+              reverse(c_mktsegment) AS revd,
+              upper(substring(lower(c_mktsegment), 1, 1))
+                  || substring(lower(c_mktsegment), 2) AS capped
+       FROM customer WHERE c_custkey < 500""",
+)
+def str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 breadth II: split_part / lpad / translate / repeat / reverse +
+    a capitalization built from the shared primitives (initcap's word
+    handling differs across engines; composing upper+substring is
+    portable and proves the same surface)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    low = F.lower(F.col("c_mktsegment"))
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("deaccented"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.reverse(F.col("c_mktsegment")).alias("revd"),
+        F.concat(F.upper(F.substring(low, 1, 1)), F.expr("substring(lower(c_mktsegment), 2)")).alias(
+            "capped"
+        ),
+    )
+
+
+@q(
+    "win_first_last",
+    """SELECT user_id, event_id,
+              first_value(event_type) OVER w AS first_type,
+              last_value(event_type) OVER w AS last_type,
+              nth_value(event_type, 2) OVER w AS second_type
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ frame navigation: first/last/nth event type per user over the
+    full-partition frame (session entry/exit/second-touch attribution)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@q(
+    "date_spine",
+    """WITH bounds AS (
+         SELECT user_id, CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+         FROM events GROUP BY user_id),
+       spine AS (
+         SELECT user_id, d0 + CAST(g AS INTEGER) AS day
+         FROM (SELECT user_id, d0,
+                      unnest(range(0, date_diff('day', d0, d1) + 1)) AS g
+               FROM bounds)),
+       actual AS (
+         SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY user_id, CAST(ts AS DATE))
+       SELECT s.user_id, s.day, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
+       FROM spine s LEFT JOIN actual a ON a.user_id = s.user_id AND a.day = s.day
+       WHERE s.user_id < 50""",
+)
+def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densification: generate each user's full day spine between first and
+    last event and left-join actual counts — zero-filled gaps make
+    time-series windows honest (a rolling average over missing days must
+    see 0, not skip). sequence() explodes map-side; the spine is bounded
+    by the date range, never by the fact count."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    bounds = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    actual = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return spine.join(actual, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
+    )
+
+
+@q(
     "interval_merge",
     """WITH ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
