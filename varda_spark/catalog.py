@@ -3708,6 +3708,65 @@ def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_lm_score",
+    """WITH words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       bg AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(w), 1)),
+                       i -> w[i] || ' ' || w[i + 1])) AS bigram
+         FROM words),
+       counts AS (
+         SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+       scored AS (
+         SELECT b.doc_id,
+                CAST(SUM(length(printf('%b', c)) - 1) AS BIGINT) AS logsum,
+                CAST(COUNT(*) AS BIGINT) AS n_bigrams
+         FROM bg b JOIN counts USING (bigram)
+         GROUP BY b.doc_id)
+       SELECT doc_id, logsum, n_bigrams,
+              CAST(logsum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_log2_freq
+       FROM scored""",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 corpus-LM quality score (the CCNet idea without an external
+    model): how 'ordinary' is a document under the corpus's own bigram
+    distribution — avg over the doc's bigrams of floor(log2(corpus count)).
+    Boilerplate/templated docs score high, lorem-noise scores low.
+    floor(log2 n) is computed EXACTLY as length(bin(n))-1 (no float log —
+    libm rounding differs across engines), so everything until the final
+    single divide is integer. Two shuffles: bigram count, doc re-join —
+    both map-side-combining; the count table is the corpus LM."""
+    d = read_table(spark, sf_dir, "documents")
+    # NB sequence() is inclusive AND descends when stop < start (sequence(1,0)
+    # = [1,0]) — gate the empty case explicitly instead of greatest()
+    bigram = F.expr(
+        "explode(CASE WHEN size(split(trim(text), ' ')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(trim(text), ' ')) - 1), "
+        "i -> concat_ws(' ', element_at(split(trim(text), ' '), i), "
+        "element_at(split(trim(text), ' '), i + 1))) END)"
+    )
+    bg = d.select("doc_id", bigram.alias("bigram"))
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        bg.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length(F.bin(F.col("c"))) - 1).cast("bigint").alias("logsum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "logsum",
+        "n_bigrams",
+        (F.col("logsum").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "avg_log2_freq"
+        ),
+    )
+
+
+@q(
     "interval_merge",
     """WITH ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
