@@ -391,29 +391,48 @@ def kmeans_assign(
     driver-trivial. Fixed iteration count (no convergence action) keeps
     the plan static and the oracle replicable.
     """
+    import numpy as np
+    import pandas as pd
+
     q_ = emb.select(key, quantized(vec, scale).alias("_q"))
     w0 = Window.orderBy(key)
     cents = (
         q_.orderBy(key).limit(k)
         .select((F.row_number().over(w0) - 1).alias("cell_id"), F.col("_q").alias("_ce"))
     )
-    score = F.expr(
-        "aggregate(zip_with(_q, _ce, (x, c) -> -2 * x * c + c * c), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
     for it in range(iters + 1):
-        # argmin via min(struct(score, cell, vec)) — a plain aggregate with
-        # map-side partials, cheaper than a per-vector sorted window; struct
-        # ordering gives the (score, cell_id) tie-break for free
-        assigned = (
-            q_.crossJoin(F.broadcast(cents))
-            .withColumn("_score", score)
-            .groupBy(key)
-            .agg(F.min(F.struct("_score", "cell_id", "_q")).alias("_best"))
-            .select(key, F.col("_best.cell_id").alias("cell_id"), F.col("_best._q").alias("_q"))
+        # The k-row quantizer is collected (k·dim ints — the same driver
+        # state any fitted model holds) and closure-shipped; assignment is
+        # then one numpy matmul per Arrow batch on the executors. Facts
+        # never leave executors; an 8×64 int table rides the task binary.
+        # Exact & deterministic: integer scores |c|²−2x·c, np.argmin takes
+        # the FIRST minimum and rows are cell_id-ascending → lowest-cell
+        # tie-break, identical to the oracle's (score, cell_id) ordering.
+        crows = sorted(cents.collect(), key=lambda r: r["cell_id"])
+        C = np.array([r["_ce"] for r in crows], dtype=np.int64)
+        cid = np.array([r["cell_id"] for r in crows], dtype=np.int64)
+        c2 = (C * C).sum(axis=1)
+
+        def _assign(batches, C=C, cid=cid, c2=c2):  # bind THIS round's quantizer
+            for pdf in batches:
+                Q = np.vstack(pdf["_q"].to_numpy())
+                S = c2[None, :] - 2 * (Q @ C.T)  # int64, exact
+                out = pdf[[key]].copy()
+                out["cell_id"] = cid[S.argmin(axis=1)]
+                out["_q"] = pdf["_q"]
+                yield out
+
+        assigned = q_.mapInPandas(
+            _assign, f"{key} bigint, cell_id bigint, _q array<bigint>"
         )
         if it == iters:
             return assigned.select(key, F.col("cell_id").cast("bigint").alias("cell_id"))
+
+        # centroid update stays the exploded (cell, dim) aggregate ON
+        # PURPOSE: partial aggregation combines map-side down to k·dim rows
+        # before the wire, and no task ever holds a whole cell — a per-cell
+        # pandas mean would ship n/k vectors to one task (straggler/OOM at
+        # scale) and measured no faster
         upd = (
             assigned.select("cell_id", F.posexplode("_q").alias("dim", "v"))
             .groupBy("cell_id", "dim")
