@@ -5,6 +5,13 @@ equivalent DuckDB ANSI SQL (or None for non-SQL-expressible ops → the
 driver does a rows-only check). Column names are aliased identically on
 both sides — the driver's hash compare sorts columns by name.
 
+ONE file on purpose: each query sits beside the oracle that defines its
+semantics (the pairs are reviewed and greppable together), registration
+order is the file order (with the curated `_DRIVER_PRIORITY` re-order at
+the bottom), and the heavy lifting lives in the operator modules this file
+merely wires up — splitting by family would separate queries from their
+oracles and buy nothing but import ceremony.
+
 Float discipline (SURVEY.md §7 "hardest five things" #5): double
 aggregation is order-sensitive, and Spark and DuckDB will sum in different
 orders. Every aggregate therefore runs on DECIMAL(18,4) interior values
@@ -2943,7 +2950,9 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    s1 = dedup_exact(d)
+    # s1 feeds BOTH the pair generation and the final anti-join — compute
+    # the exact-dedup window once, not twice
+    s1 = dedup_exact(d).localCheckpoint()
     pairs = minhash_candidates(s1, num_hashes=8, bands=4, shingle_n=3)
     cc = connected_components(pairs)
     losers = cc.filter(F.col("id") != F.col("comp")).select(F.col("id").alias("doc_id"))
