@@ -41,6 +41,8 @@ BNLJ_OK = {
     "sim_ivf_kmeans",    # same k-means subplan feeding blocked top-k
     "join_cross",        # bounded dims-only cross join (25x5, documented)
     "tpch_q22",          # 1-row scalar avg-balance subquery
+    "text_domain_mix",   # 1-row corpus-total scalar
+    "sim_range_search",  # 1-row probe vector broadcast
 }
 
 

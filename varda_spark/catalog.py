@@ -3776,6 +3776,132 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_domain_mix",
+    """WITH t AS (
+         SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+       scored AS (
+         SELECT doc_id, lang, len(w) AS n_tokens,
+                CASE WHEN len(w) < 20 THEN 'short'
+                     WHEN len(w) < 60 THEN 'medium' ELSE 'long' END AS bucket
+         FROM t)
+       SELECT lang, bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              CAST(floor(SUM(n_tokens) * 1000000.0 /
+                   (SELECT SUM(len(string_split(trim(text), ' '))) FROM documents))
+                   AS BIGINT) AS ppm_of_corpus
+       FROM scored GROUP BY lang, bucket""",
+)
+def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 data-mixture report: docs and tokens per (language, length
+    bucket) with parts-per-million of the total token budget — the table
+    every training-mix decision starts from. One scan + one tiny
+    aggregate; the corpus-total is a 1-row broadcast."""
+    d = read_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim(F.col("text")), " "))
+    scored = d.select(
+        "lang",
+        n.alias("n_tokens"),
+        F.when(n < 20, "short").when(n < 60, "medium").otherwise("long").alias("bucket"),
+    )
+    total = scored.agg(F.sum("n_tokens").alias("_total"))
+    mix = scored.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    return mix.crossJoin(F.broadcast(total)).select(
+        "lang", "bucket", "n_docs", "n_tokens",
+        F.floor(F.col("n_tokens") * 1000000.0 / F.col("_total")).cast("bigint").alias(
+            "ppm_of_corpus"
+        ),
+    )
+
+
+@q(
+    "dedup_cross_corpus",
+    """WITH split AS (
+         SELECT doc_id, text,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10
+                    AS fold
+         FROM documents),
+       train AS (SELECT doc_id, text FROM split WHERE fold <> 0),
+       eval_fp AS (
+         SELECT DISTINCT md5(lower(trim(text))) AS h FROM split WHERE fold = 0)
+       SELECT t.doc_id FROM train t
+       WHERE md5(lower(trim(t.text))) NOT IN (SELECT h FROM eval_fp)""",
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+ train/eval leakage removal: hash-fold the corpus into train and
+    held-out, fingerprint the held-out side, ANTI-join train against it —
+    don't train on (exact copies of) eval. The eval fingerprint set is tiny
+    and broadcast; train never shuffles. Composes with text_decontaminate
+    for the n-gram (partial-overlap) version."""
+    d = read_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
+        % 10
+    )
+    s = d.withColumn("_fold", fold)
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    train = s.filter(F.col("_fold") != 0).select("doc_id", h.alias("_h"))
+    eval_fp = s.filter(F.col("_fold") == 0).select(h.alias("_h")).distinct()
+    return train.join(F.broadcast(eval_fp), "_h", "left_anti").select("doc_id")
+
+
+@q(
+    "sim_range_search",
+    """WITH q AS (
+         SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         FROM embeddings),
+       probe AS (SELECT e AS pe FROM q WHERE vec_id = 0),
+       scored AS (
+         SELECT q.vec_id,
+                (SELECT SUM(q.e[i.range] * probe.pe[i.range]) FROM range(1, 65) i) AS dq,
+                (SELECT SUM(q.e[i.range] * q.e[i.range]) FROM range(1, 65) i) AS n2,
+                (SELECT SUM(probe.pe[i.range] * probe.pe[i.range]) FROM range(1, 65) i) AS pn2
+         FROM q CROSS JOIN probe WHERE q.vec_id <> 0)
+       SELECT vec_id,
+              CAST(floor(100.0 * dq / sqrt(CAST(n2 * pn2 AS DOUBLE))) AS BIGINT) AS cos_pct
+       FROM scored
+       WHERE dq > 0 AND floor(100.0 * dq / sqrt(CAST(n2 * pn2 AS DOUBLE))) >= 10
+       ORDER BY cos_pct DESC, vec_id LIMIT 50""",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 single-probe range search: all vectors within cosine ≥ 0.10 of a
+    query vector (vec_id 0 stands in for a user embedding), top-50. The
+    online-lookup path: the probe broadcasts, scoring is a pure map-side
+    scan (no self-join of any kind), TakeOrderedAndProject returns the
+    page — O(corpus scan) with no shuffle at any size."""
+    from varda_spark.operators.similarity import qdot, quantized
+
+    q_ = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized("embedding", 1000).alias("_q")
+    )
+    probe = q_.filter(F.col("vec_id") == 0).select(
+        F.col("_q").alias("_pe")
+    )
+    scored = (
+        q_.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .withColumn("_dq", qdot("_q", "_pe"))
+        .withColumn("_n2", qdot("_q", "_q"))
+        .withColumn("_pn2", qdot("_pe", "_pe"))
+    )
+    cos_pct = F.floor(
+        F.lit(100).cast("double") * F.col("_dq").cast("double")
+        / F.sqrt((F.col("_n2") * F.col("_pn2")).cast("double"))
+    ).cast("bigint")
+    return (
+        scored.withColumn("cos_pct", cos_pct)
+        .filter((F.col("_dq") > 0) & (F.col("cos_pct") >= 10))
+        .select("vec_id", "cos_pct")
+        .orderBy(F.col("cos_pct").desc(), "vec_id")
+        .limit(50)
+    )
+
+
+@q(
     "interval_merge",
     """WITH ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
