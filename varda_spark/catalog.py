@@ -3902,6 +3902,69 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "arr_set_ops",
+    """WITH t AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+         WHERE doc_id < 100),
+       halves AS (
+         SELECT doc_id,
+                w[1 : greatest(len(w) // 2, 1)] AS a,
+                w[greatest(len(w) // 2, 1) + 1 : len(w)] AS b
+         FROM t)
+       SELECT doc_id,
+              list_sort(list_distinct(list_intersect(a, b))) AS common,
+              CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union,
+              CAST(len(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+                   AS BIGINT) AS n_only_first,
+              len(list_intersect(a, b)) > 0 AS overlaps
+       FROM halves""",
+)
+def arr_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6+ array set algebra: intersect / union-size / difference-size /
+    overlap between the two halves of each doc's token stream — all
+    JVM-side array kernels, sorted+distinct on both engines so the
+    comparison is set-semantics clean."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = F.split(F.trim(F.col("text")), " ")
+    half = F.greatest(F.floor(F.size(w) / 2).cast("int"), F.lit(1))
+    t = d.select(
+        "doc_id",
+        F.slice(w, 1, half).alias("a"),
+        F.expr(
+            "slice(split(trim(text), ' '), greatest(CAST(floor(size(split(trim(text), ' ')) / 2) AS INT), 1) + 1, "
+            "size(split(trim(text), ' ')))"
+        ).alias("b"),
+    )
+    return t.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.array_intersect("a", "b"))).alias("common"),
+        F.size(F.array_distinct(F.concat("a", "b"))).cast("bigint").alias("n_union"),
+        F.size(F.array_distinct(F.array_except("a", "b"))).cast("bigint").alias("n_only_first"),
+        F.arrays_overlap("a", "b").alias("overlaps"),
+    )
+
+
+@q(
+    "regex_extract_all",
+    """SELECT doc_id,
+              regexp_extract_all(text, '[a-z]{6,}') AS long_words,
+              CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT) AS n_long
+       FROM documents WHERE doc_id < 200""",
+)
+def regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8+ regexp_extract_all: every ≥6-letter run per doc, duplicates and
+    order preserved (the tokenizer-adjacent primitive json/str families
+    lacked)."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    all_matches = F.expr("regexp_extract_all(text, '[a-z]{6,}', 0)")
+    return d.select(
+        "doc_id",
+        all_matches.alias("long_words"),
+        F.size(all_matches).cast("bigint").alias("n_long"),
+    )
+
+
+@q(
     "interval_merge",
     """WITH ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
