@@ -90,32 +90,37 @@ class VardaWarehouse:
         self._overwrite_dim("samples", cur.unionByName(row))
         return sample_id
 
-    def _guard_checksum(self, path: str, kind: str, sample_id: int) -> str:
+    def _check_duplicate(self, path: str, kind: str) -> str:
         digest = hashlib.sha1(open(path, "rb").read()).hexdigest()
         manifest = self._read("manifest", _MANIFEST_SCHEMA)
         if manifest.filter(F.col("checksum") == digest).limit(1).count() > 0:
             raise DuplicateImportError(f"{kind} content {digest} already imported")
+        return digest
+
+    def _record_import(self, digest: str, kind: str, sample_id: int) -> None:
+        # recorded only AFTER the fact write lands — a failed import must
+        # not burn its checksum (the re-import would be rejected forever)
         entry = self.spark.createDataFrame(
             [Row(checksum=digest, kind=kind, sample_id=sample_id)], _MANIFEST_SCHEMA
         )
         entry.write.mode("append").parquet(self._path("manifest"))
-        return digest
 
     def import_variation(self, sample_id: int, vcf_path: str) -> int:
         """VCF → observations for this sample (per-ALT/per-sample decompose,
-        normalization, ref==alt guard all inside read_vcf). Returns rows."""
-        self._guard_checksum(vcf_path, "vcf", sample_id)
+        normalization, ref==alt guard all inside read_vcf). Returns the
+        number of observation rows this import added."""
+        digest = self._check_duplicate(vcf_path, "vcf")
         obs = read_vcf(self.spark, vcf_path).withColumn("sample_id", F.lit(sample_id).cast("long"))
         obs.write.mode("append").partitionBy("chromosome").parquet(self._path("observations"))
-        return self._read("observations", _OBS_SCHEMA).filter(
-            F.col("sample_id") == sample_id
-        ).count()
+        self._record_import(digest, "vcf", sample_id)
+        return obs.count()
 
     def import_coverage(self, sample_id: int, bed_path: str) -> int:
         """BED → regions; flips the sample's coverage_profile flag."""
-        self._guard_checksum(bed_path, "bed", sample_id)
+        digest = self._check_duplicate(bed_path, "bed")
         reg = read_bed(self.spark, bed_path).withColumn("sample_id", F.lit(sample_id).cast("long"))
         reg.write.mode("append").partitionBy("chromosome").parquet(self._path("regions"))
+        self._record_import(digest, "bed", sample_id)
         self._set_sample_flag(sample_id, "coverage_profile", True)
         return reg.count()
 
