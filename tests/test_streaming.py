@@ -234,3 +234,78 @@ def test_foreach_batch_streaming_upsert(spark, tmp_path):
     assert len(got) == 10
     assert got[3] == (30, 1) and got[5] == (50, 1) and got[7] == (70, 1)
     assert got[0] == (0, 0) and got[9] == (0, 0)
+
+
+def test_streaming_frequency_numerator_maintenance(spark, tmp_path):
+    """Continuous varda core: observation batches stream in, foreachBatch
+    merges each batch's (variant key → vc) partial into the rollup
+    (merge_rollups — sum-mergeable), and after all batches the maintained
+    table equals the batch recompute over everything. The numerator side
+    of frequency() as a live view, never re-scanning history."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from varda_spark.operators.merge import merge_rollups
+
+    KEYS = ["chromosome", "position", "reference", "observed"]
+    rollup_path = str(tmp_path / "vc_rollup")
+    src = tmp_path / "obs_in"
+    src.mkdir()
+
+    def write_batch(fname, rows):
+        (src / fname).write_text("\n".join(json.dumps(r) for r in rows))
+
+    b1 = [
+        {"chromosome": "1", "position": 100, "reference": "A", "observed": "G", "support": 1},
+        {"chromosome": "1", "position": 100, "reference": "A", "observed": "G", "support": 2},
+        {"chromosome": "2", "position": 50, "reference": "C", "observed": "", "support": 1},
+    ]
+    b2 = [
+        {"chromosome": "1", "position": 100, "reference": "A", "observed": "G", "support": 5},
+        {"chromosome": "3", "position": 7, "reference": "", "observed": "T", "support": 1},
+    ]
+    write_batch("b1.json", b1)
+
+    schema = "chromosome string, position long, reference string, observed string, support int"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+
+    def upsert(batch_df, _bid):
+        partial = batch_df.groupBy(*KEYS).agg(F.sum("support").alias("vc"))
+        try:
+            current = spark.read.parquet(rollup_path)
+            merged = merge_rollups([current, partial], KEYS, ["vc"])
+        except Exception:
+            merged = partial
+        merged.write.mode("overwrite").parquet(rollup_path + "_next")
+        spark.read.parquet(rollup_path + "_next").write.mode("overwrite").parquet(rollup_path)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    write_batch("b2.json", b2)
+    q2 = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    maintained = {
+        tuple(r[k] for k in KEYS): r.vc for r in spark.read.parquet(rollup_path).collect()
+    }
+    allrows = spark.createDataFrame(
+        [(r["chromosome"], r["position"], r["reference"], r["observed"], r["support"]) for r in b1 + b2],
+        schema,
+    )
+    batch = {
+        tuple(r[k] for k in KEYS): r.vc
+        for r in allrows.groupBy(*KEYS).agg(F.sum("support").alias("vc")).collect()
+    }
+    assert maintained == batch
+    assert maintained[("1", 100, "A", "G")] == 8
