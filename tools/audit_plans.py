@@ -43,6 +43,11 @@ BNLJ_OK = {
     "tpch_q22",          # 1-row scalar avg-balance subquery
     "text_domain_mix",   # 1-row corpus-total scalar
     "sim_range_search",  # 1-row probe vector broadcast
+    "tpch_q2",           # 1-row |supplier| count feeding synthetic partsupp
+    "tpch_q9",           # same partsupp 1-row s_cnt scalar
+    "tpch_q11",          # partsupp s_cnt + 1-row grand-total threshold
+    "tpch_q16",          # same partsupp 1-row s_cnt scalar
+    "tpch_q20",          # same partsupp 1-row s_cnt scalar
 }
 
 

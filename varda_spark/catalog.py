@@ -4213,6 +4213,386 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Synthetic partsupp → the six TPC-H queries the testdata couldn't run
+# =====================================================================
+# /root/testdata ships no partsupp.parquet, which blocked q2/q9/q11/q16/
+# q20/q21. Derive it DETERMINISTICALLY from part × supplier with integer
+# modular arithmetic — the identical derivation is inlined in each DuckDB
+# oracle (both engines read the same parquet, so the synthesized rows are
+# bit-identical; same pattern as `_points_intervals`). Shape follows spec
+# dbgen: 4 suppliers per part, supplier chosen by a partkey-dependent
+# stride mod |supplier| (s_suppkey is dense 0..S-1 in the testdata, so the
+# modulus IS a valid key — no rank lookup needed). availqty/supplycost are
+# modular functions of (partkey, suppkey); supplycost's /100.0+1.0 maps an
+# exact int to the same IEEE double in both engines.
+#
+# Scale: part × 4 is a map-side explode; the |supplier| count rides in as
+# a 1-row broadcast (whitelisted BNLJ — same shape as freq_variant's pool
+# scalar), so partsupp never materializes and Catalyst prunes/pushes into
+# it like any view.
+
+_PARTSUPP_SQL = """
+  partsupp AS (
+    SELECT ps_partkey, ps_suppkey,
+           CAST((ps_partkey * 31 + ps_suppkey * 7) % 9999 + 1 AS BIGINT) AS ps_availqty,
+           CAST((ps_partkey * 29 + ps_suppkey * 11) % 100000 AS DOUBLE) / 100.0 + 1.0 AS ps_supplycost
+    FROM (
+      SELECT p_partkey AS ps_partkey,
+             CAST((p_partkey * 13 + i * 37) % s_cnt AS BIGINT) AS ps_suppkey
+      FROM part
+           CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS s_cnt FROM supplier) sc
+           CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) ii
+    )
+  )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize partsupp(ps_partkey, ps_suppkey, ps_availqty,
+    ps_supplycost) exactly as `_PARTSUPP_SQL` does (see section comment)."""
+    p = read_table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = read_table(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_cnt")
+    )
+    expanded = (
+        p.join(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+            "s_cnt",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 13 + F.col("i") * 37) % F.col("s_cnt"))
+            .cast("bigint")
+            .alias("ps_suppkey"),
+        )
+    )
+    return expanded.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 7) % 9999 + 1)
+        .cast("bigint")
+        .alias("ps_availqty"),
+        (
+            ((F.col("ps_partkey") * 29 + F.col("ps_suppkey") * 11) % 100000).cast("double")
+            / 100.0
+            + 1.0
+        ).alias("ps_supplycost"),
+    )
+
+
+@q(
+    "tpch_q2",
+    f"""WITH {_PARTSUPP_SQL}
+       SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+       FROM partsupp
+            JOIN part ON p_partkey = ps_partkey
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+       WHERE p_size IN (10, 15, 20) AND r_name = 'EUROPE'
+         AND ps_supplycost = (
+               SELECT MIN(ps2.ps_supplycost)
+               FROM partsupp ps2
+                    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+               WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       LIMIT 100""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (correlated MIN decorrelated).
+
+    The correlated scalar subquery becomes a grouped-min + equi-join —
+    the decorrelation Catalyst would do, written explicitly so the join
+    keys are visible. Dims (supplier/nation/region) broadcast; the only
+    shuffle is the per-part min agg. Sort keys include p_partkey+s_name
+    (unique per row) so LIMIT 100 is deterministic across engines."""
+    ps = _partsupp(spark, sf_dir)
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size").isin(10, 15, 20))
+    eu_ps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = eu_ps.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        eu_ps.join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(
+            min_cost.withColumnRenamed("ps_partkey", "mc_partkey"),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@q(
+    "tpch_q9",
+    f"""WITH {_PARTSUPP_SQL}
+       SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+       FROM (
+         SELECT n_name AS nation,
+                CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))
+                - CAST(ps_supplycost AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+         FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+       ) profit
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC""",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit by nation and year.
+
+    5-way join: fact lineitem joins synthesized partsupp on the composite
+    (partkey, suppkey) — inner, so only lines whose supplier is one of the
+    part's 4 synthetic suppliers contribute (deterministic on both
+    engines). Decimal interior math keeps the profit sum exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = read_table(spark, sf_dir, "supplier")
+    ps = _partsupp(spark, sf_dir)
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation")
+    amount = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")) - dec(
+        "ps_supplycost"
+    ) * dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@q(
+    "tpch_q11",
+    f"""WITH {_PARTSUPP_SQL}
+       SELECT ps_partkey,
+              CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,4)) * ps_availqty) AS DOUBLE) AS part_value
+       FROM partsupp
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name = 'NATION_7'
+       GROUP BY ps_partkey
+       HAVING SUM(CAST(ps_supplycost AS DECIMAL(18,4)) * ps_availqty) * 10000 >
+              (SELECT SUM(CAST(ps_supplycost AS DECIMAL(18,4)) * ps_availqty)
+               FROM partsupp
+                    JOIN supplier ON ps_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_name = 'NATION_7')
+       ORDER BY part_value DESC, ps_partkey""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock identification.
+
+    The spec's `> total * 0.0001` is rewritten `* 10000 > total` so the
+    threshold compare stays in EXACT decimal on both engines (multiplying
+    the sum by an int is exact; multiplying by 0.0001 is not). The 1-row
+    grand total rides in as a broadcast (whitelisted BNLJ scalar)."""
+    ps = _partsupp(spark, sf_dir)
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    base = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("ps_partkey", (dec("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    )
+    per_part = base.groupBy("ps_partkey").agg(F.sum("v").alias("value_dec"))
+    total = base.agg(F.sum("v").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec") * 10000 > F.col("total_dec"))
+        .select("ps_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@q(
+    "tpch_q16",
+    f"""WITH {_PARTSUPP_SQL}
+       SELECT p_brand, p_type, p_size,
+              CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       FROM partsupp JOIN part ON p_partkey = ps_partkey
+       WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'MEDIUM%'
+         AND p_size IN (1, 4, 7, 10, 14, 19, 25, 28)
+         AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship.
+
+    Spec's exclusion set is suppliers with complaint comments; testdata
+    ships no s_comment, so the adapted exclusion is s_acctbal < 0 (same
+    NOT IN anti-join shape, still a non-empty set). Anti-join broadcasts
+    the tiny exclusion list; count-distinct shuffles once on the group."""
+    ps = _partsupp(spark, sf_dir)
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 28))
+    )
+    bad_s = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(bad_s), ps.ps_suppkey == bad_s.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@q(
+    "tpch_q20",
+    f"""WITH {_PARTSUPP_SQL}
+       SELECT s_name, s_acctbal
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name = 'NATION_3'
+         AND s_suppkey IN (
+           SELECT ps_suppkey FROM partsupp
+           WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+             AND ps_availqty > (
+                   SELECT 0.5 * SUM(l_quantity) FROM lineitem
+                   WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                     AND l_shipdate >= DATE '1996-01-01'
+                     AND l_shipdate < DATE '1997-01-01'))
+       ORDER BY s_name""",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion.
+
+    The correlated half-of-shipped-quantity subquery decorrelates to a
+    grouped sum over the filtered year joined back on (partkey, suppkey);
+    an empty correlation group means SUM IS NULL → predicate false, which
+    the INNER join reproduces exactly. l_quantity is integral in the
+    testdata so the double half-sum is exact. Semi-join up to supplier."""
+    ps = _partsupp(spark, sf_dir)
+    red_parts = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.lit(0.5) * F.sum("l_quantity")).alias("half_qty")
+    )
+    qualifying = (
+        ps.join(F.broadcast(red_parts), ps.ps_partkey == red_parts.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == qualifying.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@q(
+    "tpch_q21",
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+       WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_5'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name
+       LIMIT 100""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting (adapted).
+
+    Testdata has no l_receiptdate/l_commitdate, so "late" is adapted to
+    l_returnflag = 'R' — the EXISTS / NOT-EXISTS double correlated
+    subquery over the same fact table (the hard part of Q21) is
+    preserved verbatim. Spark side: the EXISTS pair becomes a left-semi
+    then left-anti join on (orderkey, ≠suppkey) pairs, expressed as
+    non-equi semi/anti joins on orderkey with the suppkey disequality in
+    the join condition — still hash-partitionable on l_orderkey."""
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = read_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    waited = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+# =====================================================================
 # Driver-visible ordering
 # =====================================================================
 # The correctness driver oracle-checks only the FIRST 50 registered keys
