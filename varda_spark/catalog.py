@@ -4596,32 +4596,37 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-visible ordering
 # =====================================================================
 # The correctness driver oracle-checks only the FIRST 50 registered keys
-# (CORRECTNESS_r01.json cut off at slot 50, insertion order). Re-order the
-# registry so those 50 slots carry the most load-bearing operator per
-# SURVEY.md §2 family — flagship frequency, the full join/agg/window/set
-# families, keyset pagination, the whole dedup/ANN family, streaming, UDFs,
-# and two TPC-H anchors. Everything else keeps its relative order after
-# slot 50 and is still verified by tools/check_oracle.py (all keys).
+# (insertion order; both CORRECTNESS_r01 and r02 are exactly
+# list(REGISTRY)[:50]). Rounds 1+2 green-lit 68 distinct keys, so round 3
+# ROTATES the window: these 50 slots are keys the driver has NEVER
+# sampled (all oracle-twinned — the rows-only keys stay out so every
+# driver row is a full hash check). With r01+r02 this takes the
+# driver-verified union to 118 of 150. Everything else keeps its relative
+# order after slot 50 and is still verified by tools/check_oracle.py
+# (all 150, every round).
 
 _DRIVER_PRIORITY = [
-    "freq_variant", "freq_zygosity", "str_trim_alleles", "str_normalize",
-    "join_interval", "expr_select", "filter_eq",
-    "join_equi", "join_broadcast", "join_semi", "join_anti", "join_left",
-    "join_range", "join_asof",
-    "agg_sum", "agg_conditional", "agg_ratio", "agg_count_distinct",
-    "agg_rollup", "agg_cube", "agg_pivot", "agg_quantile",
-    "win_rank", "win_running", "win_topk",
-    "sort_limit", "sort_multi",
-    "set_union", "set_intersect", "set_except",
-    "paginate_seek",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-    "dedup_embcos", "sim_topk", "sim_ivf",
-    "dedup_pipeline", "sim_lsh",
-    "stream_tumbling", "stream_session", "stream_watermark",
-    "stream_dedup", "stream_join",
-    "udf_pandas_scalar", "udf_grouped_agg",
-    "multimodal_meta",
-    "tpch_q1", "tpch_q5",
+    # core varda surface never yet sampled
+    "freq_selected", "freq_keys", "merge_upsert", "rollup_incremental",
+    # TPC-H: all 20 never-sampled (incl. the six new partsupp-backed ones)
+    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+    "tpch_q21", "tpch_q22",
+    # ANN / dedup family beyond the r2-checked five
+    "sim_kmeans", "sim_ivf_kmeans", "sim_range_search",
+    "dedup_components", "dedup_cross_corpus", "dedup_keep_best",
+    "text_decontaminate",
+    # interval breadth
+    "join_nearest", "join_band", "join_recip_overlap", "interval_merge",
+    # window breadth
+    "win_sessionize", "win_range_frame", "win_fill_forward",
+    "win_first_last", "win_ntile", "win_gaps",
+    # aggregation breadth
+    "agg_gsets", "agg_salted", "agg_stats", "agg_histogram", "agg_mode",
+    "agg_coverage", "agg_minmax_by",
+    # text pipeline
+    "text_gopher", "text_lm_score",
 ]
 
 
