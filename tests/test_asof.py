@@ -41,3 +41,16 @@ def test_resize_stub(spark):
     d = spark.createDataFrame([Row(doc_id=1, text="x" * 100)])
     out = resize_images(synthesize_blobs(d), width=4, height=4, fake=True).collect()
     assert len(out[0].content) == 16 and out[0].n_bytes == 16
+
+
+def test_chunk_audio_empty_payload_emits_no_rows(spark):
+    # sequence(0, ceil(0/chunk)-1) DESCENDS; a zero-byte payload must yield
+    # zero chunks (the oracle's range(0,0) semantics), not idx {0,-1} junk.
+    from varda_spark.sources.multimodal import chunk_audio, synthesize_blobs
+
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=4, text="y" * 40)]
+    )  # both doc_id%3==1 → audio/wav
+    out = chunk_audio(synthesize_blobs(d), chunk_bytes=32).collect()
+    assert {r.item_id for r in out} == {4}
+    assert sorted((r.chunk_idx, r.chunk_len) for r in out) == [(0, 32), (1, 8)]

@@ -204,6 +204,9 @@ def test_blocked_topk_max_block_split(spark):
     exact = blocked_topk_pandas(e, k=1, max_block=8192).toPandas().set_index("query_id")["dot_q"]
     split1 = out[out["rank"] == 1].set_index("query_id")["dot_q"]
     assert (split1 <= exact.loc[split1.index]).all()
+    # degradation is observable: split rows flagged true, exact run false
+    assert out["split"].all()
+    assert not blocked_topk_pandas(e, k=1, max_block=8192).toPandas()["split"].any()
 
 
 def test_pack_sequences_invariants(spark):
@@ -227,6 +230,29 @@ def test_pack_sequences_invariants(spark):
     assert out.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_pack_sequences_string_keys_and_blank_text(spark):
+    """String doc ids (JSONL-style) pack unchanged; blank/NULL text is 0
+    tokens, not the size(split(''))==1 footgun."""
+    from pyspark.sql import Row
+
+    from varda_spark.operators.packing import pack_sequences
+
+    d = spark.createDataFrame(
+        [
+            Row(doc_id="a", text="one two three"),
+            Row(doc_id="b", text=""),
+            Row(doc_id="c", text=None),
+            Row(doc_id="d", text="  padded  words  "),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences(d, max_tokens=8, n_shards=2).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert out["a"].n_tokens == 3 and out["d"].n_tokens == 2
+    assert out["b"].n_tokens == 0 and out["c"].n_tokens == 0
+    assert not any(r.overflow for r in out.values())
 
 
 def test_udtf_sentences_matches_sql_split(spark):

@@ -64,14 +64,26 @@ class VardaWarehouse:
         return self.spark.read.parquet(path)
 
     def _overwrite_dim(self, name: str, df: DataFrame) -> None:
-        tmp = self._path(name) + "__new"
-        df.write.mode("overwrite").parquet(tmp)
-        final = self._path(name)
-        back = self.spark.read.parquet(tmp)
-        back.write.mode("overwrite").parquet(final)
+        """Directory-swap rewrite of a (tiny) dimension.
+
+        Write ``__new``, move the live dir aside to ``__old``, move
+        ``__new`` in, then drop ``__old`` — a crash at any step leaves
+        either the old or the new complete directory on disk (the renames
+        are atomic on a local/posix filesystem; on object stores swap in a
+        manifest-pointer commit instead). Single-writer, like the rest of
+        the lifecycle (see class docstring)."""
         import shutil
 
-        shutil.rmtree(tmp)
+        final = self._path(name)
+        tmp, old = final + "__new", final + "__old"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     # ---- lifecycle (varda REST §3) --------------------------------------
     def samples(self) -> DataFrame:
@@ -80,8 +92,17 @@ class VardaWarehouse:
     def create_sample(
         self, name: str, *, pool_size: int = 1, public: bool = False
     ) -> int:
+        """Register a sample; returns its id.
+
+        The id is a content hash of the sample name (top 62 bits of
+        sha1) — no max()+1 read-modify-write, so two writers creating
+        DIFFERENT samples can never mint the same id. Creating the same
+        name twice raises (names are the user-facing key, as in the
+        reference's one-task-per-sample REST lifecycle)."""
         cur = self.samples()
-        sample_id = (cur.agg(F.coalesce(F.max("sample_id"), F.lit(0))).collect()[0][0] or 0) + 1
+        if cur.filter(F.col("name") == name).limit(1).count() > 0:
+            raise ValueError(f"sample name {name!r} already exists")
+        sample_id = int.from_bytes(hashlib.sha1(name.encode()).digest()[:8], "big") >> 2
         row = self.spark.createDataFrame(
             [Row(sample_id=sample_id, name=name, pool_size=pool_size,
                  coverage_profile=False, public=public, active=False, version=0)],
@@ -91,7 +112,13 @@ class VardaWarehouse:
         return sample_id
 
     def _check_duplicate(self, path: str, kind: str) -> str:
-        digest = hashlib.sha1(open(path, "rb").read()).hexdigest()
+        # stream the digest in 1 MiB chunks — a multi-GB VCF must not be
+        # slurped into driver memory for a checksum
+        h = hashlib.sha1()
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        digest = h.hexdigest()
         manifest = self._read("manifest", _MANIFEST_SCHEMA)
         if manifest.filter(F.col("checksum") == digest).limit(1).count() > 0:
             raise DuplicateImportError(f"{kind} content {digest} already imported")

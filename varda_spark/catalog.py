@@ -550,7 +550,11 @@ def paginate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path is `paginate_seek` below.
     """
     c = read_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_name", "c_custkey")
+    # pmod(key,1)≡0 partition key: still one task (documented above), but
+    # the non-foldable constant keeps the partitionSpec non-empty (a bare
+    # literal is folded out) so WindowExec stops spamming "No Partition
+    # Defined" over every bench/driver log tail
+    w = Window.partitionBy(F.pmod(F.col("c_custkey"), F.lit(1))).orderBy("c_name", "c_custkey")
     return (
         c.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > 20) & (F.col("rn") <= 40))

@@ -31,9 +31,13 @@ def pack_sequences(
     itself exceeds it (overflow=true)."""
     import pandas as pd
 
+    # blank/NULL text splits to [''] (size 1) — count it as 0 tokens explicitly
+    n_tokens = F.when(
+        F.col(text).isNull() | (F.trim(F.col(text)) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text)), r"\s+")))
     counted = docs.select(
         F.col(key),
-        F.size(F.split(F.trim(F.col(text)), r"\s+")).cast("bigint").alias("n_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         (
             F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast("bigint")
             % n_shards
@@ -53,5 +57,8 @@ def pack_sequences(
         pdf["overflow"] = pdf["n_tokens"] > max_tokens
         return pdf[["shard", "bin_id", key, "n_tokens", "overflow"]]
 
-    schema = f"shard bigint, bin_id bigint, {key} bigint, n_tokens bigint, overflow boolean"
+    # derive the key's type from the input — string ids from JSONL ingest
+    # must survive, not be hammered into bigint
+    key_type = docs.schema[key].dataType.simpleString()
+    schema = f"shard bigint, bin_id bigint, {key} {key_type}, n_tokens bigint, overflow boolean"
     return counted.groupBy("shard").applyInPandas(_pack, schema)

@@ -108,11 +108,16 @@ def blocked_topk_pandas(
     sub-block only — exact for any block ≤ max_block (the salt is the
     constant 0 there), approximate above it. Size max_block so that
     max_block² int64 gram cells fit executor memory (8192² = 512 MiB).
+    Degradation is OBSERVABLE, not silent: every output row carries a
+    ``split`` boolean — true iff its block exceeded max_block and was
+    therefore ranked sub-block-only. Exact callers project it away after
+    asserting (or knowing) their blocks are bounded; pipelines at scale
+    can route split=true rows to a re-rank pass.
     """
     import numpy as np
     import pandas as pd
 
-    empty = pd.DataFrame(columns=[block, "query_id", "neighbor_id", "dot_q", "rank"])
+    empty = pd.DataFrame(columns=[block, "query_id", "neighbor_id", "dot_q", "rank", "split"])
 
     def _block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[key].to_numpy(dtype=np.int64)
@@ -120,6 +125,7 @@ def blocked_topk_pandas(
         kk = min(k, n - 1)
         if kk <= 0:
             return empty
+        was_split = bool(pdf["_bn"].iloc[0] > max_block)
         blk = pdf[block].iloc[0]
         Q = np.vstack(pdf[qcol].to_numpy())
         G = Q @ Q.T  # int64, exact
@@ -142,11 +148,15 @@ def blocked_topk_pandas(
                 "neighbor_id": ids_sorted[top].ravel(),
                 "dot_q": np.take_along_axis(Gs, top, axis=1).ravel(),
                 "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), n),
+                "split": np.repeat(was_split, n * kk),
             }
         )
 
     block_t = dict(base.dtypes)[block]
-    schema = f"{block} {block_t}, query_id bigint, neighbor_id bigint, dot_q bigint, rank bigint"
+    schema = (
+        f"{block} {block_t}, query_id bigint, neighbor_id bigint, dot_q bigint, "
+        "rank bigint, split boolean"
+    )
     w = Window.partitionBy(block)
     sel = (
         base.select(key, block, qcol)
@@ -155,7 +165,6 @@ def blocked_topk_pandas(
             "_salt",
             F.pmod(F.xxhash64(F.col(key)), F.greatest(F.lit(1), F.ceil(F.col("_bn") / max_block))),
         )
-        .drop("_bn")
     )
     return sel.groupBy(block, "_salt").applyInPandas(_block, schema)
 
@@ -395,7 +404,11 @@ def kmeans_assign(
     import pandas as pd
 
     q_ = emb.select(key, quantized(vec, scale).alias("_q"))
-    w0 = Window.orderBy(key)
+    # partition the k-row init window by pmod(key,1)≡0: same single task
+    # over k rows, but the non-foldable constant survives Catalyst (a bare
+    # literal is folded out of the partitionSpec) so WindowExec stops
+    # spamming "No Partition Defined" across every log tail
+    w0 = Window.partitionBy(F.pmod(F.col(key), F.lit(1))).orderBy(key)
     cents = (
         q_.orderBy(key).limit(k)
         .select((F.row_number().over(w0) - 1).alias("cell_id"), F.col("_q").alias("_ce"))

@@ -150,8 +150,13 @@ def chunk_audio(mm: DataFrame, chunk_bytes: int = 32) -> DataFrame:
     would slot in as a mapInPandas stage like decode_image_features).
     Pure Column math: chunk count from n_bytes, posexplode of the index
     sequence, substring on the BINARY payload. Rows stay (item, chunk_idx)
-    — at 100 TB chunking is map-side with zero shuffle."""
-    audio = mm.filter(F.col("mime") == "audio/wav")
+    — at 100 TB chunking is map-side with zero shuffle.
+
+    Zero-byte payloads are filtered out BEFORE the explode: sequence(0,
+    ceil(0/chunk)-1) = sequence(0,-1) DESCENDS in Spark, which would emit
+    two garbage chunks (idx 0 and -1) where the oracle's range(0,0) emits
+    none."""
+    audio = mm.filter((F.col("mime") == "audio/wav") & (F.col("n_bytes") > 0))
     idx = F.explode(
         F.sequence(F.lit(0), F.ceil(F.col("n_bytes") / chunk_bytes).cast("bigint") - 1)
     ).alias("chunk_idx")
