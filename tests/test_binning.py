@@ -38,7 +38,7 @@ def test_binned_equals_naive(spark):
         idf = spark.createDataFrame(ivs)
         binned = {
             (r.pid, r.rid)
-            for r in interval_join(pdf, idf, ival_chrom="chromosome").select("pid", "rid").collect()
+            for r in interval_join(pdf, idf, ival_chrom="chromosome", strategy="binned").select("pid", "rid").collect()
         }
         naive = {
             (r.pid, r.rid)
@@ -138,3 +138,40 @@ def test_nearest_interval_random_vs_bruteforce(spark):
             (max(b - pos, pos - e, 0), k) for _, b, e, k in ivs
         )
         assert got[(pos, pid)] == (best[1], best[0]), (pos, pid)
+
+
+def test_auto_strategy_picks_plan_by_size(spark, tmp_path):
+    """strategy='auto' chooses by Catalyst's size estimate vs the session
+    broadcast threshold: small interval side → broadcast theta join
+    (BroadcastNestedLoopJoin), large side (threshold shrunk) → binned
+    equi-join (no BNLJ, a real equi-join on (chromosome, bin)).
+
+    Sides are parquet-backed: file scans carry real size statistics; a
+    local RDD reports unknown (huge) size, and auto correctly treats
+    unknown as too-big-to-broadcast (the safe default)."""
+    pts, ivs = _random_case(7)
+    spark.createDataFrame(pts).write.parquet(str(tmp_path / "pts"))
+    spark.createDataFrame(ivs).write.parquet(str(tmp_path / "ivs"))
+    pdf = spark.read.parquet(str(tmp_path / "pts"))
+    idf = spark.read.parquet(str(tmp_path / "ivs"))
+
+    auto_small = interval_join(pdf, idf, ival_chrom="chromosome", strategy="auto")
+    plan_small = auto_small._jdf.queryExecution().executedPlan().toString()
+    # theta join with the broadcast side small: Spark plans a broadcast
+    # join (BroadcastHashJoin on the chromosome equi-key with the range
+    # residual, or BNLJ if no equi component) — either way no shuffle
+    assert "Broadcast" in plan_small and "SortMergeJoin" not in plan_small
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+        auto_big = interval_join(pdf, idf, ival_chrom="chromosome", strategy="auto")
+        plan_big = auto_big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan_big
+        assert "CartesianProduct" not in plan_big
+        # regime equivalence: both strategies produce identical pairs
+        small_pairs = {(r.pid, r.rid) for r in auto_small.select("pid", "rid").collect()}
+        big_pairs = {(r.pid, r.rid) for r in auto_big.select("pid", "rid").collect()}
+        assert small_pairs == big_pairs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

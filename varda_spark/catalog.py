@@ -644,7 +644,7 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from varda_spark.operators.interval import interval_join
 
     p, s = _points_intervals(spark, sf_dir)
-    joined = interval_join(p, s)
+    joined = interval_join(p, s, strategy="binned")  # the rewrite under proof
     return joined.groupBy("chromosome").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.countDistinct("p_partkey").cast("bigint").alias("n_points_covered"),

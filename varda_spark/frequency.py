@@ -82,6 +82,7 @@ def frequency(
             loci,
             regions.join(sel.filter(F.col("coverage_profile")).select("sample_id"), "sample_id")
             .select("sample_id", "chromosome", "begin", "end"),
+            strategy="binned",  # pinned: regions scale with samples×genome
         )
         # overlapping regions of one sample count once (C3 semi-join shape)
         .select("chromosome", "position", "sample_id")

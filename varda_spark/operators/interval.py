@@ -19,6 +19,21 @@ from pyspark.sql import DataFrame, functions as F
 from varda_spark.operators.binning import point_bins, range_bins, with_bin
 
 
+def _fits_broadcast(df: DataFrame) -> bool:
+    """True iff Catalyst's optimized-plan size estimate for ``df`` (the
+    whole row ships in the broadcast) is within the session's
+    autoBroadcastJoinThreshold. Plan statistics only — no job runs."""
+    spark = df.sparkSession
+    try:
+        thr = int(spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold())
+    except Exception:
+        thr = 10 * 1024 * 1024
+    if thr <= 0:  # broadcast disabled session-wide → honor it
+        return False
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    return 0 <= size <= thr
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -29,22 +44,31 @@ def interval_join(
     ival_begin: str = "begin",
     ival_end: str = "end",
     how: str = "inner",
-    strategy: str = "binned",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Join each point to every closed interval [begin,end] containing it.
 
-    strategy='binned' (default): equi-join on (chromosome, bin) + residual
-    range predicate — the scale path; both sides shuffle on an even key.
+    strategy='binned': equi-join on (chromosome, bin) + residual range
+    predicate — the scale path; both sides shuffle on an even key.
     strategy='broadcast': plain theta join with the interval side broadcast
     (BroadcastNestedLoop) — measured FASTER when the interval side fits in
     a broadcast (sf0.1: 0.4s vs 1.4s binned) because it skips the explode
-    and shuffle entirely; unusable when both sides are large. Callers pick
-    by interval-side size; there is no automatic switch because sizing the
-    side costs a job (AQE cannot rewrite a manual bin join back).
+    and shuffle entirely; unusable when both sides are large.
+    strategy='auto' (default): pick broadcast iff Catalyst's own plan
+    statistics put the interval side at or under
+    spark.sql.autoBroadcastJoinThreshold — the same size estimate and
+    threshold Spark's planner uses for its broadcast decision, read off
+    the optimized plan at ZERO job cost (file-size based for scans,
+    propagated through filters/projects). This is the knob a real user
+    otherwise gets wrong: at 100 TB the interval side is usually a
+    bounded region dimension, and silently running the binned shuffle for
+    a 2 MB BED file wastes the whole win.
 
     Interval columns keep their names; clashing names on the interval side
     get an ``i_`` prefix.
     """
+    if strategy == "auto":
+        strategy = "broadcast" if _fits_broadcast(intervals) else "binned"
     if strategy == "broadcast":
         return interval_join_naive(
             points,
@@ -217,7 +241,11 @@ def nearest_interval(
         F.when(use_left, dl).otherwise(dr).cast("bigint").alias("s_dist"),
     )
     ov = (
-        interval_join(points, intervals.select("chromosome", "begin", "end", interval_key))
+        interval_join(
+            points,
+            intervals.select("chromosome", "begin", "end", interval_key),
+            strategy="binned",
+        )
         .groupBy("chromosome", "position", point_key)
         .agg(F.min(interval_key).alias("ov_key"))
     )
