@@ -271,3 +271,38 @@ def test_udtf_sentences_matches_sql_split(spark):
     )
     assert got.exceptAll(twin).count() == 0
     assert twin.exceptAll(got).count() == 0
+
+
+def test_kmeans_centroid_persistence_bit_equals_refit(spark, tmp_path):
+    """Persist the fitted quantizer, reload it, and prove both the cell
+    assignment and the IVF top-k are bit-identical to the refit run —
+    the persisted-model path repeated ANN queries should take."""
+    from varda_spark.operators.similarity import (
+        blocked_topk_pandas,
+        ivf_topk,
+        kmeans_assign,
+        kmeans_fit,
+        load_centroids,
+        quantized,
+        save_centroids,
+    )
+
+    e = read_table(spark, SF, "embeddings").limit(400)
+    cents = kmeans_fit(e, k=4, iters=2)
+    save_centroids(cents, str(tmp_path / "cents"))
+    loaded = load_centroids(spark, str(tmp_path / "cents"))
+
+    refit = kmeans_assign(e, k=4, iters=2).toPandas().sort_values("vec_id").reset_index(drop=True)
+    persisted = (
+        kmeans_assign(e, centroids=loaded).toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert refit.equals(persisted)
+
+    key = ["query_id", "rank"]
+    t_refit = (
+        ivf_topk(e, centroids=cents).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    t_loaded = (
+        ivf_topk(e, centroids=loaded).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert t_refit.equals(t_loaded)

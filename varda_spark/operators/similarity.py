@@ -217,6 +217,7 @@ def ivf_topk(
     key: str = "vec_id",
     vec: str = "embedding",
     scale: int = 1000,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize to the nearest of n_centroids seed
     vectors (argmax integer dot), then exact top-k within each cell.
@@ -225,12 +226,19 @@ def ivf_topk(
     is map-side (no shuffle), and the self-join shuffles on cell id only.
     Centroids are the n_centroids lowest-key vectors (deterministic; a
     production system plugs in k-means output — same plan shape).
+
+    ``centroids``: a persisted (cell_id, _ce) table from kmeans_fit /
+    load_centroids — repeated queries then skip both the seed selection
+    and any refit; n_centroids is ignored.
     """
     q_ = emb.select(key, quantized(vec, scale).alias("_q"))
-    cents = (
-        q_.orderBy(key).limit(n_centroids)
-        .select(F.col(key).alias("cell_id"), F.col("_q").alias("_qc"))
-    )
+    if centroids is not None:
+        cents = centroids.select("cell_id", F.col("_ce").alias("_qc"))
+    else:
+        cents = (
+            q_.orderBy(key).limit(n_centroids)
+            .select(F.col(key).alias("cell_id"), F.col("_q").alias("_qc"))
+        )
     scored = q_.crossJoin(F.broadcast(cents)).withColumn("_cd", qdot("_q", "_qc"))
     wa = Window.partitionBy(key).orderBy(F.col("_cd").desc(), F.col("cell_id"))
     assigned = (
@@ -378,7 +386,37 @@ def _blocked_cos_pairs(
     )
 
 
-def kmeans_assign(
+def _assign_to_centroids(q_: DataFrame, cents: DataFrame, key: str) -> DataFrame:
+    """Map-side argmin-L2 assignment of quantized vectors to a (cell_id,
+    _ce) centroid table → (key, cell_id, _q).
+
+    The k-row quantizer is collected (k·dim ints — the same driver state
+    any fitted model holds) and closure-shipped; assignment is then one
+    numpy matmul per Arrow batch on the executors. Facts never leave
+    executors; an 8×64 int table rides the task binary. Exact &
+    deterministic: integer scores |c|²−2x·c, np.argmin takes the FIRST
+    minimum and rows are cell_id-ascending → lowest-cell tie-break,
+    identical to the oracle's (score, cell_id) ordering."""
+    import numpy as np
+
+    crows = sorted(cents.collect(), key=lambda r: r["cell_id"])
+    C = np.array([r["_ce"] for r in crows], dtype=np.int64)
+    cid = np.array([r["cell_id"] for r in crows], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def _assign(batches, C=C, cid=cid, c2=c2):
+        for pdf in batches:
+            Q = np.vstack(pdf["_q"].to_numpy())
+            S = c2[None, :] - 2 * (Q @ C.T)  # int64, exact
+            out = pdf[[key]].copy()
+            out["cell_id"] = cid[S.argmin(axis=1)]
+            out["_q"] = pdf["_q"]
+            yield out
+
+    return q_.mapInPandas(_assign, f"{key} bigint, cell_id bigint, _q array<bigint>")
+
+
+def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
     iters: int = 3,
@@ -386,9 +424,10 @@ def kmeans_assign(
     vec: str = "embedding",
     scale: int = 1000,
 ) -> DataFrame:
-    """Deterministic Lloyd's k-means over quantized vectors → (vec_id,
-    cell_id): the real coarse quantizer for IVF ANN (ivf_topk's seeded
-    centroids upgrade to this output).
+    """Fit deterministic Lloyd's k-means; returns the FITTED MODEL as a
+    k-row DataFrame (cell_id bigint, _ce array<bigint>) — persistable via
+    save_centroids/load_centroids so repeated ANN queries skip the fit
+    (the warehouse's continuous-rollup story applied to model state).
 
     Engine-portable by construction: init = the k lowest-key vectors
     (cell_id 0..k-1 in key order); assignment = argmin integer L2 score
@@ -400,9 +439,6 @@ def kmeans_assign(
     driver-trivial. Fixed iteration count (no convergence action) keeps
     the plan static and the oracle replicable.
     """
-    import numpy as np
-    import pandas as pd
-
     q_ = emb.select(key, quantized(vec, scale).alias("_q"))
     # partition the k-row init window by pmod(key,1)≡0: same single task
     # over k rows, but the non-foldable constant survives Catalyst (a bare
@@ -413,34 +449,8 @@ def kmeans_assign(
         q_.orderBy(key).limit(k)
         .select((F.row_number().over(w0) - 1).alias("cell_id"), F.col("_q").alias("_ce"))
     )
-    for it in range(iters + 1):
-        # The k-row quantizer is collected (k·dim ints — the same driver
-        # state any fitted model holds) and closure-shipped; assignment is
-        # then one numpy matmul per Arrow batch on the executors. Facts
-        # never leave executors; an 8×64 int table rides the task binary.
-        # Exact & deterministic: integer scores |c|²−2x·c, np.argmin takes
-        # the FIRST minimum and rows are cell_id-ascending → lowest-cell
-        # tie-break, identical to the oracle's (score, cell_id) ordering.
-        crows = sorted(cents.collect(), key=lambda r: r["cell_id"])
-        C = np.array([r["_ce"] for r in crows], dtype=np.int64)
-        cid = np.array([r["cell_id"] for r in crows], dtype=np.int64)
-        c2 = (C * C).sum(axis=1)
-
-        def _assign(batches, C=C, cid=cid, c2=c2):  # bind THIS round's quantizer
-            for pdf in batches:
-                Q = np.vstack(pdf["_q"].to_numpy())
-                S = c2[None, :] - 2 * (Q @ C.T)  # int64, exact
-                out = pdf[[key]].copy()
-                out["cell_id"] = cid[S.argmin(axis=1)]
-                out["_q"] = pdf["_q"]
-                yield out
-
-        assigned = q_.mapInPandas(
-            _assign, f"{key} bigint, cell_id bigint, _q array<bigint>"
-        )
-        if it == iters:
-            return assigned.select(key, F.col("cell_id").cast("bigint").alias("cell_id"))
-
+    for _ in range(iters):
+        assigned = _assign_to_centroids(q_, cents, key)
         # centroid update stays the exploded (cell, dim) aggregate ON
         # PURPOSE: partial aggregation combines map-side down to k·dim rows
         # before the wire, and no task ever holds a whole cell — a per-cell
@@ -464,3 +474,39 @@ def kmeans_assign(
             # previous round (lineage grows multiplicatively)
             .localCheckpoint()
         )
+    return cents
+
+
+def save_centroids(cents: DataFrame, path: str) -> None:
+    """Persist a fitted centroid table (cell_id, _ce) — k rows of bigint
+    arrays, an exact parquet round-trip (no floats to perturb)."""
+    cents.write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> DataFrame:
+    """Load a centroid table written by save_centroids."""
+    return spark.read.parquet(path)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Assign every vector to its k-means cell → (vec_id, cell_id): the
+    real coarse quantizer for IVF ANN (ivf_topk's seeded centroids upgrade
+    to this output).
+
+    ``centroids``: a previously fitted (cell_id, _ce) table (from
+    kmeans_fit / load_centroids) — assignment then skips the fit entirely
+    and is a single map-side pass; k/iters are ignored. Bit-equal to the
+    refit path for the same model by construction (same closure-shipped
+    argmin math — proven in tests/test_llm_ops.py)."""
+    q_ = emb.select(key, quantized(vec, scale).alias("_q"))
+    cents = centroids if centroids is not None else kmeans_fit(emb, k, iters, key, vec, scale)
+    assigned = _assign_to_centroids(q_, cents, key)
+    return assigned.select(key, F.col("cell_id").cast("bigint").alias("cell_id"))
