@@ -309,3 +309,77 @@ def test_streaming_frequency_numerator_maintenance(spark, tmp_path):
     }
     assert maintained == batch
     assert maintained[("1", 100, "A", "G")] == 8
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill the maintenance stream mid-batch, restart from the SAME
+    checkpoint, and prove exactly-once: the crashed batch had already
+    written its partial (worst case), is replayed on restart with the same
+    batch_id, and the idempotent per-batch_id sink neither duplicates nor
+    drops anything — the maintained rollup equals the batch recompute.
+    At 100 TB the restart path IS the path; this pins its semantics."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from varda_spark.streaming.windows import idempotent_rollup_sink, read_rollup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rollup = str(tmp_path / "rollup")
+    rows = []
+    for b in range(3):
+        batch = [{"k": f"g{i % 4}", "support": b * 10 + i} for i in range(6)]
+        rows += batch
+        (src / f"b{b}.json").write_text("\n".join(json.dumps(r) for r in batch))
+
+    schema = "k string, support long"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    sink = idempotent_rollup_sink(["k"], {"total": "sum", "n": "count"}, rollup)
+
+    def crashing_sink(batch_df, batch_id):
+        # worst-case crash: the data write LANDS, then the task dies before
+        # the checkpoint commit — replay must overwrite, not double-apply
+        renamed = batch_df.withColumn("total", F.col("support")).withColumn("n", F.lit(1))
+        sink(renamed.select("k", "total", "n"), batch_id)
+        if batch_id == 1 and not (tmp_path / "crashed_once").exists():
+            (tmp_path / "crashed_once").write_text("x")
+            raise RuntimeError("injected crash after write, before commit")
+
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        crashed = False
+    except StreamingQueryException:
+        crashed = True
+    assert crashed and (tmp_path / "crashed_once").exists()
+
+    # restart from the same checkpoint: batch 1 replays (same id, same
+    # offsets), batch 2 runs fresh; batch 0 is not re-read
+    q2 = (
+        stream.writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        r.k: (r.total, r.n)
+        for r in read_rollup(spark, rollup, ["k"], ["total", "n"]).collect()
+    }
+    want_df = spark.createDataFrame([(r["k"], r["support"]) for r in rows], schema)
+    want = {
+        r.k: (r.total, r.n)
+        for r in want_df.groupBy("k")
+        .agg(F.sum("support").cast("bigint").alias("total"), F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    assert got == want

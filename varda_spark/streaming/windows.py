@@ -251,3 +251,42 @@ def enrich_counts(ev: DataFrame, dim: DataFrame, dim_key: str = "c_custkey",
     return joined.groupBy(dim_val, "event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events")
     )
+
+
+def idempotent_rollup_sink(keys: list[str], vals: dict[str, str], out_dir: str):
+    """Exactly-once foreachBatch sink for a sum-mergeable rollup.
+
+    The non-negotiable rule of foreachBatch: the body re-runs with the SAME
+    batch_id after a crash, so the write must be IDEMPOTENT per batch_id —
+    a read-merge-overwrite of one rollup table double-counts every replayed
+    row. Here each micro-batch writes its partial aggregate to its own
+    ``batch_id=N`` subdirectory with mode=overwrite: a replay overwrites
+    the identical partial (same files, same content — file sources replay
+    the same offsets range), so crash + restart can neither duplicate nor
+    drop a batch. ``read_rollup`` merges the partials on read; a periodic
+    compaction can fold old partials into a base without changing results
+    (merge is associative/commutative).
+
+    At 100 TB this is the streaming-warehouse commit protocol in miniature:
+    offsets live in the checkpoint, data commits are idempotent by
+    batch_id, and the reader sees max-once per batch. vals maps column →
+    spark agg ('sum'/'count').
+    """
+
+    def _sink(batch_df, batch_id: int) -> None:
+        aggs = [
+            (F.count(F.lit(1)) if how == "count" else F.sum(c)).cast("bigint").alias(c)
+            for c, how in vals.items()
+        ]
+        partial = batch_df.groupBy(*keys).agg(*aggs)
+        partial.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return _sink
+
+
+def read_rollup(spark, rollup_dir: str, keys: list[str], val_cols: list[str]) -> DataFrame:
+    """Merge the per-batch partials written by idempotent_rollup_sink."""
+    parts = spark.read.option("basePath", rollup_dir).parquet(f"{rollup_dir}/batch_id=*")
+    return parts.groupBy(*keys).agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in val_cols]
+    )
