@@ -52,6 +52,9 @@ HEADLINE = [
     "sim_kmeans",       # Lloyd's k-means coarse quantizer (3 rounds)
     "join_nearest",     # bedtools-closest sweep join
     "merge_upsert",     # warehouse MERGE keep-latest
+    # round-3 additions (baselines recorded in BASELINE.md on first run)
+    "tpch_q9",          # 5-way join incl. synthesized partsupp (profit rollup)
+    "tpch_q21",         # EXISTS/NOT-EXISTS double correlated semi/anti join
 ]
 
 

@@ -31,7 +31,15 @@ def test_full_lifecycle(spark, tmp_path):
 
     sa = wh.create_sample("A", public=True)
     sb = wh.create_sample("B", public=False)
-    assert (sa, sb) == (1, 2)
+    # ids are content hashes of the name: distinct, stable, race-free
+    assert sa != sb and sa > 0 and sb > 0
+    import hashlib
+
+    assert sa == int.from_bytes(hashlib.sha1(b"A").digest()[:8], "big") >> 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        wh.create_sample("A")  # duplicate name rejected
 
     assert wh.import_variation(sa, str(va)) == 2
     assert wh.import_coverage(sa, str(bed)) == 1
