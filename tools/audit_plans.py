@@ -48,6 +48,7 @@ BNLJ_OK = {
     "tpch_q11",          # partsupp s_cnt + 1-row grand-total threshold
     "tpch_q16",          # same partsupp 1-row s_cnt scalar
     "tpch_q20",          # same partsupp 1-row s_cnt scalar
+    "graph_triangles",   # 1-row wedge-sum and edge-count scalars joined in
 }
 
 

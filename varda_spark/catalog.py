@@ -4217,6 +4217,290 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-3 breadth: funnel/cohort analytics, co-occurrence graph,
+# containment dedup, percentile windows, byte-budget sharding
+# =====================================================================
+
+@q(
+    "win_funnel",
+    """WITH m AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+         FROM events GROUP BY user_id)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(COUNT(t_view) AS BIGINT) AS n_view,
+              CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS n_view_click,
+              CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+                   AS BIGINT) AS n_full_funnel
+       FROM m""",
+)
+def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel conversion (view → click-after-view → purchase-after-
+    click), the product-analytics staple: per-user conditional-min
+    timestamps collapse each user to one row map-side (partial agg), then
+    ordered-timestamp comparisons count each stage. Two shuffles total
+    (user_id, then global 1-row) regardless of event volume — the shape
+    that survives 100 TB of clickstream."""
+    ev = read_table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).cast("bigint").alias("n_view_click"),
+        F.count(
+            F.when((F.col("t_purchase") > F.col("t_click")) & (F.col("t_click") > F.col("t_view")), 1)
+        ).cast("bigint").alias("n_full_funnel"),
+    )
+
+
+@q(
+    "agg_cohort",
+    """WITH f AS (
+         SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+         FROM events GROUP BY user_id),
+       a AS (
+         SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+         FROM events)
+       SELECT cohort,
+              CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_n,
+              CAST(COUNT(*) AS BIGINT) AS n_users
+       FROM a JOIN f USING (user_id)
+       GROUP BY cohort, week_n""",
+)
+def agg_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users bucketed by first-seen week, counted
+    in each subsequent active week. Monday-truncation agrees between
+    engines; week_n divides an exact multiple of 7 days, so the double
+    division is exact. Scale: (user, week) distinct then two grouped aggs
+    — the cohort dimension is tiny, the fact scan dominates."""
+    ev = read_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort"))
+    a = ev.select("user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")).distinct()
+    return (
+        a.join(f, "user_id")
+        .select("cohort", (F.datediff("wk", "cohort") / 7).cast("bigint").alias("week_n"))
+        .groupBy("cohort", "week_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+_COORDER_EDGES_SQL = """
+  lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  e AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+"""
+
+
+def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic co-purchase graph: undirected edge (pa < pb) iff the
+    two parts appear in the same order. Per-order fan-out is bounded by
+    order width (≤ 7 lines in the testdata; at scale a cap/filter on
+    degenerate baskets bounds it), then DISTINCT collapses multiplicity —
+    the standard market-basket graph build."""
+    li = read_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+
+
+@q(
+    "graph_degree",
+    f"""WITH {_COORDER_EDGES_SQL},
+       deg AS (
+         SELECT node, COUNT(*) AS degree FROM (
+           SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+         GROUP BY node)
+       SELECT CAST(degree AS BIGINT) AS degree,
+              CAST(COUNT(*) AS BIGINT) AS n_parts
+       FROM deg GROUP BY degree""",
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first question
+    asked of any graph (skew check before heavier algorithms; a hub here
+    is exactly the key that needs salting downstream). Edge ends explode
+    via UNION ALL, one grouped count per node, one histogram agg."""
+    e = _coorder_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+
+
+@q(
+    "graph_triangles",
+    f"""WITH {_COORDER_EDGES_SQL},
+       deg AS (
+         SELECT node, COUNT(*) AS degree FROM (
+           SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+         GROUP BY node),
+       tri AS (
+         SELECT COUNT(*) AS n_triangles
+         FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                   JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+       wed AS (SELECT SUM(degree * (degree - 1)) AS deg_pairs2 FROM deg),
+       cnt AS (SELECT COUNT(*) AS n_edges FROM e)
+       SELECT CAST(n_edges AS BIGINT) AS n_edges,
+              CAST(n_triangles AS BIGINT) AS n_triangles,
+              CAST(deg_pairs2 AS BIGINT) AS deg_pairs2,
+              6.0 * n_triangles / deg_pairs2 AS clustering
+       FROM tri, wed, cnt""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient on the co-purchase
+    graph. Edges are oriented a<b, so each triangle is counted exactly
+    once by the wedge join (e1.pb=e2.pa gives a<b<c) + closing-edge probe
+    — the standard distributed triangle algorithm; at scale the
+    orientation is by DEGREE (low→high) to bound wedge fan-out on hubs,
+    here id order stands in (documented simplification). clustering =
+    6·tri / Σ deg·(deg−1): one double division, engine-identical."""
+    e = _coorder_edges(spark, sf_dir).localCheckpoint()  # reused 4× below
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(e3, (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wed = deg.agg(F.sum(F.col("degree") * (F.col("degree") - 1)).alias("deg_pairs2"))
+    cnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.join(F.broadcast(wed))
+        .join(F.broadcast(cnt))
+        .select(
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.col("deg_pairs2").cast("bigint").alias("deg_pairs2"),
+            (F.lit(6.0) * F.col("n_triangles") / F.col("deg_pairs2")).alias("clustering"),
+        )
+    )
+
+
+@q(
+    "text_containment",
+    """WITH words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+         FROM words),
+       sizes AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n_sh FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              CAST(n_inter AS BIGINT) AS n_inter,
+              CAST(floor(n_inter * 100 / sa.n_sh) AS BIGINT) AS containment_pct
+       FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       WHERE floor(n_inter * 100 / sa.n_sh) >= 40""",
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2+ directed shingle containment |A∩B|/|A| — catches a short doc
+    EMBEDDED in a long one (boilerplate wrappers, quote farms, concat
+    dumps) where symmetric Jaccard is diluted below threshold by the long
+    side. Same bounded inverted-index join as dedup_ngram."""
+    from varda_spark.operators.dedup import shingle_containment
+
+    d = read_table(spark, sf_dir, "documents")
+    return shingle_containment(d, threshold_pct=40)
+
+
+@q(
+    "win_pctrank",
+    """SELECT c_custkey, c_mktsegment,
+              percent_rank() OVER w AS pct_rank,
+              cume_dist() OVER w AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
+)
+def win_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ relative-standing windows: percent_rank ((rank−1)/(n−1)) and
+    cume_dist (rows≤current / n) per market segment. Both are single
+    integer-ratio double divisions — engine-identical; partitioned by
+    segment so no global window."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@q(
+    "multimodal_shard",
+    """WITH mm AS (
+         SELECT doc_id AS item_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                     WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                     ELSE 'video/mp4' END AS mime,
+                CAST(length(text) AS BIGINT) AS n_bytes
+         FROM documents),
+       c AS (
+         SELECT item_id, mime, n_bytes,
+                COALESCE(SUM(n_bytes) OVER (
+                    PARTITION BY mime ORDER BY item_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bytes_before
+         FROM mm)
+       SELECT item_id, mime, n_bytes,
+              CAST(floor(bytes_before / 4096) AS BIGINT) AS shard_id,
+              CAST(bytes_before % 4096 AS BIGINT) AS shard_offset
+       FROM c""",
+)
+def multimodal_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5+ byte-budget shard layout: items stream into ~4 KiB shards per
+    modality via a running byte total (items may straddle a boundary —
+    the tar-like packed-stream layout where shard_offset is the seek
+    position). One partitioned window per mime group, no joins; shard ids
+    are stable under re-runs because the order key is the content id."""
+    from varda_spark.sources.multimodal import synthesize_blobs
+
+    d = read_table(spark, sf_dir, "documents")
+    mm = synthesize_blobs(d).select("item_id", "mime", "n_bytes")
+    w = (
+        Window.partitionBy("mime")
+        .orderBy("item_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bytes_before = F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    return mm.select(
+        "item_id",
+        "mime",
+        "n_bytes",
+        F.floor(bytes_before / 4096).cast("bigint").alias("shard_id"),
+        (bytes_before % 4096).cast("bigint").alias("shard_offset"),
+    )
+
+
+# =====================================================================
 # Synthetic partsupp → the six TPC-H queries the testdata couldn't run
 # =====================================================================
 # /root/testdata ships no partsupp.parquet, which blocked q2/q9/q11/q16/

@@ -295,3 +295,39 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds; "
         f"raise max_iter (log2(diameter) rounds suffice with pointer jumping)"
     )
+
+
+def shingle_containment(
+    df: DataFrame,
+    threshold_pct: int = 40,
+    shingle_n: int = 3,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Directed shingle containment |A∩B| / |A| per candidate pair — the
+    asymmetric companion to Jaccard: catches a short doc EMBEDDED in a long
+    one (quote farms, boilerplate wrappers, concatenated dumps), where
+    Jaccard is diluted by the long side's size and misses.
+
+    Same inverted-index join as ngram_jaccard (fan-out bounded by shingle
+    frequency, never all-pairs); emits BOTH directions of a pair since
+    containment(A,B) ≠ containment(B,A). Integer percent → oracle-exact.
+    """
+    sh = shingles(df.select(key, text), n=shingle_n).distinct()
+    sizes = sh.groupBy(key).agg(F.countDistinct("shingle").alias("n_sh"))
+    a_ = sh.select(F.col(key).alias("doc_a"), "shingle")
+    b_ = sh.select(F.col(key).alias("doc_b"), "shingle")
+    inter = (
+        a_.join(b_, ["shingle"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = inter.join(
+        sizes.withColumnRenamed(key, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a"
+    ).withColumn(
+        "containment_pct", F.floor(F.col("n_inter") * 100 / F.col("n_a")).cast("bigint")
+    )
+    return out.filter(F.col("containment_pct") >= threshold_pct).select(
+        "doc_a", "doc_b", F.col("n_inter").cast("bigint").alias("n_inter"), "containment_pct"
+    )
