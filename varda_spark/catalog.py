@@ -1708,9 +1708,10 @@ def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "dedup_components",
-    """WITH RECURSIVE words AS (
+# shared by dedup_components and dedup_stars: both compute the SAME
+# clustering (min-reachable-id over the MinHash candidate graph), by two
+# different distributed algorithms — one oracle defines both
+_CC_ORACLE_SQL = """WITH RECURSIVE words AS (
          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (
          SELECT doc_id,
@@ -1743,8 +1744,10 @@ def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
        SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component,
               id = MIN(comp) AS is_canonical
-       FROM walk GROUP BY id""",
-)
+       FROM walk GROUP BY id"""
+
+
+@q("dedup_components", _CC_ORACLE_SQL)
 def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 completion: MinHash candidate pairs → connected components →
     canonical survivor per cluster (min doc id). The step every real dedup
@@ -1757,6 +1760,27 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     pairs = minhash_candidates(d, num_hashes=8, bands=4, shingle_n=3)
     cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+@q("dedup_stars", _CC_ORACLE_SQL)
+def dedup_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 scale variant: the SAME clustering as dedup_components, computed
+    by large-star/small-star edge rewriting (operators/dedup.py cc_stars)
+    instead of label propagation — the algorithm of record when the
+    candidate graph has hub-degree skew (label propagation re-shuffles a
+    hub's whole neighborhood through one key every round; star rewriting
+    shrinks it geometrically). One oracle, two algorithms: both must hash
+    to the identical component table."""
+    from varda_spark.operators.dedup import cc_stars, minhash_candidates
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d, num_hashes=8, bands=4, shingle_n=3)
+    cc = cc_stars(pairs)
     return cc.select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("comp").cast("bigint").alias("component"),
@@ -4497,6 +4521,130 @@ def multimodal_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.floor(bytes_before / 4096).cast("bigint").alias("shard_id"),
         (bytes_before % 4096).cast("bigint").alias("shard_offset"),
+    )
+
+
+@q(
+    "merge_scd2",
+    """WITH o AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events),
+       chg AS (
+         SELECT user_id, ts, event_id, event_type
+         FROM o WHERE prev IS NULL OR prev <> event_type),
+       v AS (
+         SELECT user_id, event_type, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         FROM chg)
+       SELECT user_id, event_type, valid_from, valid_to,
+              valid_to IS NULL AS is_current
+       FROM v""",
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ slowly-changing-dimension type-2 history build: collapse a raw
+    event stream into validity intervals — a new version opens only when
+    the tracked attribute CHANGES (lag filter), valid_to = next change's
+    start (lead), open-ended row flagged current. Two window passes on the
+    same (user, time) sort — Catalyst reuses the one shuffle+sort. The
+    warehouse pattern for dimension history at any scale."""
+    ev = read_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn("prev", F.lag("event_type").over(wo)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wo).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@q(
+    "interval_complement",
+    """WITH ivs AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
+         FROM supplier WHERE s_suppkey % 3 = 0),
+       o AS (
+         SELECT chromosome, begin, "end",
+                CASE WHEN MAX("end") OVER w IS NULL OR begin > MAX("end") OVER w
+                     THEN 1 ELSE 0 END AS new_i
+         FROM ivs
+         WINDOW w AS (PARTITION BY chromosome ORDER BY begin, "end"
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       s AS (
+         SELECT chromosome, begin, "end",
+                SUM(new_i) OVER (PARTITION BY chromosome ORDER BY begin, "end"
+                                 ROWS UNBOUNDED PRECEDING) AS island
+         FROM o),
+       merged AS (
+         SELECT chromosome, MIN(begin) AS begin, MAX("end") AS "end"
+         FROM s GROUP BY chromosome, island),
+       g AS (
+         SELECT chromosome, "end",
+                lead(begin) OVER (PARTITION BY chromosome ORDER BY begin) AS nxt
+         FROM merged)
+       SELECT chromosome,
+              CAST("end" + 1 AS BIGINT) AS begin,
+              CAST(nxt - 1 AS BIGINT) AS "end"
+       FROM g WHERE nxt > "end" + 1""",
+)
+def interval_complement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ bedtools complement (operators/interval.py complement_intervals):
+    the NO-coverage gaps between merged runs — varda's coverage question
+    inverted, and the worklist for any backfill job. Merge window + one
+    lead() pass, no joins."""
+    from varda_spark.operators.interval import complement_intervals
+
+    _, s = _points_intervals(spark, sf_dir)
+    # every 3rd interval: sparse coverage so real gaps exist to find
+    sparse = s.filter(F.col("sample_key") % 3 == 0)
+    return complement_intervals(sparse.select("chromosome", "begin", "end"))
+
+
+@q(
+    "agg_weighted_median",
+    """WITH b AS (
+         SELECT l_returnflag, l_extendedprice AS p,
+                CAST(l_quantity AS BIGINT) AS w
+         FROM lineitem),
+       c AS (
+         SELECT l_returnflag, p,
+                SUM(w) OVER (PARTITION BY l_returnflag ORDER BY p) AS cumw,
+                SUM(w) OVER (PARTITION BY l_returnflag) AS total
+         FROM b)
+       SELECT l_returnflag, MIN(p) AS wmedian
+       FROM c WHERE 2 * cumw >= total
+       GROUP BY l_returnflag""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ exact weighted median (price weighted by quantity) per group —
+    no sketch, no sort-to-driver: one cumulative-weight window per group
+    and a min over the half-mass crossing point. Weights are integral, so
+    the running sums are exact bigints; 2·cumw ≥ total keeps the compare
+    in integers (no /2 float). The RANGE default frame makes tied prices
+    share one cumw in both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("p")
+    wt = Window.partitionBy("l_returnflag")
+    c = b.select(
+        "l_returnflag",
+        "p",
+        F.sum("w").over(wo).alias("cumw"),
+        F.sum("w").over(wt).alias("total"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("p").alias("wmedian"))
     )
 
 

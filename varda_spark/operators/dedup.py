@@ -331,3 +331,81 @@ def shingle_containment(
     return out.filter(F.col("containment_pct") >= threshold_pct).select(
         "doc_a", "doc_b", F.col("n_inter").cast("bigint").alias("n_inter"), "containment_pct"
     )
+
+
+def cc_stars(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the degree-skew-safe alternative to plain label propagation: every
+    round rewrites EDGES instead of labels, so a hub's fan-out shrinks
+    geometrically rather than re-shuffling through one key each round.
+
+    large-star: every neighbor v > u re-attaches to m(u) = min(N(u)∪{u});
+    small-star: every neighbor v < u (plus u itself) re-attaches to m(u).
+    At the fixpoint edges form disjoint stars rooted at each component's
+    minimum id. Same output contract as connected_components: (id, comp),
+    comp = min reachable id; raises on non-convergence. Each phase is one
+    grouped min + one join on canonicalized (u < v) distinct edges, with
+    localCheckpoint per round to cut lineage.
+    """
+    E = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        pairs.select(F.col(a).alias("id"))
+        .union(pairs.select(F.col(b).alias("id")))
+        .distinct()
+    )
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        return edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+
+    for _ in range(max_iter):
+        sym = _sym(E)
+        # large-star: (v, m(u)) for v ∈ N(u), v > u  — result is canonical
+        # (m ≤ u < v) by construction
+        e_ls = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(_mins(sym), "u")
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: (v, m(u)) for v ∈ N(u) with v < u, plus u itself
+        sym2 = _sym(e_ls)
+        smaller = sym2.filter(F.col("v") < F.col("u"))
+        self_rows = sym2.select("u").distinct().withColumn("v", F.col("u"))
+        e_ss = (
+            smaller.union(self_rows)
+            .join(_mins(sym2), "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        same = (
+            e_ss.count() == E.count()
+            and e_ss.exceptAll(E).limit(1).count() == 0
+        )
+        E = e_ss
+        if same:
+            star = E.select(F.col("v").alias("id"), F.col("u").alias("comp"))
+            return verts.join(star, "id", "left").select(
+                "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+            )
+    raise RuntimeError(
+        f"cc_stars did not converge in {max_iter} rounds; the alternation "
+        f"converges in O(log n) rounds — raise max_iter"
+    )

@@ -289,3 +289,33 @@ def merge_intervals(
         )
         .drop("_island")
     )
+
+
+def complement_intervals(
+    intervals: DataFrame,
+    chrom: str = "chromosome",
+    begin: str = "begin",
+    end: str = "end",
+) -> DataFrame:
+    """bedtools complement (within the covered span): the gaps BETWEEN
+    merged coverage runs per chromosome → (chromosome, begin, end). The
+    question varda's coverage model keeps asking inverted — "where do we
+    have NO coverage?" — and the input to any fill/backfill job.
+
+    merge first (gaps-and-islands window), then one lead() per merged run:
+    a gap exists iff the next run starts more than 1 past this run's end.
+    Two partitioned window passes, no joins — scales with interval count."""
+    from pyspark.sql.window import Window
+
+    merged = merge_intervals(intervals, chrom, begin, end)
+    w = Window.partitionBy(chrom).orderBy(begin)
+    nxt = F.lead(begin).over(w)
+    return (
+        merged.select(chrom, F.col(begin), F.col(end), nxt.alias("_nxt"))
+        .filter(F.col("_nxt") > F.col(end) + 1)
+        .select(
+            chrom,
+            (F.col(end) + 1).cast("bigint").alias(begin),
+            (F.col("_nxt") - 1).cast("bigint").alias(end),
+        )
+    )
