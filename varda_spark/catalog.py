@@ -4648,6 +4648,35 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_unpivot",
+    """WITH s AS (
+         SELECT l_returnflag,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                CAST(COUNT(*) AS DOUBLE) AS n_rows
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM s
+       UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM s
+       UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM s""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ unpivot/melt — agg_pivot's inverse: wide metric columns become
+    (group, metric, value) long rows, the shape BI exports and metric
+    stores want. Spark's native unpivot is a zero-shuffle Expand over the
+    already-aggregated (tiny) frame; the oracle is the portable UNION ALL
+    equivalent."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return s.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "metric", "value"
+    )
+
+
 # =====================================================================
 # Synthetic partsupp → the six TPC-H queries the testdata couldn't run
 # =====================================================================
