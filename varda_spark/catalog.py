@@ -1302,6 +1302,107 @@ def freq_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FREQ_ANNOTATE_ORACLE = """
+WITH samples AS (
+  SELECT s_suppkey AS sample_id,
+         CASE WHEN s_suppkey % 10 = 0 THEN 10 ELSE 1 END AS pool_size,
+         s_suppkey % 3 <> 0 AS coverage_profile,
+         s_suppkey % 2 = 0 AS public,
+         s_suppkey % 11 <> 0 AS active
+  FROM supplier),
+regions AS (
+  SELECT s_suppkey AS sample_id,
+         CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+         CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+         CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
+  FROM supplier),
+obs AS (
+  SELECT l_suppkey AS sample_id,
+         CAST(l_partkey % 5 AS VARCHAR) AS chromosome,
+         CAST((l_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+         'A' AS reference, 'G' AS observed,
+         1 + l_linenumber % 2 AS support
+  FROM lineitem),
+keys AS (SELECT DISTINCT chromosome, position, reference, observed FROM obs
+         WHERE position % 3 = 0),
+kpos AS (SELECT DISTINCT chromosome, position FROM keys),
+sel_pub AS (SELECT * FROM samples WHERE active AND public),
+sel_priv AS (SELECT * FROM samples WHERE active AND NOT public),
+num_pub AS (
+  SELECT chromosome, position, reference, observed, CAST(SUM(support) AS BIGINT) AS vc
+  FROM obs JOIN sel_pub USING (sample_id) GROUP BY 1, 2, 3, 4),
+num_priv AS (
+  SELECT chromosome, position, reference, observed, CAST(SUM(support) AS BIGINT) AS vc
+  FROM obs JOIN sel_priv USING (sample_id) GROUP BY 1, 2, 3, 4),
+cov_pub AS (
+  SELECT c.chromosome, c.position, CAST(SUM(s.pool_size) AS BIGINT) AS vn_covered
+  FROM (SELECT DISTINCT k.chromosome, k.position, r.sample_id
+        FROM kpos k JOIN regions r ON r.chromosome = k.chromosome
+             AND k.position >= r.begin AND k.position <= r."end"
+        JOIN sel_pub s ON s.sample_id = r.sample_id AND s.coverage_profile) c
+  JOIN sel_pub s USING (sample_id) GROUP BY 1, 2),
+cov_priv AS (
+  SELECT c.chromosome, c.position, CAST(SUM(s.pool_size) AS BIGINT) AS vn_covered
+  FROM (SELECT DISTINCT k.chromosome, k.position, r.sample_id
+        FROM kpos k JOIN regions r ON r.chromosome = k.chromosome
+             AND k.position >= r.begin AND k.position <= r."end"
+        JOIN sel_priv s ON s.sample_id = r.sample_id AND s.coverage_profile) c
+  JOIN sel_priv s USING (sample_id) GROUP BY 1, 2),
+un_pub AS (SELECT CAST(COALESCE(SUM(pool_size), 0) AS BIGINT) AS vn_uncond
+           FROM sel_pub WHERE NOT coverage_profile),
+un_priv AS (SELECT CAST(COALESCE(SUM(pool_size), 0) AS BIGINT) AS vn_uncond
+            FROM sel_priv WHERE NOT coverage_profile)
+SELECT k.chromosome, k.position, k.reference, k.observed,
+       CAST(COALESCE(cp.vn_covered, 0) + up.vn_uncond AS BIGINT) AS pub_vn,
+       CASE WHEN COALESCE(cp.vn_covered, 0) + up.vn_uncond > 0
+            THEN CAST(COALESCE(np.vc, 0) AS DOUBLE)
+                 / CAST(COALESCE(cp.vn_covered, 0) + up.vn_uncond AS DOUBLE)
+            ELSE 0.0 END AS pub_vf,
+       CAST(COALESCE(cv.vn_covered, 0) + uv.vn_uncond AS BIGINT) AS priv_vn,
+       CASE WHEN COALESCE(cv.vn_covered, 0) + uv.vn_uncond > 0
+            THEN CAST(COALESCE(nv.vc, 0) AS DOUBLE)
+                 / CAST(COALESCE(cv.vn_covered, 0) + uv.vn_uncond AS DOUBLE)
+            ELSE 0.0 END AS priv_vf
+FROM keys k
+LEFT JOIN num_pub np USING (chromosome, position, reference, observed)
+LEFT JOIN cov_pub cp ON cp.chromosome = k.chromosome AND cp.position = k.position
+LEFT JOIN num_priv nv USING (chromosome, position, reference, observed)
+LEFT JOIN cov_priv cv ON cv.chromosome = k.chromosome AND cv.position = k.position
+CROSS JOIN un_pub up CROSS JOIN un_priv uv
+"""
+
+
+@q("freq_annotate", _FREQ_ANNOTATE_ORACLE)
+def freq_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's §3.2 annotation workflow as ONE driver key: a keys
+    set (every 3rd position, standing in for an uploaded VCF) annotated
+    with per-query VN/VF columns for TWO named selections ('public' and
+    'not public') — the columnar equivalent of varda's {QUERY}_VN/VF INFO
+    fields. Each query is one frequency() plan over the SAME pre-filtered
+    dims; the keys semi-join prunes the fact scan to the queried loci."""
+    from varda_spark.annotate import annotate_keys
+
+    samples, regions, observations = _genomic_trio(spark, sf_dir)
+    keys = (
+        observations.select("chromosome", "position", "reference", "observed")
+        .filter(F.col("position") % 3 == 0)
+        .distinct()
+    )
+    ann = annotate_keys(
+        keys, observations, regions, samples, {"pub": "public", "priv": "not public"}
+    )
+    return ann.select(
+        "chromosome",
+        "position",
+        "reference",
+        "observed",
+        F.col("pub_vn").cast("bigint").alias("pub_vn"),
+        F.col("pub_vf").cast("double").alias("pub_vf"),
+        F.col("priv_vn").cast("bigint").alias("priv_vn"),
+        F.col("priv_vf").cast("double").alias("priv_vf"),
+    )
+
+
 _FREQ_ZYG_ORACLE = _FREQ_ORACLE.replace(
     """         CAST(SUM(support) AS BIGINT) AS vc
   FROM obs JOIN sel USING (sample_id)""",
@@ -4674,6 +4775,43 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "metric", "value"
+    )
+
+
+@q(
+    "merge_cdc",
+    """WITH cdc AS (
+         SELECT user_id AS k, ts, event_id,
+                CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                value
+         FROM events),
+       latest AS (
+         SELECT k, op, value,
+                ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn
+         FROM cdc)
+       SELECT k, value FROM latest WHERE rn = 1 AND op <> 'D'""",
+)
+def merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ CDC apply: collapse an upsert/delete change stream to final
+    table state — last writer wins per key, and a terminal DELETE
+    tombstone erases the key entirely (the semantics merge_upsert lacks).
+    One partitioned window on (key, seq-desc); at 100 TB this is the
+    per-micro-batch compaction step of a CDC ingest, shuffling once on
+    the key. Change ops are synthesized deterministically from events
+    (every 10th event id is a delete)."""
+    ev = read_table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("k").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        cdc.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", "value")
     )
 
 
