@@ -306,3 +306,23 @@ def test_kmeans_centroid_persistence_bit_equals_refit(spark, tmp_path):
         ivf_topk(e, centroids=loaded).toPandas().sort_values(key).reset_index(drop=True)
     )
     assert t_refit.equals(t_loaded)
+
+
+def test_cc_stars_equals_label_propagation(spark):
+    """Large-star/small-star CC must produce the identical component table
+    as min-label propagation on random graphs and a long chain."""
+    import random
+
+    from varda_spark.operators.dedup import cc_stars, connected_components
+
+    for seed in (1, 2):
+        rng = random.Random(seed)
+        pairs = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(60)]
+        pairs = [(x, y) for x, y in pairs if x != y]
+        df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+        got = {r.id: r.comp for r in cc_stars(df).collect()}
+        want = {r.id: r.comp for r in connected_components(df).collect()}
+        assert got == want
+    chain = spark.createDataFrame([(i, i + 1) for i in range(120)], ["doc_a", "doc_b"])
+    got = {r.id: r.comp for r in cc_stars(chain, max_iter=15).collect()}
+    assert all(v == 0 for v in got.values()) and len(got) == 121
