@@ -32,6 +32,7 @@ BNLJ_OK = {
     "freq_zygosity",     # same 1-row scalar as freq_variant
     "freq_selected",     # same 1-row scalar as freq_variant
     "freq_keys",         # same 1-row scalar as freq_variant
+    "freq_annotate",     # two frequency() subplans, same 1-row scalar ×2
     "join_range",        # small range dim (demo of non-equi)
     "stream_watermark",  # 1-row max-ts horizon
     "tpch_q15",          # 1-row scalar max
@@ -49,6 +50,7 @@ BNLJ_OK = {
     "tpch_q16",          # same partsupp 1-row s_cnt scalar
     "tpch_q20",          # same partsupp 1-row s_cnt scalar
     "graph_triangles",   # 1-row wedge-sum and edge-count scalars joined in
+    "text_tfidf",        # 1-row corpus-count scalar (N in the IDF)
 }
 
 

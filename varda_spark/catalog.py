@@ -5196,6 +5196,341 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-3 breadth: statistics, graph ranking, record linkage, TWA
+# =====================================================================
+
+
+@q(
+    "agg_corr",
+    """WITH b AS (
+         SELECT l_returnflag AS flag,
+                CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+         FROM lineitem),
+       s AS (
+         SELECT flag,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(x) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+         FROM b GROUP BY flag)
+       SELECT flag,
+              CAST(n AS BIGINT) AS n_rows,
+              ((sxy - sx * sy / n) / (n - 1)) / 10000.0 AS covar_samp,
+              (n * sxy - sx * sy)
+                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+       FROM s""",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ exact two-variable statistics: Pearson correlation and sample
+    covariance of (l_quantity, l_extendedprice) per return flag. Spark's
+    native corr()/covar_samp() accumulate doubles in partition order —
+    non-deterministic across engines AND across retries — so the moments
+    are summed as exact integers instead (quantity is integral; price is
+    scaled to 1e-4 units through a decimal cast), and only the FINAL
+    closed-form expression runs in float: every operation in it is a
+    single IEEE op on identical inputs, hence bit-identical in both
+    engines. One shuffle (the groupBy); all five moments come from the
+    same partial-aggregate pass, so at 100 TB this costs exactly what a
+    plain sum does — map-side combine into 5 longs/decimals per group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("x"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("y"),
+    )
+    s = b.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).cast("double").alias("syy"),
+    )
+    return s.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr("((sxy - sx * sy / n) / (n - 1)) / 10000.0").alias("covar_samp"),
+        F.expr(
+            "(n * sxy - sx * sy)"
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+        ).alias("corr"),
+    )
+
+
+_PAGERANK_ITER_SQL = """
+       c{i} AS (
+         SELECT s.dst AS node,
+                SUM(CAST(FLOOR(r.pr / d.outdeg) AS BIGINT)) AS c
+         FROM sym s JOIN r{p} r ON s.src = r.node JOIN deg d ON s.src = d.src
+         GROUP BY s.dst),
+       r{i} AS (
+         SELECT node, 150000 + CAST(FLOOR(c * 85 / 100) AS BIGINT) AS pr
+         FROM c{i})"""
+
+
+@q(
+    "graph_pagerank",
+    f"""WITH {_COORDER_EDGES_SQL},
+       sym AS (SELECT pa AS src, pb AS dst FROM e
+               UNION ALL SELECT pb AS src, pa AS dst FROM e),
+       deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM sym GROUP BY src),
+       r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       {_PAGERANK_ITER_SQL.format(i=1, p=0)},
+       {_PAGERANK_ITER_SQL.format(i=2, p=1)},
+       {_PAGERANK_ITER_SQL.format(i=3, p=2)}
+       SELECT node, pr AS pr_scaled FROM r3
+       ORDER BY pr_scaled DESC, node LIMIT 20""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (damping 0.85, 3 unrolled iterations) on the
+    co-purchase graph, top-20 hubs. Floats are banned from the iteration:
+    ranks live as 1e-6-scaled BIGINTs and every division is the shared
+    CAST(FLOOR(a/b) AS BIGINT) idiom (inputs < 2^53, so the double divide
+    is exact), which makes a 3-round recursive computation bit-identical
+    across engines — the same trick production graph pipelines use to get
+    RETRY-deterministic ranks. Per iteration: one broadcast-sized
+    (node, share) projection joined to the edge list, one shuffle on dst.
+    Degree is precomputed once. At 100 TB the edge join shuffles on src
+    — the natural partitioning — and a hub-heavy graph would salt `dst`
+    before the contribution sum; iteration count is fixed, so lineage is
+    bounded and needs no checkpoint."""
+    e = _coorder_edges(spark, sf_dir)
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("pr"))
+    for _ in range(3):
+        shares = ranks.join(deg, ranks["node"] == deg["src"]).select(
+            "src", F.expr("CAST(FLOOR(pr / outdeg) AS BIGINT)").alias("share")
+        )
+        contrib = sym.join(shares, "src").groupBy("dst").agg(F.sum("share").alias("c"))
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            F.expr("150000 + CAST(FLOOR(c * 85 / 100) AS BIGINT)").alias("pr"),
+        )
+    return ranks.orderBy(F.desc("pr"), "node").limit(20).select(
+        "node", F.col("pr").alias("pr_scaled")
+    )
+
+
+@q(
+    "join_fuzzy",
+    """SELECT a.p_partkey AS probe_key, b.p_partkey AS cand_key,
+              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+       FROM part a JOIN part b
+         ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+        AND a.p_partkey <> b.p_partkey
+       WHERE a.p_partkey % 50 = 0
+         AND levenshtein(a.p_name, b.p_name) <= 2""",
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C+ blocked fuzzy record linkage: for a deterministic probe subset
+    of parts, find near-duplicate names (levenshtein ≤ 2) WITHOUT an
+    all-pairs comparison — candidate pairs come only from an equi-join on
+    a blocking key (the name's noun token), so the comparison count is
+    sum(|block_a|·|block_b|), not n². This is the standard entity-
+    resolution shape: at 100 TB the block key shuffles both sides
+    (co-partitioned equi-join), the edit-distance filter runs inside the
+    join stage JVM-side (Spark's levenshtein is codegen'd), and skewed
+    blocks are the documented salting case. Probe restriction stands in
+    for the real workload's 'new batch vs reference' asymmetry."""
+    part = read_table(spark, sf_dir, "part")
+    blocked = part.withColumn("blk", F.expr("split_part(p_name, ' ', 2)"))
+    a = blocked.filter(F.col("p_partkey") % 50 == 0).select(
+        F.col("p_partkey").alias("probe_key"), F.col("p_name").alias("a_name"), "blk"
+    )
+    b = blocked.select(
+        F.col("p_partkey").alias("cand_key"), F.col("p_name").alias("b_name"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("probe_key") != F.col("cand_key"))
+        .filter(F.levenshtein("a_name", "b_name") <= 2)
+        .select(
+            "probe_key",
+            "cand_key",
+            F.levenshtein("a_name", "b_name").cast("bigint").alias("dist"),
+        )
+    )
+
+
+@q(
+    "win_time_weighted",
+    """WITH s AS (
+         SELECT user_id, value, epoch_us(ts) AS t, event_id FROM events),
+       d AS (
+         SELECT user_id, value,
+                CAST(FLOOR((LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t)
+                           / 1000000) AS BIGINT) AS dt_s
+         FROM s)
+       SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_segments,
+              CAST(SUM(dt_s) AS BIGINT) AS span_s,
+              CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(dt_s AS DECIMAL(18,0))) AS DOUBLE)
+                / CAST(SUM(dt_s) AS DOUBLE) AS twa
+       FROM d WHERE dt_s IS NOT NULL AND dt_s > 0
+       GROUP BY user_id""",
+)
+def win_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ time-weighted average (step interpolation): each reading holds
+    until the next one, so its weight is the gap to the successor — the
+    metric a billing/telemetry system wants when samples are irregular
+    (a plain avg over-weights bursts). One lead() per user stream gives
+    the segment lengths; the weighted sum runs in DECIMAL (value at 1e-4
+    resolution × whole seconds — exact, associative, shuffle-order-proof)
+    with a single final double divide. Scale: one shuffle on user_id for
+    the window, the aggregation reuses that partitioning (no second
+    exchange); segments with dt=0 (same-second readings) drop out
+    identically in both engines via the floored-seconds filter."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = (
+        ev.select("user_id", "value", F.unix_micros("ts").alias("t"), "event_id")
+        .withColumn("_lead_t", F.lead("t").over(w))
+        .withColumn("dt_s", F.expr("CAST(FLOOR((_lead_t - t) / 1000000) AS BIGINT)"))
+    )
+    return (
+        d.filter(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("dt_s").cast("bigint").alias("span_s"),
+            (
+                F.sum(
+                    F.expr("CAST(value AS DECIMAL(18,4)) * CAST(dt_s AS DECIMAL(18,0))")
+                ).cast("double")
+                / F.sum("dt_s").cast("double")
+            ).alias("twa"),
+        )
+    )
+
+
+@q(
+    "agg_bitagg",
+    """SELECT CAST(user_id % 16 AS BIGINT) AS g,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(bit_or(event_id) AS BIGINT) AS b_or,
+              CAST(bit_and(event_id) AS BIGINT) AS b_and,
+              CAST(bit_xor(event_id) AS BIGINT) AS b_xor
+       FROM events GROUP BY user_id % 16""",
+)
+def agg_bitagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ bitwise aggregates: OR/AND/XOR-fold of a key per group — the
+    primitive behind roaring-bitmap-style set encodings, permission-mask
+    rollups, and parity checks. All three are associative+commutative, so
+    Spark computes them map-side (partial aggregate) exactly like a sum;
+    one shuffle of 16 tiny groups regardless of input size — the ideal
+    100 TB aggregation shape."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy((F.col("user_id") % 16).cast("bigint").alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("bit_or(event_id)").cast("bigint").alias("b_or"),
+        F.expr("bit_and(event_id)").cast("bigint").alias("b_and"),
+        F.expr("bit_xor(event_id)").cast("bigint").alias("b_xor"),
+    )
+
+
+@q(
+    "win_streak",
+    """WITH days AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       s AS (
+         SELECT user_id, d,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+         FROM days),
+       isl AS (SELECT user_id, d - CAST(rn AS INTEGER) AS grp FROM s),
+       streaks AS (
+         SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp)
+       SELECT user_id,
+              CAST(MAX(len) AS BIGINT) AS max_streak,
+              CAST(COUNT(*) AS BIGINT) AS n_streaks,
+              CAST(SUM(len) AS BIGINT) AS active_days
+       FROM streaks GROUP BY user_id""",
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ calendar gaps-and-islands: longest consecutive-day activity
+    streak per user (the engagement metric every product dashboard has).
+    Classic island id = date − row_number(): consecutive days share the
+    difference, a gap shifts it. win_gaps finds holes in an ID sequence;
+    this is its calendar twin over DISTINCT active days. One shuffle on
+    user_id serves the distinct, the window, and both aggregations —
+    Spark reuses the hash partitioning across all four stages, which is
+    exactly the single-exchange plan you want at 100 TB."""
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("rn", F.row_number().over(w)).select(
+        "user_id", F.expr("date_sub(d, CAST(rn AS INT))").alias("grp")
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("max_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
+
+
+@q(
+    "text_tfidf",
+    """WITH w AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+         FROM documents),
+       tf AS (
+         SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM w WHERE term <> '' GROUP BY doc_id, term),
+       df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       sc AS (
+         SELECT t.doc_id, t.term, t.tf,
+                t.tf * CAST(FLOOR(1000000 * n.n_docs / d.df) AS BIGINT) AS score
+         FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+         WHERE t.doc_id % 20 = 0),
+       rk AS (
+         SELECT doc_id, term, tf, score,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+         FROM sc)
+       SELECT doc_id, term, tf, score FROM rk WHERE rn <= 3""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ TF-IDF keyword extraction: top-3 most characteristic terms per
+    document (probe subset keeps output bounded). IDF is integer-scaled
+    — floor(1e6·N/df) — instead of ln(N/df): libm log implementations
+    are not guaranteed bit-identical across engines, and monotone
+    transforms preserve the ranking, so the integer form gives the same
+    top-k with exact cross-engine determinism. Plan shape at 100 TB:
+    token explode → (doc,term) partial-agg, df is a second agg over the
+    *already deduplicated* tf table (much smaller than the token stream),
+    N is a 1-row broadcast scalar (whitelisted BNLJ), and top-k is a
+    bounded window per doc. No float, no all-pairs, no driver loop."""
+    docs = read_table(spark, sf_dir, "documents")
+    w_ = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = w_.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    sc = (
+        tf.filter(F.col("doc_id") % 20 == 0)
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.expr("tf * CAST(FLOOR(1000000 * n_docs / df) AS BIGINT)"),
+        )
+    )
+    wk = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        sc.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score")
+    )
+
+
+# =====================================================================
 # Driver-visible ordering
 # =====================================================================
 # The correctness driver oracle-checks only the FIRST 50 registered keys
