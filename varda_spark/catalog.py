@@ -5530,6 +5530,340 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "win_attribution",
+    """WITH s AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+       a AS (
+         SELECT user_id, event_id, event_type, t,
+                MAX(CASE WHEN event_type = 'click' THEN t END) OVER
+                  (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_t
+         FROM s)
+       SELECT user_id, event_id AS purchase_id,
+              CAST(t - last_click_t AS BIGINT) AS latency_us
+       FROM a
+       WHERE event_type = 'purchase' AND last_click_t IS NOT NULL
+         AND t - last_click_t <= 604800000000""",
+)
+def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ last-touch attribution: tie each purchase to the most recent
+    preceding click by the same user within a 7-day window — the core of
+    every marketing-attribution pipeline. One conditional running-max
+    (MAX(CASE WHEN click)) over the user's event stream replaces the
+    naive purchase×click self-join (which is quadratic per user); the
+    single window shuffle on user_id is the whole cost, so the plan is
+    identical at 100 TB. Timestamps stay integer micros end-to-end."""
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = s.withColumn(
+        "last_click_t",
+        F.max(F.when(F.col("event_type") == "click", F.col("t"))).over(w),
+    )
+    return a.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_click_t").isNotNull()
+        & (F.col("t") - F.col("last_click_t") <= 604800000000)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("t") - F.col("last_click_t")).cast("bigint").alias("latency_us"),
+    )
+
+
+_MOMENT_VAR = "(s2 / n - (s1 / n) * (s1 / n))"
+_MOMENT_SKEW = (
+    "(s3 / n - 3 * (s1 / n) * (s2 / n)"
+    " + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+    f" / ({_MOMENT_VAR} * sqrt({_MOMENT_VAR}))"
+)
+_MOMENT_KURT = (
+    "(s4 / n - 4 * (s1 / n) * (s3 / n)"
+    " + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+    " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+    f" / ({_MOMENT_VAR} * {_MOMENT_VAR}) - 3"
+)
+
+
+@q(
+    "agg_moments",
+    f"""WITH b AS (
+         SELECT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) AS x
+         FROM lineitem),
+       s AS (
+         SELECT flag,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(x) AS DOUBLE) AS s1,
+                CAST(SUM(x * x) AS DOUBLE) AS s2,
+                CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+                CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+         FROM b GROUP BY flag)
+       SELECT flag, CAST(n AS BIGINT) AS n_rows,
+              s1 / n AS mean,
+              {_MOMENT_VAR} AS var_pop,
+              {_MOMENT_SKEW} AS skew,
+              {_MOMENT_KURT} AS kurt_excess
+       FROM s""",
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ exact higher moments: population variance, skewness, excess
+    kurtosis of l_quantity per return flag from raw integer power sums
+    (quantity ≤ 50, so x⁴ sums stay < 2^53 — every sum is exact and its
+    double image is exact). The closed-form moment expressions are the
+    SAME text in Spark and the oracle, so each IEEE op sequence is
+    identical → bit-identical floats, unlike the engines' built-in
+    skewness()/kurtosis() whose accumulation order varies by partition.
+    m2^1.5 is written m2·sqrt(m2) (single correctly-rounded ops), never
+    pow() — libm pow is not cross-engine stable. One partial-agg pass,
+    5 longs per group: the cheapest possible 100 TB statistics scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("x"),
+    )
+    s = b.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum(F.expr("x * x")).cast("double").alias("s2"),
+        F.sum(F.expr("x * x * x")).cast("double").alias("s3"),
+        F.sum(F.expr("x * x * x * x")).cast("double").alias("s4"),
+    )
+    return s.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr("s1 / n").alias("mean"),
+        F.expr(_MOMENT_VAR).alias("var_pop"),
+        F.expr(_MOMENT_SKEW).alias("skew"),
+        F.expr(_MOMENT_KURT).alias("kurt_excess"),
+    )
+
+
+@q(
+    "agg_rfm",
+    """WITH cust AS (
+         SELECT c.c_custkey, c.c_nationkey,
+                CAST(date_diff('day', CAST(MAX(o.o_orderdate) AS DATE),
+                               DATE '2002-01-01') AS BIGINT) AS rec_days,
+                CAST(COUNT(*) AS BIGINT) AS freq,
+                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS mon
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_custkey, c.c_nationkey),
+       qq AS (
+         SELECT c_custkey, c_nationkey,
+                NTILE(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY rec_days, c_custkey) AS r_q,
+                NTILE(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY freq DESC, c_custkey) AS f_q,
+                NTILE(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY mon DESC, c_custkey) AS m_q
+         FROM cust)
+       SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey,
+              CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+              CAST(m_q AS BIGINT) AS m_q,
+              CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment
+       FROM qq""",
+)
+def agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ RFM segmentation: quartile-code every customer on recency /
+    frequency / monetary within their nation (partitioned quartiles keep
+    the window distributed — a GLOBAL ntile would single-task, the exact
+    anti-pattern the plan audit flags). Recency anchors on a fixed date
+    so reruns are stable; monetary sums in decimal. Ties break on
+    c_custkey so ntile is deterministic in both engines. Plan: one agg
+    shuffle on custkey, one window shuffle on nationkey — both keyed,
+    both AQE-coalescible at 100 TB."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.expr(
+                "CAST(datediff(DATE '2002-01-01', CAST(MAX(o_orderdate) AS DATE)) AS BIGINT)"
+            ).alias("rec_days"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(dec("o_totalprice")).cast("double").alias("mon"),
+        )
+    )
+    pb = Window.partitionBy("c_nationkey")
+    qq = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(pb.orderBy("rec_days", "c_custkey")).alias("r_q"),
+        F.ntile(4).over(pb.orderBy(F.desc("freq"), "c_custkey")).alias("f_q"),
+        F.ntile(4).over(pb.orderBy(F.desc("mon"), "c_custkey")).alias("m_q"),
+    )
+    return qq.select(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        "c_custkey",
+        F.col("r_q").cast("bigint").alias("r_q"),
+        F.col("f_q").cast("bigint").alias("f_q"),
+        F.col("m_q").cast("bigint").alias("m_q"),
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("bigint")
+        .alias("segment"),
+    )
+
+
+@q(
+    "qa_integrity",
+    """SELECT 'orphan_lineitems' AS chk, CAST(COUNT(*) AS BIGINT) AS n_bad
+       FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderkey IS NULL
+       UNION ALL
+       SELECT 'childless_orders', CAST(COUNT(*) AS BIGINT)
+       FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+         ON o.o_orderkey = l.l_orderkey
+       WHERE l.l_orderkey IS NULL
+       UNION ALL
+       SELECT 'orders_bad_customer', CAST(COUNT(*) AS BIGINT)
+       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_custkey IS NULL
+       UNION ALL
+       SELECT 'customers_no_orders', CAST(COUNT(*) AS BIGINT)
+       FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+         ON c.c_custkey = o.o_custkey
+       WHERE o.o_custkey IS NULL
+       UNION ALL
+       SELECT 'dup_orderkeys', CAST(COUNT(*) AS BIGINT) FROM (
+         SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+       UNION ALL
+       SELECT 'null_order_dates', CAST(COUNT(*) AS BIGINT)
+       FROM orders WHERE o_orderdate IS NULL""",
+)
+def qa_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ referential-integrity audit: the post-ingest QA gate a
+    warehouse runs before publishing a snapshot — orphan facts, childless
+    parents, dangling FKs, duplicate PKs, null partitions keys — one row
+    per check. Spark side uses left_anti joins (the oracle spells them
+    LEFT JOIN … IS NULL — same cardinality); every check is an equi-join
+    or grouped count, so the audit costs a handful of keyed shuffles and
+    each anti-join broadcast-prunes when the parent side is small. The
+    fixed 6-row output makes it a cheap per-batch CI assertion at any
+    scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+
+    def chk(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_bad")).select(
+            F.lit(name).alias("chk"), "n_bad"
+        )
+
+    dup = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c")).filter("c > 1")
+    return (
+        chk("orphan_lineitems", li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"))
+        .unionAll(chk("childless_orders", o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti")))
+        .unionAll(chk("orders_bad_customer", o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")))
+        .unionAll(chk("customers_no_orders", c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")))
+        .unionAll(chk("dup_orderkeys", dup))
+        .unionAll(chk("null_order_dates", o.filter(F.col("o_orderdate").isNull())))
+    )
+
+
+@q(
+    "win_outlier",
+    """WITH b AS (
+         SELECT user_id, event_id, event_type,
+                CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+         FROM events),
+       st AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(y) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+         FROM b GROUP BY event_type),
+       z AS (
+         SELECT b.user_id, b.event_id, b.event_type,
+                (CAST(b.y AS DOUBLE) - st.sy / st.n)
+                  / sqrt(st.syy / st.n - (st.sy / st.n) * (st.sy / st.n)) AS z
+         FROM b JOIN st ON b.event_type = st.event_type)
+       SELECT user_id, event_id, event_type, z FROM z WHERE abs(z) > 2""",
+)
+def win_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ z-score anomaly flagging: events whose value sits > 2σ from
+    their type's mean. Two-pass shape — exact integer/decimal moment
+    sums per type (5 rows), broadcast-hash-joined back onto the stream —
+    NOT a window over the whole table, so nothing single-tasks and the
+    stats side is constant-size at any scale. The z expression is the
+    same text in both engines (single IEEE ops on identical inputs →
+    identical bits). The 1e-4 fixed-point scaling cancels in z."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("y"),
+    )
+    st = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).cast("double").alias("syy"),
+    )
+    z = b.join(F.broadcast(st), "event_type").withColumn(
+        "z",
+        F.expr(
+            "(CAST(y AS DOUBLE) - sy / n)"
+            " / sqrt(syy / n - (sy / n) * (sy / n))"
+        ),
+    )
+    return z.filter(F.abs(F.col("z")) > 2).select(
+        "user_id", "event_id", "event_type", "z"
+    )
+
+
+@q(
+    "agg_hhi",
+    """WITH y AS (
+         SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+                CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS yc
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       rev AS (SELECT nation, supp, SUM(yc) AS rev_c FROM y GROUP BY nation, supp),
+       tot AS (SELECT nation, SUM(rev_c) AS tot_c FROM rev GROUP BY nation),
+       sh AS (
+         SELECT r.nation,
+                CAST(FLOOR(1000000 * r.rev_c / t.tot_c) AS BIGINT) AS ppm
+         FROM rev r JOIN tot t ON r.nation = t.nation)
+       SELECT CAST(nation AS BIGINT) AS nation,
+              CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+              CAST(SUM(ppm * ppm) AS BIGINT) AS hhi_ppm2
+       FROM sh GROUP BY nation""",
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ market concentration (Herfindahl–Hirschman index): per nation,
+    sum of squared supplier revenue shares — the antitrust/risk metric,
+    and a useful skew diagnostic for partitioning decisions. Shares are
+    parts-per-million integers (floor of a division whose operands are
+    identical exact bigints in both engines), so the index is exact —
+    no float share accumulation. Revenue rolls up in integer 1e-4 units.
+    Plan: fact-side partial agg on (nation,supp) → 25-row total broadcast
+    → tiny squared-share agg; the only big shuffle is the first keyed
+    aggregation, which is unavoidable and map-combined."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    y = li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]).select(
+        F.col("s_nationkey").alias("nation"),
+        F.col("l_suppkey").alias("supp"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("yc"),
+    )
+    rev = y.groupBy("nation", "supp").agg(F.sum("yc").alias("rev_c"))
+    tot = rev.groupBy("nation").agg(F.sum("rev_c").alias("tot_c"))
+    sh = rev.join(F.broadcast(tot), "nation").select(
+        "nation", F.expr("CAST(FLOOR(1000000 * rev_c / tot_c) AS BIGINT)").alias("ppm")
+    )
+    return sh.groupBy(F.col("nation").cast("bigint").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(F.expr("ppm * ppm")).cast("bigint").alias("hhi_ppm2"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
