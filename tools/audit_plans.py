@@ -51,6 +51,7 @@ BNLJ_OK = {
     "tpch_q20",          # same partsupp 1-row s_cnt scalar
     "graph_triangles",   # 1-row wedge-sum and edge-count scalars joined in
     "text_tfidf",        # 1-row corpus-count scalar (N in the IDF)
+    "interval_density",  # 1-row min/max scalar exploded into the bin spine
 }
 
 

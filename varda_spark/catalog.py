@@ -5864,6 +5864,164 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sample_weighted",
+    """SELECT doc_id, source, n_chars
+       FROM documents
+       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
+             < least(n_chars, 1000)""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K+ deterministic importance sampling: keep each document with
+    probability proportional to its weight (here n_chars, capped at the
+    1000 scale) — the length-weighted draw a training-mix builder uses so
+    long documents aren't under-represented per-document. The coin is the
+    60-bit md5 of the key, so the decision is a pure map-side filter:
+    reproducible across runs/retries/engines, no RNG state, no shuffle,
+    and it composes with pushdown (the filter reaches the scan). Same
+    hash idiom as sample_hash; the weight just modulates the threshold."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return docs.filter(h % 1000 < F.least("n_chars", F.lit(1000))).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@q(
+    "emb_norm_hist",
+    """WITH n2 AS (
+         SELECT vec_id,
+                list_sum(list_transform(embedding,
+                  x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                       * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS norm2_q
+         FROM embeddings)
+       SELECT CAST(FLOOR(norm2_q / 100000) AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM n2 GROUP BY bucket""",
+)
+def emb_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ embedding QA: histogram of squared L2 norms — the first check
+    before any cosine-based dedup/ANN (un-normalized vectors silently
+    break cosine ≈ dot shortcuts; this table IS normalized, and the
+    histogram proves it instead of assuming it). Elements quantize to
+    1e-6 integers (float32 widened to double first so both engines run
+    the identical multiply), the squared sum is pure integer fold inside
+    a higher-order function — no Python, no explode, no shuffle until
+    the 15-bucket count. Map-side cost is 64 multiplies/row: the same
+    whole-stage-codegen'd loop at any scale."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qsq = (
+        "aggregate(transform(embedding,"
+        " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+        " * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    n2 = emb.select(F.expr(qsq).alias("norm2_q"))
+    return n2.groupBy(
+        F.expr("CAST(FLOOR(norm2_q / 100000) AS BIGINT)").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@q(
+    "qa_profile",
+    """SELECT 'o_orderkey' AS col,
+              CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+              CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+              CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+              CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+       FROM orders
+       UNION ALL
+       SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+              CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+              CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+              MIN(o_orderstatus), MAX(o_orderstatus)
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+              CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+              MIN(o_orderpriority), MAX(o_orderpriority)
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+              CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT),
+              CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+              CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
+       FROM orders""",
+)
+def qa_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ column profiler: null count, exact distinct count, min/max per
+    column — the stats block a catalog/data-contract check publishes per
+    snapshot. One row per column via UNION ALL of single-pass aggregates
+    (Catalyst shares the scan). Doubles are deliberately absent: float
+    min/max→string formatting differs across engines, and a profile's
+    numeric columns are served by the typed stats keys (agg_stats);
+    dates render as ISO in both engines. Distinct counts are exact here;
+    the approx key family covers the sketch path for 100 TB cardinality."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def prof(col: str, expr_col, minmax_str: bool) -> DataFrame:
+        c = expr_col
+        mn = F.min(c) if minmax_str else F.min(c).cast("string")
+        mx = F.max(c) if minmax_str else F.max(c).cast("string")
+        return o.agg(
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_null"),
+            F.countDistinct(c).cast("bigint").alias("n_distinct"),
+            mn.alias("min_s"),
+            mx.alias("max_s"),
+        ).select(F.lit(col).alias("col"), "n_null", "n_distinct", "min_s", "max_s")
+
+    return (
+        prof("o_orderkey", F.col("o_orderkey"), False)
+        .unionAll(prof("o_custkey", F.col("o_custkey"), False))
+        .unionAll(prof("o_orderstatus", F.col("o_orderstatus"), True))
+        .unionAll(prof("o_orderpriority", F.col("o_orderpriority"), True))
+        .unionAll(prof("o_orderdate", F.col("o_orderdate").cast("date"), False))
+    )
+
+
+@q(
+    "interval_density",
+    """WITH b AS (
+         SELECT CAST(FLOOR(epoch_us(ts) / 1000000 / 900) * 900 AS BIGINT) AS w
+         FROM events),
+       lim AS (SELECT MIN(w) AS lo, MAX(w) AS hi FROM b),
+       spine AS (SELECT unnest(range(lo, hi + 900, 900)) AS win_start FROM lim),
+       cnt AS (SELECT w AS win_start, CAST(COUNT(*) AS BIGINT) AS n
+               FROM b GROUP BY w)
+       SELECT s.win_start, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+       FROM spine s LEFT JOIN cnt c ON s.win_start = c.win_start""",
+)
+def interval_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4+ zero-filled time density: events per 15-minute bin INCLUDING
+    empty bins — the gap a plain GROUP BY silently hides and exactly what
+    monitoring/alerting needs (a zero row IS the signal). The spine
+    explodes from a 1-row min/max scalar (whitelisted broadcast; bin
+    count = time-range/900 regardless of data volume), the counts side
+    is one keyed agg, and the left join zero-fills. DuckDB's range() is
+    stop-exclusive vs Spark's inclusive sequence() — the oracle adds one
+    stride to compensate (documented engine trap)."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.expr("CAST(FLOOR(unix_micros(ts) / 1000000 / 900) * 900 AS BIGINT)").alias("w")
+    )
+    lim = b.agg(F.min("w").alias("lo"), F.max("w").alias("hi"))
+    spine = lim.select(
+        F.explode(F.expr("sequence(lo, hi, CAST(900 AS BIGINT))")).alias("win_start")
+    )
+    cnt = b.groupBy(F.col("w").alias("win_start")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return spine.join(cnt, "win_start", "left").select(
+        "win_start", F.coalesce("n", F.lit(0).cast("bigint")).alias("n")
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
