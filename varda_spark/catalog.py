@@ -6022,6 +6022,335 @@ def interval_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "graph_markov",
+    """WITH s AS (
+         SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+       tr AS (
+         SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id) AS prev,
+                event_type AS nxt
+         FROM s),
+       cnt AS (
+         SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS n
+         FROM tr WHERE prev IS NOT NULL GROUP BY prev, nxt),
+       tot AS (SELECT prev, SUM(n) AS tot FROM cnt GROUP BY prev)
+       SELECT c.prev, c.nxt, c.n,
+              CAST(FLOOR(1000000 * c.n / t.tot) AS BIGINT) AS p_ppm
+       FROM cnt c JOIN tot t ON c.prev = t.prev""",
+)
+def graph_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ first-order Markov transition matrix of the event stream: for
+    each (previous type → next type) pair, the count and the transition
+    probability in exact ppm — the clickstream model behind next-action
+    prediction and funnel leak analysis. One lag() per user stream (the
+    only big shuffle), then two tiny aggregations; probabilities use the
+    shared floor-division idiom so the matrix is bit-stable. At 100 TB
+    the lag window shuffles once on user_id and the |types|² matrix stays
+    constant-size."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    tr = (
+        ev.select("user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id")
+        .select(F.lag("event_type").over(w).alias("prev"), F.col("event_type").alias("nxt"))
+        .filter(F.col("prev").isNotNull())
+    )
+    cnt = tr.groupBy("prev", "nxt").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cnt.groupBy("prev").agg(F.sum("n").alias("tot"))
+    return cnt.join(tot, "prev").select(
+        "prev",
+        "nxt",
+        "n",
+        F.expr("CAST(FLOOR(1000000 * n / tot) AS BIGINT)").alias("p_ppm"),
+    )
+
+
+@q(
+    "agg_gini",
+    """WITH y AS (
+         SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+                CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS yc
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       rev AS (SELECT nation, supp, SUM(yc) AS rev_c FROM y GROUP BY nation, supp),
+       rk AS (
+         SELECT nation, rev_c,
+                ROW_NUMBER() OVER (PARTITION BY nation
+                                   ORDER BY rev_c, supp) AS i
+         FROM rev),
+       s AS (
+         SELECT nation,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(i AS DECIMAL(38,0)) * rev_c) AS DOUBLE) AS sixi,
+                CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE) AS sx
+         FROM rk GROUP BY nation)
+       SELECT CAST(nation AS BIGINT) AS nation, CAST(n AS BIGINT) AS n_suppliers,
+              2 * sixi / (n * sx) - (n + 1) / n AS gini
+       FROM s""",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ Gini coefficient of supplier revenue per nation — the
+    inequality twin of agg_hhi's concentration index (and a practical
+    partition-skew diagnostic: gini of bytes-per-key predicts shuffle
+    stragglers). Computed from the rank-weighted closed form over exact
+    integer revenues: one keyed agg, one rank window partitioned by
+    nation, one final single-expression float (identical text both
+    engines → bit-identical). Ranks tie-break on supp for determinism."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    y = li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]).select(
+        F.col("s_nationkey").alias("nation"),
+        F.col("l_suppkey").alias("supp"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("yc"),
+    )
+    rev = y.groupBy("nation", "supp").agg(F.sum("yc").alias("rev_c"))
+    rk = rev.withColumn(
+        "i",
+        F.row_number().over(Window.partitionBy("nation").orderBy("rev_c", "supp")),
+    )
+    agg = rk.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * rev_c")).cast("double").alias("sixi"),
+        F.sum(F.expr("CAST(rev_c AS DECIMAL(38,0))")).cast("double").alias("sx"),
+    )
+    return agg.select(
+        F.col("nation").cast("bigint").alias("nation"),
+        F.col("n").cast("bigint").alias("n_suppliers"),
+        F.expr("2 * sixi / (n * sx) - (n + 1) / n").alias("gini"),
+    )
+
+
+_IVS_2SET_SQL = """
+  ivs AS (
+    SELECT CAST(s_suppkey % 2 AS INTEGER) AS st,
+           CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+           CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS b,
+           CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS e
+    FROM supplier),
+  o AS (
+    SELECT st, chromosome, b, e,
+           CASE WHEN MAX(e) OVER w IS NULL OR b > MAX(e) OVER w
+                THEN 1 ELSE 0 END AS ni
+    FROM ivs
+    WINDOW w AS (PARTITION BY st, chromosome ORDER BY b, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+  sr AS (
+    SELECT st, chromosome, b, e,
+           SUM(ni) OVER (PARTITION BY st, chromosome ORDER BY b, e
+                         ROWS UNBOUNDED PRECEDING) AS isl
+    FROM o),
+  m AS (
+    SELECT st, chromosome, MIN(b) AS b, MAX(e) AS e
+    FROM sr GROUP BY st, chromosome, isl)"""
+
+
+@q(
+    "interval_jaccard",
+    f"""WITH {_IVS_2SET_SQL},
+       bp AS (SELECT st, chromosome, SUM(e - b + 1) AS bp
+              FROM m GROUP BY st, chromosome),
+       inter AS (
+         SELECT a.chromosome,
+                SUM(least(a.e, x.e) - greatest(a.b, x.b) + 1) AS ibp
+         FROM m a JOIN m x
+           ON a.chromosome = x.chromosome AND a.st = 0 AND x.st = 1
+          AND a.b <= x.e AND a.e >= x.b
+         GROUP BY a.chromosome)
+       SELECT p0.chromosome,
+              CAST(p0.bp AS BIGINT) AS bp_a,
+              CAST(p1.bp AS BIGINT) AS bp_b,
+              CAST(COALESCE(i.ibp, 0) AS BIGINT) AS inter_bp,
+              CAST(FLOOR(1000000 * COALESCE(i.ibp, 0)
+                         / (p0.bp + p1.bp - COALESCE(i.ibp, 0))) AS BIGINT) AS jaccard_ppm
+       FROM bp p0
+       JOIN bp p1 ON p0.chromosome = p1.chromosome AND p0.st = 0 AND p1.st = 1
+       LEFT JOIN inter i ON p0.chromosome = i.chromosome""",
+)
+def interval_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ bedtools-jaccard: base-pair Jaccard similarity between two
+    interval sets per chromosome — the genomics measure of how much two
+    coverage tracks agree. Both sets are first collapsed to disjoint
+    merged runs (running-max islands, windowed per set×chromosome), so
+    the pairwise overlap join cannot double-count; intersection bp over
+    union bp then reduces to exact integer arithmetic with the ppm
+    floor-division idiom. At scale each per-chromosome partition merges
+    and joins independently — same plan, any genome size."""
+    sup = read_table(spark, sf_dir, "supplier")
+    ivs = sup.select(
+        (F.col("s_suppkey") % 2).cast("int").alias("st"),
+        (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
+        F.expr("CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT)").alias("b"),
+        F.expr(
+            "CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT)"
+        ).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("st", "chromosome")
+        .orderBy("b", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy("st", "chromosome")
+        .orderBy("b", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = ivs.withColumn("pm", F.max("e").over(wprev)).withColumn(
+        "ni",
+        F.when(F.col("pm").isNull() | (F.col("b") > F.col("pm")), 1).otherwise(0),
+    )
+    m = (
+        o.withColumn("isl", F.sum("ni").over(wcum))
+        .groupBy("st", "chromosome", "isl")
+        .agg(F.min("b").alias("b"), F.max("e").alias("e"))
+    )
+    bp = m.groupBy("st", "chromosome").agg(F.sum(F.col("e") - F.col("b") + 1).alias("bp"))
+    a = m.filter(F.col("st") == 0).select("chromosome", F.col("b").alias("ab"), F.col("e").alias("ae"))
+    x = m.filter(F.col("st") == 1).select("chromosome", F.col("b").alias("xb"), F.col("e").alias("xe"))
+    inter = (
+        a.join(x, "chromosome")
+        .filter((F.col("ab") <= F.col("xe")) & (F.col("ae") >= F.col("xb")))
+        .groupBy("chromosome")
+        .agg(
+            F.sum(
+                F.least("ae", "xe") - F.greatest("ab", "xb") + 1
+            ).alias("ibp")
+        )
+    )
+    p0 = bp.filter(F.col("st") == 0).select("chromosome", F.col("bp").alias("bp_a"))
+    p1 = bp.filter(F.col("st") == 1).select("chromosome", F.col("bp").alias("bp_b"))
+    return (
+        p0.join(p1, "chromosome")
+        .join(inter, "chromosome", "left")
+        .select(
+            "chromosome",
+            F.col("bp_a").cast("bigint").alias("bp_a"),
+            F.col("bp_b").cast("bigint").alias("bp_b"),
+            F.coalesce("ibp", F.lit(0)).cast("bigint").alias("inter_bp"),
+            F.expr(
+                "CAST(FLOOR(1000000 * COALESCE(ibp, 0)"
+                " / (bp_a + bp_b - COALESCE(ibp, 0))) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+@q(
+    "win_drawdown",
+    """WITH b AS (
+         SELECT user_id, epoch_us(ts) AS t, event_id,
+                CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS yc
+         FROM events),
+       c AS (
+         SELECT user_id, t, event_id,
+                SUM(yc) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+         FROM b),
+       d AS (
+         SELECT user_id, cum,
+                MAX(cum) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS peak
+         FROM c)
+       SELECT user_id,
+              CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_c,
+              CAST(MAX(cum) AS BIGINT) AS peak_c,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM d GROUP BY user_id""",
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ maximum drawdown per user: largest peak-to-current drop of the
+    cumulative value series — the risk metric for any monotone-resetting
+    running total (balances, quota burn, rate budgets). Running sum and
+    running max are two frames over ONE window shuffle on user_id; the
+    values are exact 1e-4 fixed-point integers so the result is
+    bit-stable. The peak is the running max in TIME order (a peak must
+    precede its trough), so both windows share one time-ordered shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("yc"),
+    )
+    wtime = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = b.select("user_id", "t", "event_id", F.sum("yc").over(wtime).alias("cum"))
+    d = c.select("user_id", "cum", F.max("cum").over(wtime).alias("peak"))
+    return d.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("cum")).cast("bigint").alias("max_drawdown_c"),
+        F.max("cum").cast("bigint").alias("peak_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@q(
+    "agg_mad",
+    """WITH b AS (
+         SELECT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) AS x
+         FROM lineitem),
+       c AS (
+         SELECT flag, x,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY flag ORDER BY x) AS cumn,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY flag) AS total
+         FROM b),
+       med AS (
+         SELECT flag, MIN(x) AS m FROM c WHERE 2 * cumn >= total GROUP BY flag),
+       dev AS (
+         SELECT b.flag, abs(b.x - med.m) AS d
+         FROM b JOIN med ON b.flag = med.flag),
+       c2 AS (
+         SELECT flag, d,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY flag ORDER BY d) AS cumn,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY flag) AS total
+         FROM dev)
+       SELECT dev2.flag, CAST(MIN(med2.m) AS BIGINT) AS median,
+              CAST(MIN(dev2.d) AS BIGINT) AS mad
+       FROM (SELECT flag, d FROM c2 WHERE 2 * cumn >= total) dev2
+       JOIN med med2 ON dev2.flag = med2.flag
+       GROUP BY dev2.flag""",
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ median absolute deviation: the robust scale estimate (immune to
+    the outliers that inflate win_outlier's σ). Two passes of the exact
+    half-mass median idiom (integer cumulative counts, 2·cum ≥ total —
+    no float, no percentile sketch): median of x, then median of
+    |x − median|. The 3-row median table broadcast-joins back onto the
+    fact, so the second pass costs the same one keyed window as the
+    first. Lower-median convention ties both engines deterministically."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("x"),
+    )
+
+    def half_mass_min(df: DataFrame, col: str) -> DataFrame:
+        wo = Window.partitionBy("flag").orderBy(col)
+        wt = Window.partitionBy("flag")
+        c = df.select(
+            "flag",
+            col,
+            F.sum(F.lit(1).cast("bigint")).over(wo).alias("cumn"),
+            F.sum(F.lit(1).cast("bigint")).over(wt).alias("total"),
+        )
+        return (
+            c.filter(2 * F.col("cumn") >= F.col("total"))
+            .groupBy("flag")
+            .agg(F.min(col).alias(f"_{col}_med"))
+        )
+
+    med = half_mass_min(b, "x").withColumnRenamed("_x_med", "m")
+    dev = b.join(F.broadcast(med), "flag").select(
+        "flag", F.abs(F.col("x") - F.col("m")).alias("d")
+    )
+    mad = half_mass_min(dev, "d").withColumnRenamed("_d_med", "mad")
+    return med.join(mad, "flag").select(
+        "flag",
+        F.col("m").cast("bigint").alias("median"),
+        F.col("mad").cast("bigint").alias("mad"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
