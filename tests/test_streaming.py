@@ -9,7 +9,7 @@ import shutil
 import tempfile
 from pathlib import Path
 
-from varda_spark.sources.tables import read_table
+from varda_spark.sources.tables import normalize_events_ts, read_table
 from varda_spark.streaming.windows import (
     read_events_stream,
     session_windows_batch,
@@ -48,13 +48,10 @@ def _run_stream_to_memory(spark, sdf, name: str, mode: str):
 def test_tumbling_stream_equals_batch(spark):
     ev = read_table(spark, SF, "events")
     batch = {tuple(r) for r in tumbling_counts(ev).collect()}
-    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema  # ts: bigint (nanosAsLong)
-    stream_src = read_events_stream(spark, _staged_events_dir(), raw_schema)
-    # raw parquet ts is nanos-as-long in this dataset; normalize like read_table
-    from pyspark.sql import functions as F
-
-    if dict(stream_src.dtypes).get("ts") == "bigint":
-        stream_src = stream_src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream_src = normalize_events_ts(
+        read_events_stream(spark, _staged_events_dir(), raw_schema)
+    )
     got = _run_stream_to_memory(spark, tumbling_counts_stream(stream_src), "tumbling_t", "complete")
     assert {tuple(r) for r in got.collect()} == batch
 
@@ -63,12 +60,10 @@ def test_session_stream_matches_batch_session_count(spark):
     ev = read_table(spark, SF, "events")
     batch = session_windows_batch(ev)
     n_batch = batch.count()
-    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema  # ts: bigint (nanosAsLong)
-    stream_src = read_events_stream(spark, _staged_events_dir(), raw_schema)
-    from pyspark.sql import functions as F
-
-    if dict(stream_src.dtypes).get("ts") == "bigint":
-        stream_src = stream_src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream_src = normalize_events_ts(
+        read_events_stream(spark, _staged_events_dir(), raw_schema)
+    )
     got = _run_stream_to_memory(
         spark, session_windows_stream(stream_src), "session_t", "complete"
     )

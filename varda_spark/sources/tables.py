@@ -49,8 +49,35 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a plain TIMESTAMP, whatever the physical form.
+
+    Testdata drops have shipped two shapes: INT64 TIMESTAMP(NANOS) (read as
+    bigint nanos under nanosAsLong) and plain micros without UTC adjustment
+    (read as TIMESTAMP_NTZ by Spark 4's inferTimestampNTZ). DuckDB treats
+    the same naive values as epoch-UTC, so the NTZ branch converts the naive
+    clock value via an NTZ-space epoch diff — exact and independent of the
+    session/JVM timezone (a plain cast is not). Works on batch and
+    streaming DataFrames alike (pure column expressions).
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return df
 
 
