@@ -115,3 +115,90 @@ def test_interval_density_spine_has_no_holes(spark):
     starts = [r.win_start for r in rows]
     assert starts == list(range(starts[0], starts[-1] + 900, 900))
     assert any(r.n == 0 for r in rows) or len(rows) > 0
+
+
+def test_ks_matches_scipy_formula(spark):
+    got = {r.status: r for r in catalog.agg_ks(spark, SF).collect()}
+    li = (
+        catalog.read_table(spark, SF, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "N"))
+        .select("l_linestatus", "l_returnflag", F.floor("l_quantity").alias("x"))
+        .toPandas()
+    )
+    import numpy as np
+
+    for status, g in li.groupby("l_linestatus"):
+        a = np.sort(g[g.l_returnflag == "R"].x.to_numpy())
+        b = np.sort(g[g.l_returnflag == "N"].x.to_numpy())
+        grid = np.union1d(a, b)
+        d_ref = np.max(
+            np.abs(
+                np.searchsorted(a, grid, side="right") / len(a)
+                - np.searchsorted(b, grid, side="right") / len(b)
+            )
+        )
+        assert math.isclose(got[status].ks_stat, d_ref, rel_tol=1e-12)
+        assert 0.0 <= got[status].ks_stat <= 1.0
+
+
+def test_chisq_cells_reconstruct_marginals(spark):
+    rows = catalog.agg_chisq(spark, SF).collect()
+    assert len(rows) == 6  # 3 flags x 2 statuses
+    n = sum(r.obs for r in rows)
+    # expected cell counts also sum to N (property of the independence model)
+    assert math.isclose(sum(r.expected for r in rows), n, rel_tol=1e-9)
+    assert all(r.chisq_contrib >= 0 for r in rows)
+
+
+def test_benford_shares_cover_all_orders(spark):
+    rows = catalog.agg_benford(spark, SF).collect()
+    digits = {r.digit for r in rows}
+    assert digits <= set("123456789")
+    total_ppm = sum(r.share_ppm for r in rows)
+    # floor rounding loses < 1 ppm per digit
+    assert 1000000 - 9 <= total_ppm <= 1000000
+
+
+def test_graph_jaccard_scores_bounded_and_sorted(spark):
+    rows = catalog.graph_jaccard(spark, SF_SMALL).collect()
+    assert rows
+    scores = [r.jac_ppm for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 0 < r.cn <= r.un  # intersection never exceeds union
+        assert 0 < r.jac_ppm <= 1000000
+
+
+def test_emb_quantize_codes_in_range_and_complete(spark):
+    df = catalog.emb_quantize(spark, SF)
+    rows = df.collect()
+    assert all(0 <= r.code <= 255 for r in rows)
+    emb = catalog.read_table(spark, SF, "embeddings")
+    n_vecs = emb.count()
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    # histogram mass = n_vecs per dimension, all dims present
+    per_dim = {r.dim: 0 for r in rows}
+    for r in rows:
+        per_dim[r.dim] += r.n
+    assert set(per_dim) == set(range(dim))
+    assert all(v == n_vecs for v in per_dim.values())
+
+
+def test_ewma_is_convex_and_tracks_constant(spark):
+    df = catalog.win_ewma(spark, SF)
+    ev = catalog.read_table(spark, SF, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    rows = df.limit(2000).collect()
+    # EWMA is a convex combination -> bounded by the global value range
+    # (loose bound: quantization to 1e-4 can nudge by < 1e-4)
+    assert all(lo - 1e-3 <= r.ewma <= hi + 1e-3 for r in rows)
+    assert all(r.den <= 255 and r.den >= 128 for r in rows)
+
+
+def test_readability_formula_consistent(spark):
+    rows = catalog.text_readability(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0 and r.total_words > 0
+        # Flesch for natural-ish text lands in a wide sane band
+        assert -200.0 < r.flesch < 220.0

@@ -52,6 +52,8 @@ BNLJ_OK = {
     "graph_triangles",   # 1-row wedge-sum and edge-count scalars joined in
     "text_tfidf",        # 1-row corpus-count scalar (N in the IDF)
     "interval_density",  # 1-row min/max scalar exploded into the bin spine
+    "agg_chisq",         # 1-row grand-total N joined onto 6 contingency cells
+    "agg_benford",       # 1-row digit-count total for exact ppm shares
 }
 
 

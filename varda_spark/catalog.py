@@ -6351,6 +6351,452 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_ks",
+    """WITH b AS (
+         SELECT l_linestatus AS status,
+                CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1,
+                CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS g2
+         FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+       c AS (
+         SELECT status, x,
+                CAST(SUM(g1) AS BIGINT) AS c1,
+                CAST(SUM(g2) AS BIGINT) AS c2
+         FROM b GROUP BY status, x),
+       w AS (
+         SELECT status, x,
+                SUM(c1) OVER (PARTITION BY status ORDER BY x) AS cum1,
+                SUM(c2) OVER (PARTITION BY status ORDER BY x) AS cum2
+         FROM c),
+       t AS (
+         SELECT status, CAST(SUM(c1) AS BIGINT) AS n1,
+                CAST(SUM(c2) AS BIGINT) AS n2
+         FROM c GROUP BY status),
+       d AS (
+         SELECT w.status,
+                MAX(ABS(CAST(w.cum1 AS DECIMAL(38,0)) * t.n2
+                        - CAST(w.cum2 AS DECIMAL(38,0)) * t.n1)) AS ks_num
+         FROM w JOIN t ON w.status = t.status GROUP BY w.status)
+       SELECT d.status, t.n1, t.n2,
+              CAST(d.ks_num AS BIGINT) AS ks_num,
+              CAST(d.ks_num AS DOUBLE)
+                / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS ks_stat
+       FROM d JOIN t ON d.status = t.status""",
+)
+def agg_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ two-sample Kolmogorov–Smirnov statistic, per segment: the
+    distribution-drift test a training pipeline runs between two data
+    slices (here returned-vs-not quantity mix within each linestatus;
+    in production, train vs eval feature drift). Entirely exact: the
+    pooled empirical CDFs are integer cumulative counts over the grouped
+    value domain, and D's numerator max|cum1·n2 − cum2·n1| stays in
+    integer space — only the final normalization divides (two IEEE ops on
+    identical operands → bit-identical both engines). The cumulative
+    window is PARTITIONED by the segment key, so at 100 TB each segment's
+    CDF scan parallelizes and nothing is a global single-partition sort.
+    One shuffle for the (status,x) group, one keyed window, a 2-row
+    broadcast join for totals."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        F.col("l_linestatus").alias("status"),
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("x"),
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias("g1"),
+        F.expr("CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END").alias("g2"),
+    )
+    c = b.groupBy("status", "x").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum("g2").cast("bigint").alias("c2"),
+    )
+    wspec = Window.partitionBy("status").orderBy("x")
+    w = c.select(
+        "status",
+        "x",
+        F.sum("c1").over(wspec).alias("cum1"),
+        F.sum("c2").over(wspec).alias("cum2"),
+    )
+    t = c.groupBy("status").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = (
+        w.join(F.broadcast(t), "status")
+        .select(
+            "status",
+            F.expr(
+                "ABS(CAST(cum1 AS DECIMAL(38,0)) * n2"
+                " - CAST(cum2 AS DECIMAL(38,0)) * n1)"
+            ).alias("gap"),
+        )
+        .groupBy("status")
+        .agg(F.max("gap").alias("ks_num"))
+    )
+    return d.join(F.broadcast(t), "status").select(
+        "status",
+        "n1",
+        "n2",
+        F.col("ks_num").cast("bigint").alias("ks_num"),
+        F.expr(
+            "CAST(ks_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+        ).alias("ks_stat"),
+    )
+
+
+@q(
+    "agg_chisq",
+    """WITH o AS (
+         SELECT l_returnflag AS flag, l_linestatus AS status,
+                CAST(COUNT(*) AS BIGINT) AS obs
+         FROM lineitem GROUP BY flag, status),
+       rt AS (SELECT flag, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY flag),
+       ct AS (SELECT status, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY status),
+       tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+       SELECT o.flag, o.status, o.obs,
+              CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                / CAST(tot.n AS DOUBLE) AS expected,
+              (CAST(o.obs * tot.n - rt.r * ct.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                * (CAST(o.obs * tot.n - rt.r * ct.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                AS chisq_contrib
+       FROM o JOIN rt ON o.flag = rt.flag
+              JOIN ct ON o.status = ct.status
+              CROSS JOIN tot""",
+)
+def agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ chi-square independence table for two categoricals (return flag
+    × line status): per-cell observed, expected, and (O−E)²/E residual —
+    the categorical-drift twin of agg_ks, and the standard check that a
+    sampled corpus preserves a label mix. Marginals and the difference
+    O·N − rt·ct are exact BIGINT (products ≤ 1e18 even at sf100); the
+    residual is one fixed-order float expression with identical text in
+    both engines, so no float accumulation happens anywhere — the cell
+    rows ARE the result (summing 6 doubles would be order-sensitive;
+    residuals per cell are the more useful artifact anyway). Plan: one
+    map-combined group on the fact, then tiny broadcast joins (marginals
+    are k-row; the 1-row total is a whitelisted broadcast cross join)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    rt = o.groupBy("flag").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = o.groupBy("status").agg(F.sum("obs").cast("bigint").alias("c"))
+    tot = o.agg(F.sum("obs").cast("bigint").alias("n"))
+    return (
+        o.join(F.broadcast(rt), "flag")
+        .join(F.broadcast(ct), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "flag",
+            "status",
+            "obs",
+            F.expr(
+                "CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"
+            ).alias("expected"),
+            F.expr(
+                "(CAST(obs * n - r * c AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * (CAST(obs * n - r * c AS DOUBLE) / CAST(n AS DOUBLE))"
+                " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+            ).alias("chisq_contrib"),
+        )
+    )
+
+
+@q(
+    "agg_benford",
+    """WITH d AS (
+         SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                        AS BIGINT) AS VARCHAR), 1, 1) AS digit
+         FROM orders WHERE o_totalprice > 0),
+       c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+       t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+       SELECT c.digit, c.n,
+              CAST(FLOOR(1000000 * c.n / t.tot) AS BIGINT) AS share_ppm
+       FROM c CROSS JOIN t""",
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+/QA Benford first-digit profile of order totals — the classic
+    fabricated-data screen (organic amounts follow log-uniform leading
+    digits; synthetic or tampered ones don't). The leading digit comes
+    from the DECIMAL-scaled integer cents rendered as a string — never
+    from float formatting, which the two engines do differently — and
+    shares are exact floor-ppm on identical bigints (agg_hhi idiom).
+    Plan: map-side digit projection, 9-group combine, 1-row total
+    broadcast; at 100 TB this is a single map-combined pass."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100"
+            " AS BIGINT) AS STRING), 1, 1)"
+        ).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.expr("CAST(FLOOR(1000000 * n / tot) AS BIGINT)").alias("share_ppm"),
+    )
+
+
+@q(
+    "graph_jaccard",
+    f"""WITH {_COORDER_EDGES_SQL},
+       sym AS (SELECT pa AS src, pb AS dst FROM e
+               UNION ALL SELECT pb AS src, pa AS dst FROM e),
+       deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+               FROM sym GROUP BY src),
+       common AS (
+         SELECT s1.dst AS a, s2.dst AS b, CAST(COUNT(*) AS BIGINT) AS cn
+         FROM sym s1 JOIN sym s2
+           ON s1.src = s2.src AND s1.dst < s2.dst
+         GROUP BY s1.dst, s2.dst),
+       jac AS (
+         SELECT c.a, c.b, c.cn,
+                da.degree + db.degree - c.cn AS un,
+                CAST(FLOOR(1000000 * c.cn / (da.degree + db.degree - c.cn))
+                     AS BIGINT) AS jac_ppm
+         FROM common c JOIN deg da ON c.a = da.node
+                       JOIN deg db ON c.b = db.node)
+       SELECT a, b, cn, CAST(un AS BIGINT) AS un, jac_ppm
+       FROM jac ORDER BY jac_ppm DESC, a, b LIMIT 20""",
+)
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph node similarity: common-neighbor Jaccard over the co-purchase
+    graph (the "customers who bought X also bought Y" scorer, and the
+    graph-native cousin of K2's set-based near-dedup). Candidate pairs
+    come only from the wedge join — two nodes must SHARE a neighbor to
+    appear, so the pair space is Σ deg(v)² over wedge centers, never the
+    all-pairs |V|²; at 100 TB the same degree-cap that graph_triangles
+    documents bounds hub fan-out (testdata basket width ≤ 7 bounds it
+    here). Jaccard = |N(a)∩N(b)| / |N(a)∪N(b)| in exact floor-ppm ints;
+    top-20 by (score, a, b) is a TakeOrderedAndProject, no global sort."""
+    e = _coorder_edges(spark, sf_dir).localCheckpoint()  # reused 3× below
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    common = (
+        s1.join(
+            s2,
+            (F.col("s1.src") == F.col("s2.src"))
+            & (F.col("s1.dst") < F.col("s2.dst")),
+        )
+        .groupBy(F.col("s1.dst").alias("a"), F.col("s2.dst").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    da = deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "dega")
+    db = deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "degb")
+    jac = (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.expr("CAST(dega + degb - cn AS BIGINT)").alias("un"),
+            F.expr(
+                "CAST(FLOOR(1000000 * cn / (dega + degb - cn)) AS BIGINT)"
+            ).alias("jac_ppm"),
+        )
+    )
+    return jac.orderBy(F.desc("jac_ppm"), "a", "b").limit(20)
+
+
+@q(
+    "emb_quantize",
+    """WITH x AS (
+         SELECT vec_id, CAST(t.i AS BIGINT) AS dim,
+                CAST(FLOOR(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+                           * 1000000) AS BIGINT) AS vq
+         FROM embeddings, unnest(range(len(embedding))) AS t(i)),
+       st AS (
+         SELECT dim, MIN(vq) AS mn, MAX(vq) AS mx FROM x GROUP BY dim),
+       code AS (
+         SELECT x.vec_id, x.dim,
+                CASE WHEN st.mx = st.mn THEN 0
+                     ELSE CAST(FLOOR(255 * (x.vq - st.mn) / (st.mx - st.mn))
+                               AS BIGINT) END AS c
+         FROM x JOIN st ON x.dim = st.dim)
+       SELECT dim, c AS code, CAST(COUNT(*) AS BIGINT) AS n
+       FROM code GROUP BY dim, c""",
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ int8 scalar quantization of the embedding table — the standard
+    4× memory compression before ANN serving (each dimension maps to a
+    0..255 code over its own min/max range), reported as the per-(dim,
+    code) histogram that QA's the codebook (a dimension collapsing to few
+    codes means dead features; a uniform spread means healthy range use).
+    Elements quantize to 1e-6 integers FIRST (emb_norm_hist idiom), so
+    min/max and the 255·(v−mn)/(mx−mn) floor-division run on identical
+    exact bigints in both engines. Plan: posexplode is map-side; the only
+    shuffles are the 64-row per-dim stats (broadcast back) and the final
+    bounded histogram (≤ 64×256 groups) — at 100 TB the explode never
+    materializes wide rows, and the stats join is a broadcast."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("dim", "vq"),
+    ).withColumn("dim", F.col("dim").cast("bigint"))
+    st = x.groupBy("dim").agg(F.min("vq").alias("mn"), F.max("vq").alias("mx"))
+    code = x.join(F.broadcast(st), "dim").select(
+        "dim",
+        F.expr(
+            "CASE WHEN mx = mn THEN 0"
+            " ELSE CAST(FLOOR(255 * (vq - mn) / (mx - mn)) AS BIGINT) END"
+        ).alias("code"),
+    )
+    return code.groupBy("dim", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@q(
+    "win_ewma",
+    """WITH b AS (
+         SELECT event_id, user_id, ts,
+                CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq
+         FROM events),
+       w AS (
+         SELECT event_id, user_id,
+                128 * xq
+                  + 64 * COALESCE(LAG(xq, 1) OVER win, 0)
+                  + 32 * COALESCE(LAG(xq, 2) OVER win, 0)
+                  + 16 * COALESCE(LAG(xq, 3) OVER win, 0)
+                  + 8 * COALESCE(LAG(xq, 4) OVER win, 0)
+                  + 4 * COALESCE(LAG(xq, 5) OVER win, 0)
+                  + 2 * COALESCE(LAG(xq, 6) OVER win, 0)
+                  + 1 * COALESCE(LAG(xq, 7) OVER win, 0) AS num,
+                128
+                  + CASE WHEN LAG(xq, 1) OVER win IS NULL THEN 0 ELSE 64 END
+                  + CASE WHEN LAG(xq, 2) OVER win IS NULL THEN 0 ELSE 32 END
+                  + CASE WHEN LAG(xq, 3) OVER win IS NULL THEN 0 ELSE 16 END
+                  + CASE WHEN LAG(xq, 4) OVER win IS NULL THEN 0 ELSE 8 END
+                  + CASE WHEN LAG(xq, 5) OVER win IS NULL THEN 0 ELSE 4 END
+                  + CASE WHEN LAG(xq, 6) OVER win IS NULL THEN 0 ELSE 2 END
+                  + CASE WHEN LAG(xq, 7) OVER win IS NULL THEN 0 ELSE 1 END AS den
+         FROM b
+         WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT event_id, user_id, CAST(num AS BIGINT) AS num,
+              CAST(den AS BIGINT) AS den,
+              CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 10000.0 AS ewma
+       FROM w""",
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ exponentially weighted moving average (α = 1/2, depth 8) of
+    event value per user — the smoothing every monitoring/feature
+    pipeline wants next to win_time_weighted's step integral. True EWMA
+    recursion is order-float-sensitive, so the geometric weights are
+    truncated at 8 taps where 2⁻⁸ < 0.4% of mass: each tap is an exact
+    integer LAG·2ᵏ product summed in BIGINT, the denominator counts only
+    the taps that exist (no partition-edge bias), and one final
+    fixed-order float division de-scales. Identical window text in both
+    engines. Plan: a single keyed window (partition user, order ts) — 8
+    LAGs share one sort, no extra shuffle, embarrassing parallel at
+    100 TB."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("xq"),
+    )
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k in range(8):
+        wt = 1 << (7 - k)
+        lagged = F.col("xq") if k == 0 else F.lag("xq", k).over(win)
+        num = num + F.coalesce(lagged, F.lit(0)) * wt
+        den = den + F.when(lagged.isNull(), 0).otherwise(wt)
+    w = b.select(
+        "event_id",
+        "user_id",
+        num.cast("bigint").alias("num"),
+        den.cast("bigint").alias("den"),
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "num",
+        "den",
+        F.expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 10000.0").alias("ewma"),
+    )
+
+
+@q(
+    "text_readability",
+    """WITH t AS (
+         SELECT lang,
+                CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS words,
+                CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                     AS BIGINT) AS sentences,
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                     AS BIGINT) AS syllables
+         FROM documents),
+       s AS (
+         SELECT lang,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(words) AS BIGINT) AS sw,
+                CAST(SUM(sentences) AS BIGINT) AS ss,
+                CAST(SUM(syllables) AS BIGINT) AS sy
+         FROM t GROUP BY lang)
+       SELECT lang, n_docs, sw AS total_words,
+              206.835
+                - 1.015 * (CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE))
+                - 84.6 * (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE))
+                AS flesch
+       FROM s""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ corpus readability per language: Flesch reading-ease from
+    integer counts — words (whitespace tokens, text_stats idiom),
+    sentences (terminal-punctuation runs), and a vowel-group syllable
+    proxy (the standard dictionary-free approximation). All three counts
+    are exact integers via regexp_extract_all (parity proven by the
+    regex_extract_all key); the Flesch formula is one fixed-order float
+    expression over the per-language totals, so the result is
+    bit-identical in both engines. Readability joins text_quality/
+    text_gopher as a selection signal for training-mix curation. Plan:
+    map-side counting, one 2-group combine — a single pass at any
+    scale."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.expr("CAST(size(split(trim(text), ' ')) AS BIGINT)").alias("words"),
+        F.expr(
+            "CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+            " AS BIGINT)"
+        ).alias("sentences"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)"
+        ).alias("syllables"),
+    )
+    s = t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("sw"),
+        F.sum("sentences").cast("bigint").alias("ss"),
+        F.sum("syllables").cast("bigint").alias("sy"),
+    )
+    return s.select(
+        "lang",
+        "n_docs",
+        F.col("sw").alias("total_words"),
+        F.expr(
+            "206.835"
+            " - 1.015 * (CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE))"
+            " - 84.6 * (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE))"
+        ).alias("flesch"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
