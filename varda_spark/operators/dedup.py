@@ -234,22 +234,34 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = 30,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Near-dup pairs → cluster assignment: (id, component) with component =
     the minimum doc id reachable through the pair graph. The canonical
     survivor of each cluster is the row with id == component; everything
     else is a removable duplicate.
 
-    Min-label propagation WITH pointer jumping: each round every vertex
-    takes the min of (its label, its neighbors' labels, its label's label
-    — comp[comp[id]]). The shortcut term doubles label-path lengths each
-    round, so convergence is O(log diameter) instead of O(diameter): a
-    10⁶-long chain needs ~20 rounds, not 10⁶. Each round is two shuffle
-    joins + one min-aggregate, with localCheckpoint() cutting the lineage
-    so the plan does not grow per round. Raises if max_iter rounds did not
-    reach a fixpoint — a silently-partial clustering must never ship. At
-    100 TB the same loop holds; large-star/small-star (Kiveris et al.)
-    additionally bounds high-degree shuffle skew.
+    Small-graph fast path: LSH candidate PAIRS are orders of magnitude
+    sparser than the corpus (banding only emits near-certain duplicates),
+    so the pair list routinely fits on the driver even when the corpus
+    does not. When the materialized edge count is ≤ local_threshold
+    (≈ a few MB), a driver-side union-find labels the graph in one pass —
+    no per-round shuffle joins, no driver/executor round-trips per
+    iteration. The threshold is a hard driver-memory bound, counted
+    BEFORE collecting; above it (100 TB corpora can emit billions of
+    pairs) the distributed loop below runs unchanged.
+
+    Distributed path: min-label propagation WITH pointer jumping: each
+    round every vertex takes the min of (its label, its neighbors'
+    labels, its label's label — comp[comp[id]]). The shortcut term
+    doubles label-path lengths each round, so convergence is
+    O(log diameter) instead of O(diameter): a 10⁶-long chain needs ~20
+    rounds, not 10⁶. Each round is two shuffle joins + one min-aggregate,
+    with localCheckpoint() cutting the lineage so the plan does not grow
+    per round. Raises if max_iter rounds did not reach a fixpoint — a
+    silently-partial clustering must never ship. At 100 TB the same loop
+    holds; large-star/small-star (cc_stars below) additionally bounds
+    high-degree shuffle skew.
     """
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -260,6 +272,28 @@ def connected_components(
         # the minhash pipeline)
         .localCheckpoint()
     )
+    if local_threshold and edges.count() <= local_threshold:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                # union by MIN so the label IS the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in {r.src for r in rows}]
+        return edges.sparkSession.createDataFrame(
+            out, schema=edges.select(F.col("src").alias("id"), F.col("src").alias("comp")).schema
+        )
     comp = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     for it in range(max_iter):
         cand = comp.union(
