@@ -326,3 +326,85 @@ def test_cc_stars_equals_label_propagation(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(120)], ["doc_a", "doc_b"])
     got = {r.id: r.comp for r in cc_stars(chain, max_iter=15).collect()}
     assert all(v == 0 for v in got.values()) and len(got) == 121
+
+
+def test_temperature_sampling_flattens_mix(spark):
+    from varda_spark import catalog
+    import math as _math
+
+    SF = "/root/testdata/sf0.01"
+    kept = catalog.sample_temperature(spark, SF)
+    per = {r.domain: r["count"] for r in kept.groupBy("domain").count().collect()}
+    docs = catalog.read_table(spark, SF, "documents")
+    n = {
+        r.domain: r["count"]
+        for r in docs.selectExpr(
+            "CASE WHEN doc_id % 100 < 60 THEN 'web'"
+            " WHEN doc_id % 100 < 90 THEN 'news' ELSE 'code' END AS domain"
+        ).groupBy("domain").count().collect()
+    }
+    # expected kept ~= sqrt(n_min * n_s): binomial 5-sigma band
+    n_min = min(n.values())
+    for dom, n_s in n.items():
+        exp = _math.sqrt(n_min * n_s)
+        sigma = _math.sqrt(exp * (1 - exp / n_s))
+        assert abs(per.get(dom, 0) - exp) <= 5 * sigma + 5
+    # determinism
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in kept.collect()
+    )
+
+
+def test_span_mask_rate_and_reconstruction(spark):
+    from varda_spark import catalog
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.01"
+    df = catalog.text_span_mask(spark, SF)
+    agg = df.agg(F.sum("n_masked"), F.sum("n_tokens")).first()
+    rate = agg[0] / agg[1]
+    assert 0.10 < rate < 0.20  # 15% +- binomial noise
+    # corrupted text has exactly n_tokens tokens and n_masked sentinels
+    chk = df.selectExpr(
+        "size(split(corrupted, ' ')) = n_tokens AS len_ok",
+        "size(filter(split(corrupted, ' '), t -> t = '<extra_id>')) = n_masked AS cnt_ok",
+    ).agg(F.min("len_ok"), F.min("cnt_ok")).first()
+    assert chk[0] and chk[1]
+
+
+def test_kmv_estimate_near_exact(spark):
+    from varda_spark import catalog
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.01"
+    est = {r.event_type: r for r in catalog.agg_kmv(spark, SF).collect()}
+    ev = catalog.read_table(spark, SF, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        e = est[et].est_distinct
+        if est[et].k_used < 64:
+            assert e == n  # sketch below k is exact
+        else:
+            # KMV rel error ~ 1/sqrt(k-2) ~ 13%; allow 4x
+            assert abs(e - n) / n < 0.5
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    from varda_spark import catalog
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.01"
+    row = catalog.join_bloom(spark, SF).first()
+    li = catalog.read_table(spark, SF, "lineitem")
+    s = catalog.read_table(spark, SF, "supplier")
+    dim = s.filter(F.col("s_acctbal") > 7000).select("s_suppkey")
+    n_true = li.join(dim, li["l_suppkey"] == dim["s_suppkey"], "left_semi").count()
+    assert row.n_true == n_true  # bloom never drops a true match
+    assert row.n_pass >= row.n_true
+    assert row.n_false_pos == row.n_pass - row.n_true
+    assert row.n_pass <= row.n_fact

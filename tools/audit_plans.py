@@ -54,6 +54,8 @@ BNLJ_OK = {
     "interval_density",  # 1-row min/max scalar exploded into the bin spine
     "agg_chisq",         # 1-row grand-total N joined onto 6 contingency cells
     "agg_benford",       # 1-row digit-count total for exact ppm shares
+    "sample_temperature",  # 1-row min-source-count scalar for thresholds
+    "join_bloom",        # 1-row filter-quality stats cross joins
 }
 
 

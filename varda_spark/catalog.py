@@ -6797,6 +6797,367 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sample_temperature",
+    """WITH d AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 100 < 60 THEN 'web'
+                     WHEN doc_id % 100 < 90 THEN 'news'
+                     ELSE 'code' END AS domain
+         FROM documents),
+       counts AS (
+         SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY domain),
+       mn AS (SELECT CAST(MIN(n_s) AS BIGINT) AS n_min FROM counts),
+       thr AS (
+         SELECT c.domain,
+                CAST(FLOOR(1000000 * SQRT(CAST(m.n_min AS DOUBLE)
+                                          / CAST(c.n_s AS DOUBLE)))
+                     AS BIGINT) AS thr_ppm
+         FROM counts c CROSS JOIN mn m)
+       SELECT d.doc_id, d.domain
+       FROM d JOIN thr t ON d.domain = t.domain
+       WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 < t.thr_ppm""",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K+ temperature-balanced source remixing (τ = ½): downsample every
+    domain toward the smallest so kept counts go as √(n_min·n_s) — the
+    standard flattening that stops a dominant web crawl from drowning
+    small high-quality sources in a training mix. The per-domain keep
+    threshold is ppm-integer: SQRT is the ONE float op and IEEE-754
+    requires it correctly rounded, so both engines floor the identical
+    value (unlike ln/exp, sqrt is deterministic cross-engine). The coin
+    is the 60-bit md5 of the doc id (sample_hash idiom) → reproducible
+    map-side filter, no RNG state. Plan: k-row domain counts → 1-row min
+    broadcast → threshold join pushed to the scan; one tiny shuffle
+    regardless of corpus size. Domains are synthesized 60/30/10 from the
+    id (the shipped corpus is uniform by source on purpose)."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 100 < 60 THEN 'web'"
+            " WHEN doc_id % 100 < 90 THEN 'news' ELSE 'code' END"
+        ).alias("domain"),
+    )
+    counts = d.groupBy("domain").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    mn = counts.agg(F.min("n_s").cast("bigint").alias("n_min"))
+    thr = counts.crossJoin(F.broadcast(mn)).select(
+        "domain",
+        F.expr(
+            "CAST(FLOOR(1000000 * SQRT(CAST(n_min AS DOUBLE)"
+            " / CAST(n_s AS DOUBLE))) AS BIGINT)"
+        ).alias("thr_ppm"),
+    )
+    coin = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1000000"
+    )
+    return d.join(F.broadcast(thr), "domain").filter(coin < F.col("thr_ppm")).select(
+        "doc_id", "domain"
+    )
+
+
+@q(
+    "text_span_mask",
+    """WITH t AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       m AS (
+         SELECT doc_id, len(w) AS n_tokens,
+                list_transform(range(1, len(w) + 1),
+                  i -> CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                 || '|' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+                                 % 100 < 15
+                            THEN '<extra_id>' ELSE w[i] END) AS cw,
+                list_filter(range(1, len(w) + 1),
+                  i -> CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                            || '|' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+                            % 100 < 15) AS mpos
+         FROM t)
+       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(len(mpos) AS BIGINT) AS n_masked,
+              array_to_string(cw, ' ') AS corrupted,
+              COALESCE(array_to_string(list_transform(mpos,
+                         i -> CAST(i AS VARCHAR)), ','), '') AS mask_positions
+       FROM m""",
+)
+def text_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ deterministic span corruption (T5/BERT-style masking) — turn a
+    corpus into (corrupted, positions) training pairs with NO RNG: token
+    i of doc d is masked iff the 60-bit md5 of (d, i) lands under 15% —
+    reproducible across runs, retries, and engines, and the mask is
+    recoverable from (doc_id, i) alone so the label side never needs to
+    be stored. Pure higher-order functions over the token array: zero
+    Python, zero shuffle, the whole transform is one map stage at any
+    scale. range(1, n+1)/sequence(1, n) are safe here because split('')
+    yields ≥ 1 token (the documented sequence-descends footgun cannot
+    fire)."""
+    docs = read_table(spark, sf_dir, "documents")
+    coin = (
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|',"
+        " CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100 < 15"
+    )
+    t = docs.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("w"))
+    m = t.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"transform(sequence(1, size(w)),"
+            f" i -> CASE WHEN {coin} THEN '<extra_id>'"
+            f" ELSE element_at(w, i) END)"
+        ).alias("cw"),
+        F.expr(f"filter(sequence(1, size(w)), i -> {coin})").alias("mpos"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.size("mpos").cast("bigint").alias("n_masked"),
+        F.array_join("cw", " ").alias("corrupted"),
+        F.expr(
+            "array_join(transform(mpos, i -> CAST(i AS STRING)), ',')"
+        ).alias("mask_positions"),
+    )
+
+
+@q(
+    "agg_kmv",
+    """WITH h AS (
+         SELECT DISTINCT event_type,
+                CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS hv
+         FROM events),
+       rk AS (
+         SELECT event_type, hv,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+         FROM h),
+       kth AS (
+         SELECT event_type, CAST(MAX(rn) AS BIGINT) AS k_used,
+                CAST(MAX(hv) AS BIGINT) AS kth_hash
+         FROM rk WHERE rn <= 64 GROUP BY event_type)
+       SELECT event_type, k_used, kth_hash,
+              CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                   ELSE (63.0 * 1152921504606846976.0) / CAST(kth_hash AS DOUBLE)
+              END AS est_distinct
+       FROM kth""",
+)
+def agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4+ k-minimum-values distinct sketch (k = 64) for users per event
+    type — the ORACLE-CHECKABLE cousin of agg_approx_cd: HLL estimates
+    are engine-private (rows-only check), but KMV over the shared 60-bit
+    md5 hash is bit-reproducible, so the ESTIMATE itself gets the full
+    hash gate. Estimator: (k−1)/x_k with x_k = kth smallest hash / 2⁶⁰;
+    below k distinct values the sketch IS the exact count. KMV partials
+    are mergeable (union the hash sets, keep the k smallest), which is
+    what makes it a real sketch at 100 TB — here the keyed window over
+    DISTINCT hashes stands in for the merge tree; the production path
+    for unbounded groups stays approx_count_distinct. Final division is
+    one fixed-order float expression."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("hv"),
+    ).distinct()
+    rk = h.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("hv"))
+    )
+    kth = (
+        rk.filter(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(
+            F.max("rn").cast("bigint").alias("k_used"),
+            F.max("hv").cast("bigint").alias("kth_hash"),
+        )
+    )
+    return kth.select(
+        "event_type",
+        "k_used",
+        "kth_hash",
+        F.expr(
+            "CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)"
+            " ELSE (63.0 * 1152921504606846976.0) / CAST(kth_hash AS DOUBLE) END"
+        ).alias("est_distinct"),
+    )
+
+
+@q(
+    "win_cusum",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events GROUP BY event_type, day),
+       tot AS (
+         SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+                CAST(COUNT(*) AS BIGINT) AS ndays
+         FROM daily GROUP BY event_type),
+       dev AS (
+         SELECT d.event_type, d.day, d.cnt,
+                d.cnt * t.ndays - t.total AS dev_s, t.ndays
+         FROM daily d JOIN tot t ON d.event_type = t.event_type)
+       SELECT event_type, day, cnt,
+              CAST(SUM(dev_s) OVER (PARTITION BY event_type ORDER BY day)
+                   AS BIGINT) AS cusum_scaled,
+              CAST(SUM(dev_s) OVER (PARTITION BY event_type ORDER BY day)
+                   AS DOUBLE) / CAST(ndays AS DOUBLE) AS cusum
+       FROM dev""",
+)
+def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ CUSUM change detection on daily event volume per type: the
+    running sum of deviations from the per-type mean, the classic
+    level-shift detector (a sustained drift grows linearly in CUSUM
+    while noise cancels — win_outlier's z-score twin for MEANS over
+    time). Exactness trick: (cnt − mean) scaled by ndays is the integer
+    cnt·ndays − total, so the cumulative sum stays in BIGINT and only
+    the final de-scaling divides (fixed-order float, engine-identical).
+    Plan: one daily rollup (map-combined), k-row totals broadcast back,
+    one keyed cumulative window — partitioned by event_type, so 100 TB
+    of history parallelizes per series."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("ndays"),
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "cnt",
+        F.expr("cnt * ndays - total").alias("dev_s"),
+        "ndays",
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return dev.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("dev_s").over(w).cast("bigint").alias("cusum_scaled"),
+        (F.sum("dev_s").over(w).cast("double") / F.col("ndays").cast("double")).alias(
+            "cusum"
+        ),
+    )
+
+
+@q(
+    "join_bloom",
+    """WITH dim AS (
+         SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 7000),
+       dprobe AS (
+         SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+                     || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 992 AS pos
+         FROM dim, unnest([0, 1, 2]) AS u(j)),
+       bloom AS (
+         SELECT CAST(FLOOR(pos / 62) AS BIGINT) AS word,
+                bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INTEGER)) AS bits
+         FROM dprobe GROUP BY word),
+       fg AS (
+         SELECT l_orderkey, l_linenumber, l_suppkey,
+                CAST(COUNT(*) AS BIGINT) AS m
+         FROM lineitem GROUP BY l_orderkey, l_linenumber, l_suppkey),
+       fprobe AS (
+         SELECT f.l_orderkey, f.l_linenumber, f.l_suppkey, f.m,
+                CAST('0x' || substr(md5(CAST(f.l_suppkey AS VARCHAR) || '|'
+                     || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 992 AS pos
+         FROM fg f, unnest([0, 1, 2]) AS u(j)),
+       hit AS (
+         SELECT f.l_orderkey, f.l_linenumber, f.l_suppkey, MIN(f.m) AS m
+         FROM fprobe f JOIN bloom b
+           ON CAST(FLOOR(f.pos / 62) AS BIGINT) = b.word
+          AND (b.bits & (CAST(1 AS BIGINT) << CAST(f.pos % 62 AS INTEGER)))
+              = (CAST(1 AS BIGINT) << CAST(f.pos % 62 AS INTEGER))
+         GROUP BY f.l_orderkey, f.l_linenumber, f.l_suppkey
+         HAVING COUNT(*) = 3),
+       nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fact FROM lineitem),
+       np AS (SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_pass FROM hit),
+       nt AS (
+         SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_true
+         FROM hit WHERE l_suppkey IN (SELECT k FROM dim))
+       SELECT nf.n_fact, np.n_pass, nt.n_true,
+              np.n_pass - nt.n_true AS n_false_pos
+       FROM nf CROSS JOIN np CROSS JOIN nt""",
+)
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C+ runtime bloom-filter pre-join: hash the selective dim keys into
+    a 992-bit bloom (16 62-bit words via bit_or aggregate — the sign bit
+    is never set, keeping BIGINT shifts portable), broadcast the ≤16-row
+    bitmap, and pre-filter the fact with 3 map-side probes BEFORE the
+    exact join — the runtime-filter pattern engines inject to kill
+    shuffle volume when the dim predicate is selective (Spark's own
+    InjectRuntimeFilter, here explicit and oracle-checkable). Output is
+    the filter's quality sheet: fact rows, bloom-pass rows, true
+    matches, false positives (3 probes into 992 bits at 28 keys ⇒ tiny
+    fp rate). At 100 TB the bloom build is a k-row aggregate and the
+    probe is map-side — the shuffled volume drops to the bloom-pass
+    fraction. The 1-row stats cross joins are whitelisted."""
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = s.filter(F.col("s_acctbal") > 7000).select(F.col("s_suppkey").alias("k"))
+    dprobe = dim.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"), "k"
+    ).select(
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(k AS STRING), '|',"
+            " CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % 992"
+        ).alias("pos")
+    )
+    bloom = dprobe.groupBy(
+        F.expr("CAST(FLOOR(pos / 62) AS BIGINT)").alias("word")
+    ).agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT)))").alias("bits"))
+    fg = li.groupBy("l_orderkey", "l_linenumber", "l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    fprobe = fg.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "m",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "m",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(l_suppkey AS STRING), '|',"
+            " CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % 992"
+        ).alias("pos"),
+    )
+    hit = (
+        fprobe.withColumn("word", F.expr("CAST(FLOOR(pos / 62) AS BIGINT)"))
+        .withColumn(
+            "mask", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))")
+        )
+        .join(F.broadcast(bloom), "word")
+        .filter(F.expr("(bits & mask) = mask"))
+        .groupBy("l_orderkey", "l_linenumber", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("nprobe"), F.min("m").alias("m"))
+        .filter(F.col("nprobe") == 3)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "m")
+    )
+    hit = hit.localCheckpoint()  # reused by n_pass and n_true below
+    nf = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_fact"))
+    np_ = hit.agg(
+        F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("n_pass")
+    )
+    nt = (
+        hit.join(F.broadcast(dim), hit["l_suppkey"] == dim["k"], "left_semi")
+        .agg(F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("n_true"))
+    )
+    return (
+        nf.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n_fact",
+            "n_pass",
+            "n_true",
+            F.expr("n_pass - n_true").alias("n_false_pos"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
