@@ -202,3 +202,32 @@ def test_readability_formula_consistent(spark):
         assert r.n_docs > 0 and r.total_words > 0
         # Flesch for natural-ish text lands in a wide sane band
         assert -200.0 < r.flesch < 220.0
+
+
+def test_autocorr_matches_numpy(spark):
+    import numpy as np
+
+    got = {r.event_type: r for r in catalog.agg_autocorr(spark, SF).collect()}
+    daily = (
+        catalog.read_table(spark, SF, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .orderBy("event_type", "day")
+        .toPandas()
+    )
+    for et, g in daily.groupby("event_type"):
+        x = g["count"].to_numpy()
+        ref = np.corrcoef(x[1:], x[:-1])[0, 1]
+        assert math.isclose(got[et].autocorr, ref, rel_tol=1e-9)
+        assert got[et].n_pairs == len(x) - 1
+
+
+def test_bollinger_bands_bracket_mid(spark):
+    rows = catalog.win_bollinger(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.lower <= r.mid <= r.upper
+        # window mean stays within the window's value range; first row
+        # (n=1) has zero-width bands
+        if r.n == 1:
+            assert math.isclose(r.lower, r.upper)

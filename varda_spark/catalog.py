@@ -7158,6 +7158,133 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_autocorr",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events GROUP BY event_type, day),
+       p AS (
+         SELECT event_type, cnt AS x,
+                LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS y
+         FROM daily),
+       s AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(x) AS DOUBLE) AS sx,
+                CAST(SUM(y) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+         FROM p WHERE y IS NOT NULL GROUP BY event_type)
+       SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+              (n * sxy - sx * sy)
+                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS autocorr
+       FROM s""",
+)
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ lag-1 autocorrelation of daily event volume per type — the
+    seasonality/persistence probe that tells a forecaster whether
+    yesterday predicts today (win_cusum finds level SHIFTS; this finds
+    MEMORY). The (x_t, x_{t−1}) pairs come from one keyed LAG window on
+    the daily rollup; then the agg_corr discipline: all five moments as
+    exact integer/decimal sums, one shared-text closed form (sqrt is
+    IEEE-deterministic) at the end. Two keyed shuffles total, both on
+    event_type."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    p = daily.select(
+        "event_type",
+        F.col("cnt").alias("x"),
+        F.lag("cnt").over(Window.partitionBy("event_type").orderBy("day")).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).cast("double").alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "(n * sxy - sx * sy)"
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+        ).alias("autocorr"),
+    )
+
+
+@q(
+    "win_bollinger",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events GROUP BY event_type, day),
+       w AS (
+         SELECT event_type, day, cnt,
+                SUM(cnt) OVER win AS s1,
+                SUM(cnt * cnt) OVER win AS s2,
+                COUNT(*) OVER win AS n
+         FROM daily
+         WINDOW win AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       SELECT event_type, day, cnt,
+              CAST(s1 AS BIGINT) AS s1, CAST(n AS BIGINT) AS n,
+              CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mid,
+              CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                + 2.0 * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE))
+                AS upper,
+              CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                - 2.0 * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE))
+                AS lower
+       FROM w""",
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ rolling mean ± 2σ bands (Bollinger) over a 7-day frame of daily
+    volumes per type — the envelope monitoring dashboards draw, and the
+    rolling companion to the global z-score in win_outlier. The frame
+    sums Σx and Σx² stay BIGINT (n·Σx² − (Σx)² ≥ 0 exactly, by
+    Cauchy–Schwarz on integers), so σ = √(nΣx²−(Σx)²)/n is one
+    deterministic sqrt on an exactly-represented integer — the band
+    expressions share identical text in both engines. One keyed window,
+    two shared-frame sums; nothing global."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    win = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(win).alias("s1"),
+        F.sum(F.expr("cnt * cnt")).over(win).alias("s2"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    return w.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.col("s1").cast("bigint").alias("s1"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").alias("mid"),
+        F.expr(
+            "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+            " + 2.0 * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE))"
+        ).alias("upper"),
+        F.expr(
+            "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - 2.0 * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE))"
+        ).alias("lower"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
