@@ -4493,12 +4493,21 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient on the co-purchase
-    graph. Edges are oriented a<b, so each triangle is counted exactly
-    once by the wedge join (e1.pb=e2.pa gives a<b<c) + closing-edge probe
-    — the standard distributed triangle algorithm; at scale the
-    orientation is by DEGREE (low→high) to bound wedge fan-out on hubs,
-    here id order stands in (documented simplification). clustering =
-    6·tri / Σ deg·(deg−1): one double division, engine-identical."""
+    graph, with DEGREE-ORDERED wedge enumeration (the standard
+    distributed algorithm, done properly): every canonical edge a<b is
+    re-directed from its lower-(degree, id) endpoint to the higher one,
+    wedges are enumerated only at each triangle's minimum-degree corner,
+    and the closing edge is probed against the canonical edge set. Wedge
+    volume drops from Σ deg² to Σ outdeg² with outdeg ≤ O(√E) — on a
+    power-law graph (hubs) that is the difference between exploding and
+    finishing; on THIS near-regular testdata graph (20k nodes, avg deg
+    120, 1.9M triangles) outdeg ≈ deg/2 and the ~7·10⁷ surviving wedges
+    are the intrinsic cost (~22 s at sf0.1 — dense-graph triangle
+    counting is genuinely quadratic-in-degree work). The oracle keeps
+    the brute-force id-ordered join: the count is algorithm-independent,
+    so the spec stays simple while the engine runs the skew-safe path.
+    clustering = 6·tri / Σ deg·(deg−1): one double division,
+    engine-identical."""
     e = _coorder_edges(spark, sf_dir).localCheckpoint()  # reused 4× below
     deg = (
         e.select(F.col("pa").alias("node"))
@@ -4506,12 +4515,34 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
-        .join(e3, (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    da = deg.withColumnRenamed("node", "pa").withColumnRenamed("degree", "dega")
+    db = deg.withColumnRenamed("node", "pb").withColumnRenamed("degree", "degb")
+    # direct each edge low→high by (degree, id); (u, v) with u the lesser
+    dir_e = (
+        e.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))),
+                F.col("pa"),
+            ).otherwise(F.col("pb")).alias("u"),
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))),
+                F.col("pb"),
+            ).otherwise(F.col("pa")).alias("v"),
+        )
+        .localCheckpoint()
     )
+    w1, w2 = dir_e.alias("w1"), dir_e.alias("w2")
+    # wedges at the min-(degree,id) corner; unordered pair canonicalized by id
+    wedge = w1.join(
+        w2, (F.col("w1.u") == F.col("w2.u")) & (F.col("w1.v") < F.col("w2.v"))
+    ).select(F.col("w1.v").alias("x"), F.col("w2.v").alias("y"))
+    tri = wedge.join(
+        e, (F.col("x") == F.col("pa")) & (F.col("y") == F.col("pb"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
     wed = deg.agg(F.sum(F.col("degree") * (F.col("degree") - 1)).alias("deg_pairs2"))
     cnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
