@@ -55,6 +55,10 @@ HEADLINE = [
     # round-3 additions (baselines recorded in BASELINE.md on first run)
     "tpch_q9",          # 5-way join incl. synthesized partsupp (profit rollup)
     "tpch_q21",         # EXISTS/NOT-EXISTS double correlated semi/anti join
+    "graph_jaccard",    # bipartite co-purchase item-item similarity top-k
+    "join_bloom",       # explicit broadcast bloom runtime pre-filter
+    "agg_kmv",          # k-minimum-values distinct sketch (hash-checkable)
+    "text_span_mask",   # deterministic span-corruption training transform
 ]
 
 

@@ -408,3 +408,59 @@ def test_bloom_prefilter_has_no_false_negatives(spark):
     assert row.n_pass >= row.n_true
     assert row.n_false_pos == row.n_pass - row.n_true
     assert row.n_pass <= row.n_fact
+
+
+def test_split_is_total_disjoint_and_sized(spark):
+    from varda_spark import catalog
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.01"
+    df = catalog.sample_split(spark, SF)
+    n = catalog.read_table(spark, SF, "documents").count()
+    assert df.count() == n  # total: every doc assigned exactly once
+    per = {r.split: r["count"] for r in df.groupBy("split").count().collect()}
+    assert set(per) <= {"train", "valid", "test"}
+    # 90/5/5 within binomial 5-sigma
+    import math as _m
+
+    for name, p in [("train", 0.9), ("valid", 0.05), ("test", 0.05)]:
+        exp, sig = n * p, _m.sqrt(n * p * (1 - p))
+        assert abs(per.get(name, 0) - exp) <= 5 * sig + 5
+
+
+def test_paragraph_dedup_kills_repeats_keeps_first(spark):
+    from varda_spark import catalog
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.01"
+    out = catalog.text_paragraph_dedup(spark, SF)
+    rows = out.collect()
+    docs = catalog.read_table(spark, SF, "documents")
+    assert len(rows) == docs.count()
+    assert all(r.n_kept + r.n_dropped >= r.n_kept >= 0 for r in rows)
+    # every surviving span is globally unique after the pass
+    spans = out.selectExpr(
+        "explode(filter(transform(regexp_extract_all(clean_text, '[^.!?]+', 0),"
+        " x -> trim(x)), x -> x <> '')) AS s"
+    ).selectExpr("lower(s) AS s")
+    dup = spans.groupBy("s").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+    # the shipped corpus has globally unique sentences, so nothing drops
+    # there; prove the dedup actually fires on a corpus WITH repeats
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pdedup_")
+    spark.createDataFrame(
+        [
+            (1, "Alpha beta gamma. Shared boilerplate line. Unique one."),
+            (2, "Shared boilerplate line. Different prose here."),
+            (3, "Shared boilerplate line."),
+        ],
+        "doc_id bigint, text string",
+    ).write.parquet(f"{d}/documents.parquet")
+    out2 = {r.doc_id: r for r in catalog.text_paragraph_dedup(spark, d).collect()}
+    assert out2[1].n_dropped == 0  # first occurrence survives in doc 1
+    assert out2[2].n_kept == 1 and out2[2].n_dropped == 1
+    assert out2[3].n_kept == 0 and out2[3].clean_text == ""
+    assert "Shared boilerplate line" in out2[1].clean_text
+    assert "Shared boilerplate line" not in out2[2].clean_text

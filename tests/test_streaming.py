@@ -378,3 +378,24 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_ewma_stream_equals_batch_key(spark):
+    """Stateful streaming EWMA (applyInPandasWithState) reproduces the
+    batch win_ewma key bit-for-bit: integer taps quantized in a Column
+    before the stateful map, so no float drift exists between paths."""
+    from varda_spark import catalog
+    from varda_spark.streaming.windows import ewma_stream
+
+    batch = {
+        (r.event_id, r.user_id, r.num, r.den, r.ewma)
+        for r in catalog.win_ewma(spark, SF).collect()
+    }
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream_src = normalize_events_ts(
+        read_events_stream(spark, _staged_events_dir(), raw_schema)
+    )
+    got = _run_stream_to_memory(spark, ewma_stream(stream_src), "ewma_t", "append")
+    assert {
+        (r.event_id, r.user_id, r.num, r.den, r.ewma) for r in got.collect()
+    } == batch

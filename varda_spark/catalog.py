@@ -7313,6 +7313,125 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sample_split",
+    """SELECT doc_id,
+              CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 < 90 THEN 'train'
+                   WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 < 95 THEN 'valid'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K+ deterministic train/valid/test assignment (90/5/5) from the
+    md5 coin — the split every experiment depends on being STABLE:
+    content-addressed by id, so re-runs, retries, engine changes, and
+    corpus growth never move an existing document across splits (the
+    leakage mode rand()-based splits suffer). Pure map-side projection;
+    composes with pushdown. Disjointness and coverage are trivially
+    total (CASE over one coin)."""
+    docs = read_table(spark, sf_dir, "documents")
+    coin = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 100"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN {coin} < 90 THEN 'train'"
+            f" WHEN {coin} < 95 THEN 'valid' ELSE 'test' END"
+        ).alias("split"),
+    )
+
+
+@q(
+    "text_paragraph_dedup",
+    """WITH t AS (
+         SELECT doc_id,
+                list_filter(list_transform(regexp_extract_all(text, '[^.!?]+'),
+                                           x -> trim(x)),
+                            x -> x <> '') AS s
+         FROM documents),
+       e AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS i,
+                s[CAST(i AS INTEGER)] AS sent,
+                lower(s[CAST(i AS INTEGER)]) AS norm
+         FROM t, unnest(range(1, len(s) + 1)) AS u(i)),
+       w AS (
+         SELECT doc_id, i, sent,
+                ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, i) AS rn
+         FROM e),
+       kept AS (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                string_agg(sent, '. ' ORDER BY i) AS clean_text
+         FROM w WHERE rn = 1 GROUP BY doc_id),
+       tot AS (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sent FROM e GROUP BY doc_id)
+       SELECT tot.doc_id,
+              COALESCE(kept.n_kept, 0) AS n_kept,
+              tot.n_sent - COALESCE(kept.n_kept, 0) AS n_dropped,
+              COALESCE(kept.clean_text, '') AS clean_text
+       FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id""",
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2+ sub-document span dedup, C4-style: split every document into
+    sentence spans, keep only the GLOBALLY FIRST occurrence of each
+    normalized span (by (doc_id, position) — deterministic survivor),
+    and reassemble documents from their surviving spans in original
+    order. This is the dedup granularity document-level MinHash cannot
+    reach: boilerplate repeated across distinct pages (cookie banners,
+    license headers) dies here while the unique prose survives. Plan:
+    one explode (map-side, positions from sequence so both engines index
+    identically), one keep-first window partitioned by the span hash —
+    near-uniform key distribution at 100 TB — and one ordered
+    re-aggregation per doc (array_sort(struct(i, sent)) twins DuckDB's
+    ORDER BY inside string_agg). Docs whose every span is claimed
+    elsewhere come back empty rather than vanishing (left join), so
+    downstream counts stay total."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(transform(regexp_extract_all(text, '[^.!?]+', 0),"
+            " x -> trim(x)), x -> x <> '')"
+        ).alias("s"),
+    )
+    e = t.select(
+        "doc_id",
+        F.posexplode(F.col("s")).alias("i0", "sent"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).cast("bigint").alias("i"),
+        "sent",
+        F.lower("sent").alias("norm"),
+    )
+    w = e.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("norm").orderBy("doc_id", "i")),
+    )
+    kept = (
+        w.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "concat_ws('. ', transform(array_sort(collect_list(struct(i, sent))),"
+                " x -> x.sent))"
+            ).alias("clean_text"),
+        )
+    )
+    tot = e.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sent"))
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_sent") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
@@ -7322,9 +7441,9 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATES the window: these 50 slots are keys the driver has NEVER
 # sampled (all oracle-twinned — the rows-only keys stay out so every
 # driver row is a full hash check). With r01+r02 this takes the
-# driver-verified union to 118 of 150. Everything else keeps its relative
-# order after slot 50 and is still verified by tools/check_oracle.py
-# (all 150, every round).
+# driver-verified union to 118 distinct keys. Everything else keeps its
+# relative order after slot 50 and is still verified by
+# tools/check_oracle.py (all 200 keys, every round).
 
 _DRIVER_PRIORITY = [
     # core varda surface never yet sampled

@@ -192,6 +192,60 @@ def running_user_totals_stream(ev_stream: DataFrame, timeout_minutes: int | None
     )
 
 
+def ewma_stream(ev_stream: DataFrame, depth: int = 8) -> DataFrame:
+    """I5+ second custom stateful operator via applyInPandasWithState:
+    per-user streaming EWMA matching the batch win_ewma key exactly
+    (α = ½, depth 8, integer taps).
+
+    The state store holds the last ``depth−1`` quantized values per user
+    — O(active users · depth) regardless of stream length, the bounded
+    state a 100 TB stream requires. Quantization to 1e-4 BIGINT happens
+    in a Column BEFORE the stateful map (identical expression to the
+    batch key), so the pandas side is pure integer arithmetic: no float
+    drift between batch and stream. Events are processed in (ts,
+    event_id) order within each micro-batch; cross-batch order is the
+    file source's arrival order, as for every streaming operator here.
+    Batch equivalence is pytest-checked against catalog.win_ewma.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = "event_id bigint, user_id bigint, num bigint, den bigint, ewma double"
+    state_schema = "vals array<bigint>"
+
+    def update(key, pdfs, state: GroupState):
+        vals: list[int] = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = {"event_id": [], "user_id": [], "num": [], "den": [], "ewma": []}
+        for ev_id, xq in zip(pdf["event_id"], pdf["xq"]):
+            window = vals[-(depth - 1):] + [int(xq)]
+            num = 0
+            den = 0
+            # newest gets weight 2^(depth-1), each step back halves
+            for age, v in enumerate(reversed(window)):
+                w = 1 << (depth - 1 - age)
+                num += int(v) * w
+                den += w
+            out["event_id"].append(int(ev_id))
+            out["user_id"].append(int(key[0]))
+            out["num"].append(num)
+            out["den"].append(den)
+            out["ewma"].append(num / den / 10000.0)
+            vals = window
+        state.update((vals[-(depth - 1):],))
+        yield pd.DataFrame(out)
+
+    quantized = ev_stream.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("xq"),
+    )
+    return quantized.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def purchase_view_join_batch(ev: DataFrame, horizon_minutes: int = 60) -> DataFrame:
     """I5 stream-stream join, batch core: each purchase joined to every
     view by the same user within the preceding ``horizon_minutes``.
