@@ -399,3 +399,67 @@ def test_ewma_stream_equals_batch_key(spark):
     assert {
         (r.event_id, r.user_id, r.num, r.den, r.ewma) for r in got.collect()
     } == batch
+
+
+def test_ewma_stream_state_survives_restart(spark, tmp_path):
+    """Kill the stateful EWMA stream between micro-batches and restart
+    from the same checkpoint: the recovered state store must carry each
+    user's tap window across the restart, so the union of both runs'
+    outputs bit-equals the batch win_ewma key. A state loss would shift
+    every post-restart EWMA whose window straddles the file boundary."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from varda_spark import catalog
+    from varda_spark.streaming.windows import ewma_stream
+
+    ev = read_table(spark, SF, "events")
+    cut = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _stage(df, name):
+        tmp = tmp_path / ("w_" + name)
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, src / name)
+
+    # per-user order across batches: split by TIME, stage oldest first
+    med_ts = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).first()[0]
+    first = ev.filter(F.unix_micros("ts") <= med_ts)
+    second = ev.filter(F.unix_micros("ts") > med_ts)
+    _stage(first, "0001.parquet")
+
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            ewma_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    n_run1 = spark.read.parquet(out).count()
+    _time.sleep(1.1)  # distinct mtime so the source orders the new file after
+    _stage(second, "0002.parquet")
+    _run()
+
+    key = lambda r: (r.event_id, r.user_id, r.num, r.den, r.ewma)
+    got = {key(r) for r in spark.read.parquet(out).collect()}
+    want = {key(r) for r in catalog.win_ewma(spark, SF).collect()}
+    assert 0 < n_run1 < len(want), "restart must split the work across runs"
+    assert got == want
