@@ -231,3 +231,49 @@ def test_bollinger_bands_bracket_mid(spark):
         # (n=1) has zero-width bands
         if r.n == 1:
             assert math.isclose(r.lower, r.upper)
+
+
+def test_rolling_median_matches_numpy(spark):
+    import numpy as np
+
+    got = {
+        (r.event_type, r.day): (r.rolling_median, r.n_window)
+        for r in catalog.win_rolling_median(spark, SF).collect()
+    }
+    daily = (
+        catalog.read_table(spark, SF, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .orderBy("event_type", "day")
+        .toPandas()
+    )
+    for et, g in daily.groupby("event_type"):
+        days = list(g["day"])
+        counts = list(g["count"])
+        for idx, d in enumerate(days):
+            win = [
+                c
+                for dd, c in zip(days, counts)
+                if (d - dd).days <= 6 and dd <= d
+            ]
+            lower_med = int(np.sort(win)[(len(win) - 1) // 2])
+            assert got[(et, d)] == (lower_med, len(win))
+
+
+def test_interval_knn_contains_nearest_and_is_ranked(spark):
+    knn = catalog.join_interval_knn(spark, SF_SMALL)
+    rows = knn.collect()
+    per = {}
+    for r in rows:
+        per.setdefault((r.chromosome, r.position, r.p_partkey), []).append(r)
+    nearest = {
+        (r.chromosome, r.position, r.p_partkey): (r.nearest_key, r.distance)
+        for r in catalog.join_nearest(spark, SF_SMALL).collect()
+    }
+    for key, grp in per.items():
+        grp.sort(key=lambda r: r.k_rank)
+        assert [r.k_rank for r in grp] == list(range(1, len(grp) + 1))
+        dists = [r.distance for r in grp]
+        assert dists == sorted(dists)
+        # rank-1 of the kNN equals the dedicated nearest-sweep join
+        assert (grp[0].nearest_key, grp[0].distance) == nearest[key]

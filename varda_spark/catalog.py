@@ -7432,6 +7432,138 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "win_rolling_median",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events GROUP BY event_type, day),
+       pairs AS (
+         SELECT a.event_type, a.day, m.cnt AS v, m.day AS vday
+         FROM daily a JOIN daily m
+           ON a.event_type = m.event_type
+          AND m.day BETWEEN a.day - 6 AND a.day),
+       rk AS (
+         SELECT event_type, day, v,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY event_type, day
+                                             ORDER BY v, vday) AS cumn,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY event_type, day) AS total
+         FROM pairs)
+       SELECT event_type, day,
+              CAST(MIN(v) AS BIGINT) AS rolling_median,
+              CAST(MIN(total) AS BIGINT) AS n_window
+       FROM rk WHERE 2 * cumn >= total GROUP BY event_type, day""",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ rolling 7-day MEDIAN of daily volume per type — the robust
+    companion to win_bollinger's mean ± 2σ (one outage day drags a mean
+    band for a week; the median shrugs). No sorted-frame aggregate
+    exists in either engine, so the window materializes via a bounded
+    self-join (each anchor day joins its ≤ 7 member days — fan-out is
+    the frame length, constant, not data-sized) and the exact half-mass
+    median idiom (integer cumulative counts, lower-median tie-break by
+    (value, day)) picks the median per (type, anchor). At 100 TB the
+    join key (type, day-range) is the partition key and the 7× blowup
+    is a constant factor — the same shape as the agg_mad second pass."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a = daily.select("event_type", "day")
+    m = daily.select(
+        F.col("event_type").alias("m_type"),
+        F.col("day").alias("vday"),
+        F.col("cnt").alias("v"),
+    )
+    pairs = a.join(
+        m,
+        (F.col("event_type") == F.col("m_type"))
+        & F.expr("vday BETWEEN date_sub(day, 6) AND day"),
+    ).select("event_type", "day", "v", "vday")
+    wo = Window.partitionBy("event_type", "day").orderBy("v", "vday")
+    wt = Window.partitionBy("event_type", "day")
+    rk = pairs.select(
+        "event_type",
+        "day",
+        "v",
+        F.sum(F.lit(1).cast("bigint")).over(wo).alias("cumn"),
+        F.sum(F.lit(1).cast("bigint")).over(wt).alias("total"),
+    )
+    return (
+        rk.filter(2 * F.col("cumn") >= F.col("total"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.min("v").cast("bigint").alias("rolling_median"),
+            F.min("total").cast("bigint").alias("n_window"),
+        )
+    )
+
+
+@q(
+    "join_interval_knn",
+    """WITH pts AS (
+         SELECT CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
+                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                p_partkey
+         FROM part),
+       ivs AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                     AS BIGINT) AS "end",
+                s_suppkey AS sample_key
+         FROM supplier),
+       cand AS (
+         SELECT p.chromosome, p.position, p.p_partkey, i.sample_key,
+                GREATEST(i.begin - p.position, p.position - i."end", 0) AS distance
+         FROM pts p JOIN ivs i USING (chromosome)),
+       rk AS (
+         SELECT chromosome, position, p_partkey, sample_key, distance,
+                ROW_NUMBER() OVER (PARTITION BY chromosome, position, p_partkey
+                                   ORDER BY distance, sample_key) AS rn
+         FROM cand)
+       SELECT chromosome, position, p_partkey,
+              CAST(sample_key AS BIGINT) AS nearest_key,
+              CAST(distance AS BIGINT) AS distance,
+              CAST(rn AS BIGINT) AS k_rank
+       FROM rk WHERE rn <= 3""",
+)
+def join_interval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ k-nearest intervals per point (k = 3) — join_nearest's
+    generalization for ambiguity-aware annotation (report ALL plausible
+    nearby features with distances, let the caller threshold). Candidates
+    come from the per-chromosome equi-join (at 100 TB: the UCSC-binned
+    neighborhood join bounds candidates per point; here chromosomes are
+    the demo partition), distance = GREATEST(begin−pos, pos−end, 0), and
+    a (distance, sample_key)-ordered rank window keeps k — deterministic
+    under ties. One shuffle on chromosome, one keyed window."""
+    p, s = _points_intervals(spark, sf_dir)
+    cand = p.join(s, "chromosome").select(
+        "chromosome",
+        "position",
+        "p_partkey",
+        F.col("sample_key"),
+        F.expr(
+            "GREATEST(begin - position, position - end, CAST(0 AS BIGINT))"
+        ).alias("distance"),
+    )
+    w = Window.partitionBy("chromosome", "position", "p_partkey").orderBy(
+        "distance", "sample_key"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "chromosome",
+            "position",
+            "p_partkey",
+            F.col("sample_key").cast("bigint").alias("nearest_key"),
+            F.col("distance").cast("bigint").alias("distance"),
+            F.col("rn").cast("bigint").alias("k_rank"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
