@@ -277,3 +277,15 @@ def test_interval_knn_contains_nearest_and_is_ranked(spark):
         assert dists == sorted(dists)
         # rank-1 of the kNN equals the dedicated nearest-sweep join
         assert (grp[0].nearest_key, grp[0].distance) == nearest[key]
+
+
+def test_leadtime_stats_consistent(spark):
+    rows = catalog.agg_leadtime(spark, SF).collect()
+    assert rows
+    li = catalog.read_table(spark, SF, "lineitem").count()
+    assert sum(r.n_lines for r in rows) == li  # every line classified once
+    for r in rows:
+        assert r.min_days <= r.median_days <= r.max_days
+        assert r.min_days <= r.avg_days <= r.max_days
+    # the synthetic dates are not causally ordered (ship can precede
+    # order) — the operator faithfully reports that rather than hiding it

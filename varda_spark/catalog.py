@@ -7564,6 +7564,77 @@ def join_interval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_leadtime",
+    """WITH j AS (
+         SELECT o.o_orderpriority AS priority,
+                CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       rk AS (
+         SELECT priority, days,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY priority
+                                             ORDER BY days) AS cumn,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY priority) AS total
+         FROM j),
+       med AS (
+         SELECT priority, CAST(MIN(days) AS BIGINT) AS median_days
+         FROM rk WHERE 2 * cumn >= total GROUP BY priority),
+       s AS (
+         SELECT priority,
+                CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(MIN(days) AS BIGINT) AS min_days,
+                CAST(MAX(days) AS BIGINT) AS max_days,
+                CAST(SUM(days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_days
+         FROM j GROUP BY priority)
+       SELECT s.priority, s.n_lines, s.min_days, s.max_days,
+              med.median_days, s.avg_days
+       FROM s JOIN med ON s.priority = med.priority""",
+)
+def agg_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ order-to-ship lead time per priority class — the fulfillment
+    SLA sheet (and the latency-distribution shape every ops dashboard
+    needs): count, min/max, exact lower-median via the half-mass idiom,
+    and a mean whose numerator is an exact integer day sum (datediff is
+    integral, so no decimal scaling is even needed — the one division is
+    fixed-order float). One fact join on the order key (the natural
+    co-partition key at 100 TB — bucketing both tables on it makes this
+    shuffle-free), one keyed median window, one grouped agg."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))"
+            " AS BIGINT)"
+        ).alias("days"),
+    )
+    wo = Window.partitionBy("priority").orderBy("days")
+    wt = Window.partitionBy("priority")
+    rk = j.select(
+        "priority",
+        "days",
+        F.sum(F.lit(1).cast("bigint")).over(wo).alias("cumn"),
+        F.sum(F.lit(1).cast("bigint")).over(wt).alias("total"),
+    )
+    med = (
+        rk.filter(2 * F.col("cumn") >= F.col("total"))
+        .groupBy("priority")
+        .agg(F.min("days").cast("bigint").alias("median_days"))
+    )
+    s = j.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        F.expr(
+            "CAST(SUM(days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("avg_days"),
+    )
+    return s.join(F.broadcast(med), "priority").select(
+        "priority", "n_lines", "min_days", "max_days", "median_days", "avg_days"
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
