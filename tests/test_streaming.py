@@ -463,3 +463,52 @@ def test_ewma_stream_state_survives_restart(spark, tmp_path):
     want = {key(r) for r in catalog.win_ewma(spark, SF).collect()}
     assert 0 < n_run1 < len(want), "restart must split the work across runs"
     assert got == want
+
+
+def test_transform_with_state_type_counts_matches_batch(spark, tmp_path):
+    """The transformWithStateInPandas MapState operator converges to the
+    batch per-(user, type) counts once all files are processed. The new
+    API speaks protobuf to the Python state server; skip where the
+    container ships no usable google.protobuf (operator stays importable
+    — same gating pattern as the multimodal codec paths)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from varda_spark.streaming.windows import type_counts_stream_tws
+
+    ev = read_table(spark, SF, "events").select("user_id", "event_type")
+    src = str(tmp_path / "src")
+    ev.coalesce(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        type_counts_stream_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.event_type): r.n
+        for r in spark.sql(
+            """SELECT user_id, event_type, n FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                              ORDER BY n DESC) rn
+                 FROM tws_counts) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

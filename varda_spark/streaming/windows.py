@@ -246,6 +246,69 @@ def ewma_stream(ev_stream: DataFrame, depth: int = 8) -> DataFrame:
     )
 
 
+def type_counts_stream_tws(ev_stream: DataFrame) -> DataFrame:
+    """I5+ third custom stateful operator, on Spark 4's NEW
+    transformWithStateInPandas API (the arbitrary-state successor to
+    applyInPandasWithState): per-user running count per event type,
+    held in a MapState keyed by event_type.
+
+    Why MapState matters at 100 TB: the legacy API forces ONE value blob
+    per group, so a per-type counter means deserializing and rewriting
+    the whole map on every event; MapState gives per-entry point reads/
+    writes in the state store (RocksDB at scale), touching only the
+    types present in the micro-batch. Emits the updated cumulative count
+    per (user, type) each batch; the last emission per pair equals the
+    batch groupBy count — pytest-checked.
+
+    Environment gate: the transformWithState protocol needs a working
+    google.protobuf on the Python side; this container ships none, so
+    the equivalence test importorskips (the operator itself stays
+    importable — the same gating pattern as the multimodal codec paths;
+    applyInPandasWithState above covers the protobuf-free stateful path
+    end-to-end).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for et, c in pdf.groupby("event_type").size().items():
+                    batch[et] = batch.get(et, 0) + int(c)
+            out = {"user_id": [], "event_type": [], "n": []}
+            for et, add in sorted(batch.items()):
+                prev = (
+                    self._counts.getValue((et,))[0]
+                    if self._counts.containsKey((et,))
+                    else 0
+                )
+                total = prev + add
+                self._counts.updateValue((et,), (total,))
+                out["user_id"].append(int(key[0]))
+                out["event_type"].append(et)
+                out["n"].append(total)
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return ev_stream.groupBy("user_id").transformWithStateInPandas(
+        TypeCounts(),
+        outputStructType="user_id bigint, event_type string, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def purchase_view_join_batch(ev: DataFrame, horizon_minutes: int = 60) -> DataFrame:
     """I5 stream-stream join, batch core: each purchase joined to every
     view by the same user within the preceding ``horizon_minutes``.
