@@ -289,3 +289,29 @@ def test_leadtime_stats_consistent(spark):
         assert r.min_days <= r.avg_days <= r.max_days
     # the synthetic dates are not causally ordered (ship can precede
     # order) — the operator faithfully reports that rather than hiding it
+
+
+def test_trimmed_mean_matches_scipy_style(spark):
+    import numpy as np
+
+    got = {r.flag: r for r in catalog.agg_trimmed_mean(spark, SF).collect()}
+    li = (
+        catalog.read_table(spark, SF, "lineitem")
+        .selectExpr("l_returnflag AS flag", "CAST(FLOOR(l_quantity) AS BIGINT) AS x")
+        .toPandas()
+    )
+    for flag, g in li.groupby("flag"):
+        x = np.sort(g.x.to_numpy())
+        k = len(x) // 10
+        ref = x[k : len(x) - k].mean()
+        assert got[flag].n_total == len(x)
+        assert got[flag].n_kept == len(x) - 2 * k
+        assert math.isclose(got[flag].trimmed_mean, ref, rel_tol=1e-12)
+
+
+def test_quartile_skew_bounded_and_ordered(spark):
+    rows = catalog.agg_quartile_skew(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.q1 <= r.q2 <= r.q3
+        assert -1.0 <= r.bowley_skew <= 1.0  # Bowley is bounded by construction

@@ -7635,6 +7635,134 @@ def agg_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_trimmed_mean",
+    """WITH b AS (
+         SELECT l_returnflag AS flag,
+                CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                l_orderkey, l_linenumber
+         FROM lineitem),
+       rk AS (
+         SELECT flag, x,
+                ROW_NUMBER() OVER (PARTITION BY flag
+                                   ORDER BY x, l_orderkey, l_linenumber) AS rn,
+                COUNT(*) OVER (PARTITION BY flag) AS n
+         FROM b),
+       kept AS (
+         SELECT flag, x, n FROM rk
+         WHERE rn > CAST(FLOOR(n / 10) AS BIGINT)
+           AND rn <= n - CAST(FLOOR(n / 10) AS BIGINT))
+       SELECT flag,
+              CAST(MIN(n) AS BIGINT) AS n_total,
+              CAST(COUNT(*) AS BIGINT) AS n_kept,
+              CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
+       FROM kept GROUP BY flag""",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ 10% trimmed mean per group — the robust location estimate
+    between agg_mad's median and the plain mean: drop the bottom and top
+    decile BY RANK (deterministic total order: value, then row identity)
+    and average the middle 80% as an exact integer sum over kept rows.
+    Trimming depends only on the value multiset, so the tie-break choice
+    cannot change the result — it only pins both engines to the same
+    rows. One keyed rank window + one grouped agg; the division is the
+    single fixed-order float op."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    rk = b.select(
+        "flag",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("flag").orderBy("x", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("flag")).alias("n"),
+    )
+    kept = rk.filter(
+        (F.col("rn") > F.expr("CAST(FLOOR(n / 10) AS BIGINT)"))
+        & (F.col("rn") <= F.col("n") - F.expr("CAST(FLOOR(n / 10) AS BIGINT)"))
+    )
+    return kept.groupBy("flag").agg(
+        F.min("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.expr("CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)").alias(
+            "trimmed_mean"
+        ),
+    )
+
+
+@q(
+    "agg_quartile_skew",
+    """WITH b AS (
+         SELECT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) AS x
+         FROM lineitem),
+       c AS (
+         SELECT flag, x,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY flag ORDER BY x) AS cumn,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY flag) AS total
+         FROM b),
+       q AS (
+         SELECT flag,
+                MIN(CASE WHEN 4 * cumn >= total THEN x END) AS q1,
+                MIN(CASE WHEN 4 * cumn >= 2 * total THEN x END) AS q2,
+                MIN(CASE WHEN 4 * cumn >= 3 * total THEN x END) AS q3
+         FROM c GROUP BY flag)
+       SELECT flag,
+              CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+              CAST(q3 AS BIGINT) AS q3,
+              CASE WHEN q3 > q1
+                   THEN (CAST(q3 AS DOUBLE) + CAST(q1 AS DOUBLE)
+                         - 2.0 * CAST(q2 AS DOUBLE))
+                        / (CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE))
+                   ELSE 0.0 END AS bowley_skew
+       FROM q""",
+)
+def agg_quartile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ Bowley (quartile) skewness — the robust asymmetry measure that
+    ignores tails entirely, complementing agg_moments' moment skewness
+    (one outlier can dominate a third moment; quartiles shrug). All
+    three quartiles come from ONE cumulative window via the generalized
+    half-mass rule (min x with 4·cum ≥ k·total — lower-quartile
+    convention, exact integers, conditional-min per k); the normalized
+    skew is one shared-text float CASE. Same single-window cost as
+    agg_mad's first pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("x"),
+    )
+    wo = Window.partitionBy("flag").orderBy("x")
+    wt = Window.partitionBy("flag")
+    c = b.select(
+        "flag",
+        "x",
+        F.sum(F.lit(1).cast("bigint")).over(wo).alias("cumn"),
+        F.sum(F.lit(1).cast("bigint")).over(wt).alias("total"),
+    )
+    q_ = c.groupBy("flag").agg(
+        F.min(F.expr("CASE WHEN 4 * cumn >= total THEN x END")).alias("q1"),
+        F.min(F.expr("CASE WHEN 4 * cumn >= 2 * total THEN x END")).alias("q2"),
+        F.min(F.expr("CASE WHEN 4 * cumn >= 3 * total THEN x END")).alias("q3"),
+    )
+    return q_.select(
+        "flag",
+        F.col("q1").cast("bigint").alias("q1"),
+        F.col("q2").cast("bigint").alias("q2"),
+        F.col("q3").cast("bigint").alias("q3"),
+        F.expr(
+            "CASE WHEN q3 > q1"
+            " THEN (CAST(q3 AS DOUBLE) + CAST(q1 AS DOUBLE)"
+            " - 2.0 * CAST(q2 AS DOUBLE))"
+            " / (CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE))"
+            " ELSE 0.0 END"
+        ).alias("bowley_skew"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
