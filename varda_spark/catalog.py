@@ -7763,6 +7763,40 @@ def agg_quartile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_API2 = """
+    WITH per_order AS (
+      SELECT l_returnflag AS flag, l_orderkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem GROUP BY l_returnflag, l_orderkey),
+    ranked AS (
+      SELECT flag, l_orderkey, qty,
+             ROW_NUMBER() OVER (PARTITION BY flag
+                                ORDER BY qty DESC, l_orderkey) AS rn
+      FROM per_order),
+    top100 AS (SELECT flag, l_orderkey, qty FROM ranked WHERE rn <= 100)
+    SELECT t.flag,
+           CAST(COUNT(*) AS BIGINT) AS n_top,
+           CAST(SUM(t.qty) AS BIGINT) AS top_qty,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM top100 t JOIN orders o ON t.l_orderkey = o.o_orderkey
+    GROUP BY t.flag
+"""
+
+
+@q("sql_api2", _SQL_API2)
+def sql_api2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second identical-ANSI-text proof, exercising the harder SQL
+    surface in one shared string: chained CTEs, a partitioned rank
+    window with a deterministic tie-break, top-N semantics, a join back
+    to a second fact, and COUNT(DISTINCT) — the exact text runs verbatim
+    on spark.sql AND the DuckDB oracle (sql_api covers the basic
+    join-aggregate shape; this one covers the analyst query shape).
+    Integer-only aggregates, so parity is bit-level by construction."""
+    for t in ("lineitem", "orders"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API2)
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
