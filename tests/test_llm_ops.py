@@ -464,3 +464,42 @@ def test_paragraph_dedup_kills_repeats_keeps_first(spark):
     assert out2[3].n_kept == 0 and out2[3].clean_text == ""
     assert "Shared boilerplate line" in out2[1].clean_text
     assert "Shared boilerplate line" not in out2[2].clean_text
+
+
+def test_cc_topologies_chain_star_islands(spark):
+    """Both CC implementations (hybrid union-find/pointer-jumping and
+    large-star/small-star) agree with ground truth on adversarial
+    topologies: a 64-long chain (forces pointer jumping past the
+    neighbor rounds), a hub star, two islands, and an isolated pair."""
+    from varda_spark.operators.dedup import cc_stars, connected_components
+
+    chain = [(i, i + 1) for i in range(100, 164)]          # one long path
+    star = [(500, x) for x in range(501, 540)]              # hub
+    island = [(900, 901), (901, 902), (950, 951)]           # two islands
+    edges = chain + star + island
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+
+    want = {}
+    for a, b in edges:
+        want.setdefault(a, a)
+        want.setdefault(b, b)
+
+    def find(x):
+        while want[x] != x:
+            x = want[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            want[hi] = lo
+    truth = {x: find(x) for x in want}
+
+    for impl in (
+        lambda p: connected_components(p),                  # union-find path
+        lambda p: connected_components(p, local_threshold=0),  # distributed path
+        lambda p: cc_stars(p),
+    ):
+        got = {r.id: r.comp for r in impl(pairs).collect()}
+        assert got == truth

@@ -7797,6 +7797,49 @@ def sql_api2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_API2)
 
 
+@q(
+    "win_dod_growth",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events GROUP BY event_type, day),
+       w AS (
+         SELECT event_type, day, cnt,
+                LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev
+         FROM daily)
+       SELECT event_type, day, cnt, CAST(prev AS BIGINT) AS prev,
+              CAST(FLOOR(1000000 * (cnt - prev) / prev) AS BIGINT) AS growth_ppm
+       FROM w WHERE prev IS NOT NULL""",
+)
+def win_dod_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ day-over-day growth per series in exact floor-ppm — the
+    metric every KPI dashboard leads with, done without the float
+    percent that drifts across engines (the ppm integer IS the result;
+    render ÷10⁴ as a percent at display time). One daily rollup + one
+    keyed LAG window; first day of each series is excluded rather than
+    fabricated. Negative growth floors toward −∞ like every other ppm
+    key (consistent floor semantics both engines)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.lag("cnt").over(Window.partitionBy("event_type").orderBy("day")).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    return w.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.col("prev").cast("bigint").alias("prev"),
+        F.expr("CAST(FLOOR(1000000 * (cnt - prev) / prev) AS BIGINT)").alias(
+            "growth_ppm"
+        ),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
