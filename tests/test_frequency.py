@@ -100,3 +100,29 @@ def test_frequency_zygosity_split(spark, fixture_dfs):
     out = frequency(keys, observations, regions, samples, split_zygosity=True)
     r = {(x.chromosome, x.position): x for x in out.collect()}[("1", 160)]
     assert r.vc_het == 1 and r.vc_hom == 0
+
+
+def test_trio_mendel_rule_matches_transmission_enumeration(spark):
+    """The interval rule (child dosage in [#hom parents, #parents with an
+    alt]) must equal the exhaustive transmission model for all 27
+    genotype combinations, and the operator's per-trio output must be
+    internally consistent on the shipped data."""
+    def possible(p):
+        return {0} if p == 0 else ({0, 1} if p == 1 else {1})
+
+    for f in (0, 1, 2):
+        for m in (0, 1, 2):
+            for c in (0, 1, 2):
+                legal = c in {a + b for a in possible(f) for b in possible(m)}
+                mn = (f == 2) + (m == 2)
+                mx = (f >= 1) + (m >= 1)
+                rule_viol = c < mn or c > mx
+                assert rule_viol == (not legal), (f, m, c)
+
+    from varda_spark import catalog
+
+    rows = catalog.freq_trio_mendel(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_violations <= r.n_sites
+        assert 0 <= r.violation_ppm <= 1000000

@@ -7840,6 +7840,130 @@ def win_dod_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "freq_trio_mendel",
+    """WITH obs AS (
+         SELECT l_suppkey AS sample_id,
+                CAST(l_partkey % 5 AS VARCHAR) AS chromosome,
+                CAST((l_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                CASE WHEN l_linenumber % 3 = 0 THEN 2
+                     WHEN l_linenumber % 3 = 1 THEN 1 END AS gt
+         FROM lineitem WHERE l_linenumber % 3 <> 2),
+       g AS (
+         SELECT sample_id, chromosome, position, CAST(MAX(gt) AS BIGINT) AS gt
+         FROM obs GROUP BY sample_id, chromosome, position),
+       child AS (
+         SELECT CAST(sample_id / 3 AS BIGINT) AS trio_id,
+                sample_id, chromosome, position, gt AS cgt
+         FROM g WHERE sample_id % 3 = 0),
+       j AS (
+         SELECT c.trio_id, c.chromosome, c.position, c.cgt,
+                COALESCE(f.gt, 0) AS fgt, COALESCE(m.gt, 0) AS mgt
+         FROM child c
+         LEFT JOIN g f ON f.sample_id = c.sample_id - 2
+                      AND f.chromosome = c.chromosome AND f.position = c.position
+         LEFT JOIN g m ON m.sample_id = c.sample_id - 1
+                      AND m.chromosome = c.chromosome AND m.position = c.position),
+       v AS (
+         SELECT trio_id,
+                CASE WHEN cgt < (CASE WHEN fgt = 2 THEN 1 ELSE 0 END
+                                 + CASE WHEN mgt = 2 THEN 1 ELSE 0 END)
+                       OR cgt > (CASE WHEN fgt >= 1 THEN 1 ELSE 0 END
+                                 + CASE WHEN mgt >= 1 THEN 1 ELSE 0 END)
+                     THEN 1 ELSE 0 END AS viol
+         FROM j)
+       SELECT trio_id,
+              CAST(COUNT(*) AS BIGINT) AS n_sites,
+              CAST(SUM(viol) AS BIGINT) AS n_violations,
+              CAST(FLOOR(1000000 * SUM(viol) / COUNT(*)) AS BIGINT) AS violation_ppm
+       FROM v GROUP BY trio_id""",
+)
+def freq_trio_mendel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-domain trio QC: Mendelian-consistency rate per family trio —
+    the standard sample-swap / contamination screen a population-genetics
+    warehouse runs after import (a mislabeled child lights up as an
+    elevated violation ppm). Samples group into (father, mother, child) =
+    (3t+1, 3t+2, 3t+3); genotype = max alt-dosage per (sample, site)
+    (dedup across observation lines); a missing parent site is
+    homozygous-reference by the dataset's absence semantics. Violation
+    test is the exact transmission interval: child dosage must lie in
+    [#{hom parents}, #{parents with an alt}] — pure integer CASE logic,
+    no floats until the final ppm floor. Plan: one keyed genotype
+    dedup, two site-keyed left joins (child side shuffles once on the
+    same (chromosome, position) key), one per-trio rollup."""
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = li.filter(F.expr("l_linenumber % 3 <> 2")).select(
+        F.col("l_suppkey").alias("sample_id"),
+        F.expr("CAST(l_partkey % 5 AS STRING)").alias("chromosome"),
+        F.expr("CAST((l_partkey * 31) % 100000 + 1 AS BIGINT)").alias("position"),
+        F.expr(
+            "CASE WHEN l_linenumber % 3 = 0 THEN 2"
+            " WHEN l_linenumber % 3 = 1 THEN 1 END"
+        ).alias("gt"),
+    )
+    g = obs.groupBy("sample_id", "chromosome", "position").agg(
+        F.max("gt").cast("bigint").alias("gt")
+    )
+    child = g.filter(F.expr("sample_id % 3 = 0")).select(
+        F.expr("CAST(sample_id / 3 AS BIGINT)").alias("trio_id"),
+        "sample_id",
+        "chromosome",
+        "position",
+        F.col("gt").alias("cgt"),
+    )
+    f = g.select(
+        F.col("sample_id").alias("f_id"),
+        F.col("chromosome").alias("f_chr"),
+        F.col("position").alias("f_pos"),
+        F.col("gt").alias("f_gt"),
+    )
+    m = g.select(
+        F.col("sample_id").alias("m_id"),
+        F.col("chromosome").alias("m_chr"),
+        F.col("position").alias("m_pos"),
+        F.col("gt").alias("m_gt"),
+    )
+    j = (
+        child.join(
+            f,
+            (F.col("f_id") == F.col("sample_id") - 2)
+            & (F.col("f_chr") == F.col("chromosome"))
+            & (F.col("f_pos") == F.col("position")),
+            "left",
+        )
+        .join(
+            m,
+            (F.col("m_id") == F.col("sample_id") - 1)
+            & (F.col("m_chr") == F.col("chromosome"))
+            & (F.col("m_pos") == F.col("position")),
+            "left",
+        )
+        .select(
+            "trio_id",
+            "cgt",
+            F.coalesce(F.col("f_gt"), F.lit(0)).alias("fgt"),
+            F.coalesce(F.col("m_gt"), F.lit(0)).alias("mgt"),
+        )
+    )
+    v = j.select(
+        "trio_id",
+        F.expr(
+            "CASE WHEN cgt < (CASE WHEN fgt = 2 THEN 1 ELSE 0 END"
+            " + CASE WHEN mgt = 2 THEN 1 ELSE 0 END)"
+            " OR cgt > (CASE WHEN fgt >= 1 THEN 1 ELSE 0 END"
+            " + CASE WHEN mgt >= 1 THEN 1 ELSE 0 END)"
+            " THEN 1 ELSE 0 END"
+        ).alias("viol"),
+    )
+    return v.groupBy("trio_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+        F.sum("viol").cast("bigint").alias("n_violations"),
+        F.expr(
+            "CAST(FLOOR(1000000 * SUM(viol) / COUNT(*)) AS BIGINT)"
+        ).alias("violation_ppm"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
