@@ -315,3 +315,42 @@ def test_quartile_skew_bounded_and_ordered(spark):
     for r in rows:
         assert r.q1 <= r.q2 <= r.q3
         assert -1.0 <= r.bowley_skew <= 1.0  # Bowley is bounded by construction
+
+
+def test_runs_test_matches_python_reference(spark):
+    got = {r.event_type: r for r in catalog.agg_runs_test(spark, SF).collect()}
+    daily = (
+        catalog.read_table(spark, SF, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .orderBy("event_type", "day")
+        .toPandas()
+    )
+    for et, g in daily.groupby("event_type"):
+        x = list(g["count"])
+        signs = [1 if b > a else 0 for a, b in zip(x, x[1:]) if b != a]
+        if not signs:
+            continue
+        n1, n2 = sum(signs), len(signs) - sum(signs)
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        if n1 == 0 or n2 == 0:
+            assert et not in got
+            continue
+        r = got[et]
+        assert (r.n1, r.n2, r.runs) == (n1, n2, runs)
+        n = n1 + n2
+        mu = 2 * n1 * n2 / n + 1
+        var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)) / (n * n * (n - 1))
+        assert math.isclose(r.runs_z, (runs - mu) / math.sqrt(var), rel_tol=1e-12)
+
+
+def test_minmax_scale_bounds_and_extremes(spark):
+    rows = catalog.win_minmax_scale(spark, SF).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r.label, []).append(r.scaled_ppm)
+    for label, vals in per.items():
+        assert all(0 <= v <= 1000000 for v in vals)
+        if len(set(vals)) > 1:
+            assert min(vals) == 0 and max(vals) == 1000000

@@ -7964,6 +7964,136 @@ def freq_trio_mendel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_runs_test",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events GROUP BY event_type, day),
+       d AS (
+         SELECT event_type, day, cnt,
+                cnt - LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS diff
+         FROM daily),
+       s AS (
+         SELECT event_type, day,
+                CASE WHEN diff > 0 THEN 1 ELSE 0 END AS up,
+                CASE WHEN diff > 0 THEN 1 ELSE 0 END
+                  - LAG(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY event_type ORDER BY day) AS flip
+         FROM d WHERE diff IS NOT NULL AND diff <> 0),
+       agg AS (
+         SELECT event_type,
+                CAST(SUM(up) AS BIGINT) AS n1,
+                CAST(COUNT(*) - SUM(up) AS BIGINT) AS n2,
+                CAST(1 + SUM(CASE WHEN flip <> 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS runs
+         FROM s GROUP BY event_type)
+       SELECT event_type, n1, n2, runs,
+              (CAST(runs AS DOUBLE)
+               - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+              / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+                     / (CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))
+              AS runs_z
+       FROM agg WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1""",
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ Wald–Wolfowitz runs test on the up/down sequence of daily
+    volume moves — completes the exact statistical-test family (agg_ks:
+    distribution drift, agg_chisq: label independence, agg_autocorr:
+    linear memory; runs: NON-linear serial dependence — a metric that
+    alternates too regularly or trends too long both fail here while
+    passing autocorrelation). Ties (zero diffs) drop per the classical
+    test. The run count comes from one LAG flip-detect window; n1/n2/
+    runs are exact integers, and the z-statistic is one shared-text
+    float expression whose only transcendental is the IEEE-exact sqrt
+    — the variance numerator/denominator are exact BIGINTs cast once
+    (< 2⁵³ through sf100 on daily series). Two keyed windows, one
+    rollup."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type",
+        "day",
+        (F.col("cnt") - F.lag("cnt").over(w)).alias("diff"),
+    ).filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+    s = d.select(
+        "event_type",
+        "day",
+        F.expr("CASE WHEN diff > 0 THEN 1 ELSE 0 END").alias("up"),
+    ).select(
+        "event_type",
+        "up",
+        (F.col("up") - F.lag("up").over(w)).alias("flip"),
+    )
+    agg = s.groupBy("event_type").agg(
+        F.sum("up").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("bigint").alias("n2"),
+        (1 + F.sum(F.expr("CASE WHEN flip <> 0 THEN 1 ELSE 0 END")))
+        .cast("bigint")
+        .alias("runs"),
+    )
+    return agg.filter("n1 > 0 AND n2 > 0 AND n1 + n2 > 1").select(
+        "event_type",
+        "n1",
+        "n2",
+        "runs",
+        F.expr(
+            "(CAST(runs AS DOUBLE)"
+            " - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+            " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))"
+            " / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)"
+            " / (CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))"
+        ).alias("runs_z"),
+    )
+
+
+@q(
+    "win_minmax_scale",
+    """WITH b AS (
+         SELECT vec_id, label,
+                CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+         FROM embeddings),
+       st AS (
+         SELECT label, MIN(vq) AS mn, MAX(vq) AS mx FROM b GROUP BY label)
+       SELECT b.vec_id, b.label,
+              CASE WHEN st.mx = st.mn THEN 0
+                   ELSE CAST(FLOOR(1000000 * (b.vq - st.mn) / (st.mx - st.mn))
+                             AS BIGINT) END AS scaled_ppm
+       FROM b JOIN st ON b.label = st.label""",
+)
+def win_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D/E feature scaling: per-group min-max normalization to exact
+    ppm units (here: first embedding dimension per label) — the
+    preprocessing primitive before distance-based methods when groups
+    live on different scales. emb_quantize's 0..255 codes are the
+    storage variant; this is the full-resolution 0..1e6 feature form.
+    Group stats are a k-row broadcast back onto the fact; constant
+    groups scale to 0 rather than dividing by zero. Everything integer
+    until nothing — there is no float at all in the output."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CAST(FLOOR(CAST(element_at(embedding, 1) AS DOUBLE) * 1000000)"
+            " AS BIGINT)"
+        ).alias("vq"),
+    )
+    st = b.groupBy("label").agg(F.min("vq").alias("mn"), F.max("vq").alias("mx"))
+    return b.join(F.broadcast(st), "label").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CASE WHEN mx = mn THEN 0"
+            " ELSE CAST(FLOOR(1000000 * (vq - mn) / (mx - mn)) AS BIGINT) END"
+        ).alias("scaled_ppm"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
