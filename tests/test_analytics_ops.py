@@ -354,3 +354,43 @@ def test_minmax_scale_bounds_and_extremes(spark):
         assert all(0 <= v <= 1000000 for v in vals)
         if len(set(vals)) > 1:
             assert min(vals) == 0 and max(vals) == 1000000
+
+
+def test_novelty_first_doc_fully_novel_and_monotone_trend(spark):
+    rows = {r.doc_id: r for r in catalog.text_ngram_novelty(spark, SF).collect()}
+    assert rows
+    first = rows[min(rows)]
+    # the lowest-id document is first seer of every one of its shingles
+    assert first.n_novel == first.n_shingles and first.novelty_ppm == 1000000
+    for r in rows.values():
+        assert 0 <= r.n_novel <= r.n_shingles
+
+
+def test_seasonality_shares_total_and_dow_domain(spark):
+    rows = catalog.agg_seasonality(spark, SF).collect()
+    per = {}
+    for r in rows:
+        assert 0 <= r.dow <= 6
+        per.setdefault(r.event_type, 0)
+        per[r.event_type] += r.share_ppm
+    # floor rounding loses < 1 ppm per bucket (7 buckets)
+    assert all(1000000 - 7 <= v <= 1000000 for v in per.values())
+
+
+def test_peaks_are_strict_local_maxima(spark):
+    rows = catalog.win_peak_detect(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.cnt > r.prev and r.cnt > r.next
+    daily = {
+        (r.event_type, r.day): r.cnt
+        for r in catalog.read_table(spark, SF, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    import datetime
+
+    for r in rows:
+        assert daily[(r.event_type, r.day - datetime.timedelta(days=1))] == r.prev
+        assert daily[(r.event_type, r.day + datetime.timedelta(days=1))] == r.next

@@ -8094,6 +8094,159 @@ def win_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "text_ngram_novelty",
+    """WITH words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+         FROM words),
+       firsts AS (
+         SELECT shingle, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM sh
+         GROUP BY shingle),
+       per AS (
+         SELECT sh.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel
+         FROM sh JOIN firsts f ON sh.shingle = f.shingle
+         GROUP BY sh.doc_id)
+       SELECT doc_id, n_shingles, n_novel,
+              CAST(FLOOR(1000000 * n_novel / n_shingles) AS BIGINT) AS novelty_ppm
+       FROM per""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ corpus novelty curve: per document, the fraction of its
+    3-gram shingles never seen in any LOWER-id document — the
+    redundancy-growth diagnostic behind dedup budgeting (novelty
+    trending to zero means additional crawl is re-collecting the same
+    text; per-source novelty decides which feeds to keep). First-seer
+    attribution is a MIN over doc ids per shingle (the same inverted
+    index dedup_ngram builds — near-uniform shuffle key), joined back
+    map-side. Exact floor-ppm output; the ordering is by ingest id, the
+    stable content-address analog of arrival time."""
+    docs = read_table(spark, sf_dir, "documents")
+    from varda_spark.operators.dedup import shingles
+
+    sh = shingles(docs.select("doc_id", "text"), n=3).distinct()
+    firsts = sh.groupBy("shingle").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    per = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.expr("CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END")
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr(
+            "CAST(FLOOR(1000000 * n_novel / n_shingles) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
+
+
+@q(
+    "agg_seasonality",
+    """WITH d AS (
+         SELECT event_type,
+                CAST(date_part('dow', CAST(ts AS DATE)) AS BIGINT) AS dow
+         FROM events),
+       c AS (
+         SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+         FROM d GROUP BY event_type, dow),
+       t AS (
+         SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+         FROM c GROUP BY event_type)
+       SELECT c.event_type, c.dow, c.n,
+              CAST(FLOOR(1000000 * c.n / t.total) AS BIGINT) AS share_ppm
+       FROM c JOIN t ON c.event_type = t.event_type""",
+)
+def agg_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ weekly seasonality fingerprint: event share per (type,
+    day-of-week) in exact floor-ppm — the profile that separates
+    human-driven series (weekday peaks) from machine-driven ones (flat),
+    and the baseline win_cusum/win_outlier should be read against.
+    Day-of-week convention is pinned to 0 = Sunday on both engines
+    (Spark's dayofweek() is 1-based Sunday, so the Column subtracts 1 —
+    the one place the engines' calendar functions disagree and the twin
+    texts intentionally differ). k-row totals broadcast back; one
+    map-combined pass."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (F.dayofweek(F.col("ts").cast("date")) - 1).cast("bigint").alias("dow"),
+    )
+    c = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("total"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        F.expr("CAST(FLOOR(1000000 * n / total) AS BIGINT)").alias("share_ppm"),
+    )
+
+
+@q(
+    "win_peak_detect",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events GROUP BY event_type, day),
+       w AS (
+         SELECT event_type, day, cnt,
+                LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+                LEAD(cnt) OVER (PARTITION BY event_type ORDER BY day) AS next
+         FROM daily)
+       SELECT event_type, day, cnt,
+              CAST(prev AS BIGINT) AS prev, CAST(next AS BIGINT) AS next
+       FROM w
+       WHERE prev IS NOT NULL AND next IS NOT NULL
+         AND cnt > prev AND cnt > next""",
+)
+def win_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ local-maximum detection on daily series: days strictly above
+    both neighbors — the spike picker that feeds incident review (CUSUM
+    finds sustained shifts; this finds one-day bursts). Strict
+    inequality keeps plateaus out (a flat top is not a spike);
+    boundary days are excluded, not fabricated. One keyed window
+    carrying both LAG and LEAD in a single sort."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.lag("cnt").over(w).alias("prev"),
+        F.lead("cnt").over(w).alias("next"),
+    )
+    return d.filter(
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (F.col("cnt") > F.col("prev"))
+        & (F.col("cnt") > F.col("next"))
+    ).select(
+        "event_type",
+        "day",
+        "cnt",
+        F.col("prev").cast("bigint").alias("prev"),
+        F.col("next").cast("bigint").alias("next"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
