@@ -394,3 +394,29 @@ def test_peaks_are_strict_local_maxima(spark):
     for r in rows:
         assert daily[(r.event_type, r.day - datetime.timedelta(days=1))] == r.prev
         assert daily[(r.event_type, r.day + datetime.timedelta(days=1))] == r.next
+
+
+def test_tiles_partition_each_interval_exactly(spark):
+    tiles = catalog.interval_tile(spark, SF_SMALL).collect()
+    assert tiles
+    per = {}
+    for t in tiles:
+        per.setdefault(t.sample_key, []).append(t)
+    for key, ts in per.items():
+        ts.sort(key=lambda t: t.tile_idx)
+        assert [t.tile_idx for t in ts] == list(range(len(ts)))
+        # tiles abut with no gaps/overlaps and cover [begin, end)
+        for a, b in zip(ts, ts[1:]):
+            assert a.tile_end == b.tile_start
+        widths = [t.tile_end - t.tile_start for t in ts]
+        assert all(w == 500 for w in widths[:-1])
+        assert 0 < widths[-1] <= 500
+
+
+def test_interarrival_median_le_mean_on_bursty_series(spark):
+    rows = catalog.agg_interarrival(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.min_gap_us <= r.median_gap_us <= r.max_gap_us
+        assert r.min_gap_us <= r.mean_gap_us <= r.max_gap_us
+        assert r.n_gaps > 0

@@ -8247,6 +8247,130 @@ def win_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "interval_tile",
+    """WITH ivs AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                     AS BIGINT) AS "end",
+                s_suppkey AS sample_key
+         FROM supplier),
+       t AS (
+         SELECT chromosome, sample_key, begin, "end", CAST(i AS BIGINT) AS tile_idx
+         FROM ivs,
+              unnest(range(0, CAST(CEIL(("end" - begin) / 500.0) AS BIGINT)))
+              AS u(i))
+       SELECT chromosome, CAST(sample_key AS BIGINT) AS sample_key, tile_idx,
+              begin + tile_idx * 500 AS tile_start,
+              LEAST(begin + (tile_idx + 1) * 500, "end") AS tile_end
+       FROM t""",
+)
+def interval_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ fixed-width interval tiling (bedtools makewindows): chop every
+    interval into 500-unit tiles, last tile clipped at the interval end
+    — the layout primitive under per-window coverage, rolling genomic
+    stats, and parallel region dispatch (each tile is an independent
+    work unit, which is exactly why a 100 TB scatter wants this shape).
+    Tile counts are exact ceil-division integers; the explode is
+    map-side (sequence length = interval length / width, bounded by the
+    data's own max interval: 3.7k units → ≤ 8 tiles). Empty intervals
+    cannot occur here (end > begin by construction), so the
+    sequence-descends footgun is structurally excluded."""
+    _, s = _points_intervals(spark, sf_dir)
+    t = s.select(
+        "chromosome",
+        F.col("sample_key").cast("bigint").alias("sample_key"),
+        "begin",
+        "end",
+        F.explode(
+            F.expr("sequence(CAST(0 AS BIGINT),"
+                   " CAST(CEIL((end - begin) / 500.0) AS BIGINT) - 1)")
+        ).alias("tile_idx"),
+    )
+    return t.select(
+        "chromosome",
+        "sample_key",
+        "tile_idx",
+        F.expr("begin + tile_idx * 500").alias("tile_start"),
+        F.expr("LEAST(begin + (tile_idx + 1) * 500, end)").alias("tile_end"),
+    )
+
+
+@q(
+    "agg_interarrival",
+    """WITH p AS (
+         SELECT event_type, ts,
+                epoch_us(ts) - epoch_us(LAG(ts) OVER
+                  (PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+         FROM events),
+       g AS (SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us
+             FROM p WHERE gap_us IS NOT NULL),
+       rk AS (
+         SELECT event_type, gap_us,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY event_type
+                                             ORDER BY gap_us) AS cumn,
+                SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY event_type) AS total
+         FROM g),
+       med AS (
+         SELECT event_type, CAST(MIN(gap_us) AS BIGINT) AS median_gap_us
+         FROM rk WHERE 2 * cumn >= total GROUP BY event_type),
+       s AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+                CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+                CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gap_us
+         FROM g GROUP BY event_type)
+       SELECT s.event_type, s.n_gaps, s.min_gap_us, s.max_gap_us,
+              med.median_gap_us, s.mean_gap_us
+       FROM s JOIN med ON s.event_type = med.event_type""",
+)
+def agg_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ inter-arrival gap distribution per event type — the traffic-
+    shape sheet (median ≪ mean flags burstiness against the Poisson
+    null; the capacity planner's first look, and the natural prior for
+    stream watermark tuning). Gaps come from one LAG window in exact
+    epoch-microseconds ((ts, event_id) order pins ties); median via the
+    half-mass idiom, mean from an exact integer sum. Two keyed windows,
+    one rollup — partitioned by series throughout."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wo = Window.partitionBy("event_type").orderBy("gap_us")
+    wt = Window.partitionBy("event_type")
+    rk = g.select(
+        "event_type",
+        "gap_us",
+        F.sum(F.lit(1).cast("bigint")).over(wo).alias("cumn"),
+        F.sum(F.lit(1).cast("bigint")).over(wt).alias("total"),
+    )
+    med = (
+        rk.filter(2 * F.col("cumn") >= F.col("total"))
+        .groupBy("event_type")
+        .agg(F.min("gap_us").cast("bigint").alias("median_gap_us"))
+    )
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.expr(
+            "CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("mean_gap_us"),
+    )
+    return s.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_gaps",
+        "min_gap_us",
+        "max_gap_us",
+        "median_gap_us",
+        "mean_gap_us",
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
