@@ -420,3 +420,59 @@ def test_interarrival_median_le_mean_on_bursty_series(spark):
         assert r.min_gap_us <= r.median_gap_us <= r.max_gap_us
         assert r.min_gap_us <= r.mean_gap_us <= r.max_gap_us
         assert r.n_gaps > 0
+
+
+def test_abc_classes_partition_parts_and_respect_pareto(spark):
+    rows = {r.abc: r for r in catalog.agg_abc_class(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        catalog.read_table(spark, SF, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    tot = sum(r.class_rev_c for r in rows.values())
+    # A holds at least the 80% line minus one item's worth; A < all revenue
+    assert rows["A"].class_rev_c >= 0.75 * tot
+    assert rows["A"].n_parts < n_parts
+
+
+def test_vwap_is_bounded_by_price_range(spark):
+    df = catalog.win_vwap(spark, SF)
+    li = catalog.read_table(spark, SF, "lineitem")
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    agg = df.agg(F.min("vwap"), F.max("vwap")).first()
+    # a weighted mean of prices can never leave the price range
+    assert lo - 1e-3 <= agg[0] and agg[1] <= hi + 1e-3
+    # cumulative sums are monotone within a flag by construction
+    last = {}
+    for r in df.orderBy("flag", "cum_q").limit(5000).collect():
+        if r.flag in last:
+            assert r.cum_q >= last[r.flag]
+        last[r.flag] = r.cum_q
+
+
+def test_basket_lift_matches_python_recompute(spark):
+    rows = catalog.join_basket_lift(spark, SF_SMALL).collect()
+    assert rows
+    lp = (
+        catalog.read_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import Counter, defaultdict
+
+    orders = defaultdict(set)
+    for r in lp:
+        orders[r.l_orderkey].add(r.l_partkey)
+    n = len(orders)
+    item = Counter()
+    pair = Counter()
+    for parts in orders.values():
+        ps = sorted(parts)
+        item.update(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair[(a, b)] += 1
+    for r in rows:
+        assert pair[(r.pa, r.pb)] == r.n_ab and r.n_ab >= 3
+        assert r.lift_centi == (100 * r.n_ab * n) // (item[r.pa] * item[r.pb])

@@ -23,6 +23,9 @@ GLOBAL_ONE_TASK_OK = {
     "paginate_window",   # offset-compat paging; scale path is paginate_seek
     "sim_kmeans",        # row_number over the k-row centroid init only
     "sim_ivf_kmeans",    # same k-row centroid init window
+    "agg_abc_class",     # global cumulative rank over the PART dimension
+                         # (one row per part after the fact rollup) —
+                         # dimension-sized by construction, documented
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -56,6 +59,8 @@ BNLJ_OK = {
     "agg_benford",       # 1-row digit-count total for exact ppm shares
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins
+    "agg_abc_class",     # 1-row grand-total revenue scalar
+    "join_basket_lift",  # 1-row basket-count scalar (N in the lift)
 }
 
 

@@ -8371,6 +8371,204 @@ def agg_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_abc_class",
+    """WITH rev AS (
+         SELECT l_partkey,
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                              AS BIGINT)) AS BIGINT) AS rev_c
+         FROM lineitem GROUP BY l_partkey),
+       tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM rev),
+       rk AS (
+         SELECT r.l_partkey, r.rev_c, t.tot_c,
+                SUM(r.rev_c) OVER (ORDER BY r.rev_c DESC, r.l_partkey) AS cum_c
+         FROM rev r CROSS JOIN tot t),
+       cls AS (
+         SELECT l_partkey, rev_c,
+                CASE WHEN 100 * (cum_c - rev_c) < 80 * tot_c THEN 'A'
+                     WHEN 100 * (cum_c - rev_c) < 95 * tot_c THEN 'B'
+                     ELSE 'C' END AS abc
+         FROM rk)
+       SELECT abc,
+              CAST(COUNT(*) AS BIGINT) AS n_parts,
+              CAST(SUM(rev_c) AS BIGINT) AS class_rev_c
+       FROM cls GROUP BY abc""",
+)
+def agg_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ ABC (Pareto) classification of parts by revenue: A = items
+    before the 80% cumulative-revenue line, B to 95%, C the tail — the
+    inventory-policy partition every ops team quotes, and the
+    quantitative cousin of agg_hhi's concentration index. Boundary rule
+    is "class by the share BEFORE this item" (cum − own) in exact 1e-4
+    currency units, so the line item that crosses the threshold still
+    counts toward the class it started in — deterministic, no float
+    shares. The cumulative window is global by construction (a ranking
+    of ALL parts); at 100 TB the part-level rollup (the only fact-sized
+    shuffle) reduces to one row per part first, so the windowed set is
+    dimension-sized — documented single-partition window, whitelisted
+    like paginate_window."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+        ).cast("bigint").alias("rev_c")
+    )
+    tot = rev.agg(F.sum("rev_c").cast("bigint").alias("tot_c"))
+    rk = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_c",
+        F.sum("rev_c").over(
+            Window.orderBy(F.desc("rev_c"), F.col("l_partkey"))
+        ),
+    )
+    cls = rk.select(
+        "rev_c",
+        F.expr(
+            "CASE WHEN 100 * (cum_c - rev_c) < 80 * tot_c THEN 'A'"
+            " WHEN 100 * (cum_c - rev_c) < 95 * tot_c THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc"),
+    )
+    return cls.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev_c").cast("bigint").alias("class_rev_c"),
+    )
+
+
+@q(
+    "win_vwap",
+    """WITH b AS (
+         SELECT l_returnflag AS flag, l_shipdate, l_orderkey, l_linenumber,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  AS px_c,
+                CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+         FROM lineitem),
+       w AS (
+         SELECT flag, l_shipdate, l_orderkey, l_linenumber,
+                SUM(CAST(px_c AS DECIMAL(38,0)) * qty) OVER win AS cum_pq,
+                SUM(qty) OVER win AS cum_q
+         FROM b
+         WINDOW win AS (PARTITION BY flag
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber))
+       SELECT flag, l_orderkey, l_linenumber,
+              CAST(cum_pq AS BIGINT) AS cum_pq,
+              CAST(cum_q AS BIGINT) AS cum_q,
+              CAST(cum_pq AS DOUBLE) / CAST(cum_q AS DOUBLE) / 10000.0 AS vwap
+       FROM w""",
+)
+def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ running value-weighted average price per flag, in ship-date
+    order — the VWAP every execution desk tracks, generalizing to any
+    running weighted mean (cost per unit to date, blended rate). Both
+    cumulative sums are exact integers (price in 1e-4 units ×
+    integral quantity, DECIMAL(38,0) against overflow on the product
+    sum); the ratio is the only float, de-scaled in a fixed-order
+    expression. (ship-date, order, line) pins tie order identically in
+    both engines. One keyed window, two sums sharing one sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("px_c"),
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("qty"),
+    )
+    win = Window.partitionBy("flag").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w = b.select(
+        "flag",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.expr("CAST(px_c AS DECIMAL(38,0)) * qty")).over(win).alias("cum_pq"),
+        F.sum("qty").over(win).alias("cum_q"),
+    )
+    return w.select(
+        "flag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("cum_pq").cast("bigint").alias("cum_pq"),
+        F.col("cum_q").cast("bigint").alias("cum_q"),
+        F.expr(
+            "CAST(cum_pq AS DOUBLE) / CAST(cum_q AS DOUBLE) / 10000.0"
+        ).alias("vwap"),
+    )
+
+
+@q(
+    "join_basket_lift",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       n_ord AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lp),
+       item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_i
+                FROM lp GROUP BY l_partkey),
+       pair AS (
+         SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                CAST(COUNT(*) AS BIGINT) AS n_ab
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY a.l_partkey, b.l_partkey
+         HAVING COUNT(*) >= 3),
+       lift AS (
+         SELECT p.pa, p.pb, p.n_ab,
+                CAST(FLOOR(100 * p.n_ab * o.n / (ia.n_i * ib.n_i)) AS BIGINT)
+                  AS lift_centi
+         FROM pair p
+         JOIN item ia ON p.pa = ia.l_partkey
+         JOIN item ib ON p.pb = ib.l_partkey
+         CROSS JOIN n_ord o)
+       SELECT pa, pb, n_ab, lift_centi
+       FROM lift ORDER BY lift_centi DESC, pa, pb LIMIT 20""",
+)
+def join_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift for co-purchased pairs: lift = P(a,b) /
+    (P(a)·P(b)) — the measure that separates genuinely associated items
+    from merely popular ones (graph_jaccard scores overlap; lift
+    NORMALIZES it by both marginals, so two niche items always bought
+    together outrank two staples that co-occur by chance). Support
+    floor (≥ 3 baskets) kills noise pairs before the join. Centi-scaled
+    exact integers: 100·n_ab·N stays < 2⁵³ through sf100 daily volumes,
+    so the floor is deterministic cross-engine; pair generation fans
+    out per basket (bounded width), the rule every market-basket
+    pipeline at scale follows. Top-20 is TakeOrderedAndProject."""
+    li = read_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_ord = lp.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item = lp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i")
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = item.withColumnRenamed("l_partkey", "pa").withColumnRenamed("n_i", "na")
+    ib = item.withColumnRenamed("l_partkey", "pb").withColumnRenamed("n_i", "nb")
+    lift = (
+        pair.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            F.expr(
+                "CAST(FLOOR(100 * n_ab * n / (na * nb)) AS BIGINT)"
+            ).alias("lift_centi"),
+        )
+    )
+    return lift.orderBy(F.desc("lift_centi"), "pa", "pb").limit(20)
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
