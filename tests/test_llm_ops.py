@@ -503,3 +503,24 @@ def test_cc_topologies_chain_star_islands(spark):
     ):
         got = {r.id: r.comp for r in impl(pairs).collect()}
         assert got == truth
+
+
+def test_pair_dist_hist_mass_equals_pair_count(spark):
+    from varda_spark import catalog
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.01"
+    rows = catalog.emb_pair_dist_hist(spark, SF).collect()
+    assert rows
+    per_label_pairs = {
+        r.label: r.n * (r.n - 1) // 2
+        for r in catalog.read_table(spark, SF, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {}
+    for r in rows:
+        assert 0 <= r.dist_decile <= 20  # distance in [0, 2] -> decile <= 20
+        got[r.label] = got.get(r.label, 0) + r.n
+    assert got == {k: v for k, v in per_label_pairs.items() if v > 0}

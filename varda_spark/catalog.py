@@ -8569,6 +8569,86 @@ def join_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lift.orderBy(F.desc("lift_centi"), "pa", "pb").limit(20)
 
 
+@q(
+    "emb_pair_dist_hist",
+    """WITH q AS (
+         SELECT vec_id, label,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, label, e,
+                (SELECT SUM(e[i.range] * e[i.range]) FROM range(1, 65) i) AS n2
+         FROM q),
+       pairs AS (
+         SELECT a.label,
+                (SELECT SUM(a.e[i.range] * b.e[i.range]) FROM range(1, 65) i) AS dq,
+                a.n2 AS na2, b.n2 AS nb2
+         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+       bins AS (
+         SELECT label,
+                CAST(FLOOR(10.0 * (1.0 - dq / sqrt(CAST(na2 * nb2 AS DOUBLE))))
+                     AS BIGINT) AS dist_decile
+         FROM pairs)
+       SELECT label, dist_decile, CAST(COUNT(*) AS BIGINT) AS n
+       FROM bins GROUP BY label, dist_decile""",
+)
+def emb_pair_dist_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ embedding-space health histogram: within-label pairwise
+    cosine-DISTANCE deciles — the collapse diagnostic that norms
+    (emb_norm_hist) cannot see: an encoder whose outputs bunch up shows
+    mass piling into decile 0 while a healthy space spreads, and the
+    per-label view separates a collapsed class from a collapsed model.
+    Pairs are label-blocked (the dedup_embcos bound — never corpus ×
+    corpus); dot and norms are exact quantized integers, and the decile
+    edge is floor of a fixed-order expression whose one transcendental
+    is IEEE-exact sqrt. Output is a bounded (labels × 11)-row table no
+    matter the corpus size."""
+    from varda_spark.operators.similarity import quantized
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q_ = e.select("vec_id", "label", quantized("embedding", scale=1000).alias("e"))
+    n = q_.select(
+        "vec_id",
+        "label",
+        "e",
+        F.expr(
+            "aggregate(transform(e, x -> x * x), CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("n2"),
+    )
+    a_ = n.select(
+        F.col("vec_id").alias("a_id"),
+        "label",
+        F.col("e").alias("ea"),
+        F.col("n2").alias("na2"),
+    )
+    b_ = n.select(
+        F.col("vec_id").alias("b_id"),
+        "label",
+        F.col("e").alias("eb"),
+        F.col("n2").alias("nb2"),
+    )
+    pairs = a_.join(b_, "label").filter(F.col("a_id") < F.col("b_id")).select(
+        "label",
+        F.expr(
+            "aggregate(zip_with(ea, eb, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("dq"),
+        "na2",
+        "nb2",
+    )
+    bins = pairs.select(
+        "label",
+        F.expr(
+            "CAST(FLOOR(10.0 * (1.0 - dq / sqrt(CAST(na2 * nb2 AS DOUBLE))))"
+            " AS BIGINT)"
+        ).alias("dist_decile"),
+    )
+    return bins.groupBy("label", "dist_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
