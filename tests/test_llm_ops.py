@@ -524,3 +524,36 @@ def test_pair_dist_hist_mass_equals_pair_count(spark):
         assert 0 <= r.dist_decile <= 20  # distance in [0, 2] -> decile <= 20
         got[r.label] = got.get(r.label, 0) + r.n
     assert got == {k: v for k, v in per_label_pairs.items() if v > 0}
+
+
+def test_code_detect_mostly_prose_and_flags_injected_code(spark):
+    from varda_spark import catalog
+    from pyspark.sql import functions as F
+    import tempfile
+
+    SF = "/root/testdata/sf0.01"
+    df = catalog.text_code_detect(spark, SF)
+    n = df.count()
+    n_code = df.filter("looks_like_code").count()
+    assert n_code <= 0.05 * n  # the shipped corpus is prose
+    # injected code document must trip the detector
+    d = tempfile.mkdtemp(prefix="codedet_")
+    spark.createDataFrame(
+        [
+            (1, "def main(): import os; return {x: y[0] for x in range(3)}"),
+            (2, "Plain friendly prose with no punctuation tricks at all."),
+        ],
+        "doc_id bigint, text string",
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r.looks_like_code for r in catalog.text_code_detect(spark, d).collect()}
+    assert out[1] is True and out[2] is False
+
+
+def test_dup_factor_floor_is_unity(spark):
+    from varda_spark import catalog
+
+    rows = catalog.agg_dup_factor(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.n_distinct <= r.n_total
+        assert r.dup_factor_ppm >= 1000000  # at least 1.0x by definition

@@ -8649,6 +8649,120 @@ def emb_pair_dist_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "text_code_detect",
+    """WITH m AS (
+         SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(length(text)
+                     - length(regexp_replace(text, '[{{}};()\\[\\]<>=]', '', 'g'))
+                     AS BIGINT) AS n_codechars,
+                CAST(len(regexp_extract_all(text,
+                     '(def |class |import |return |void |int |function )'))
+                     AS BIGINT) AS n_keywords
+         FROM documents),
+       s AS (
+         SELECT doc_id, n_chars, n_codechars, n_keywords,
+                CAST(FLOOR(1000000 * n_codechars / greatest(n_chars, 1))
+                     AS BIGINT) AS codechar_ppm
+         FROM m)
+       SELECT doc_id, n_chars, codechar_ppm, n_keywords,
+              (codechar_ppm >= 20000 OR n_keywords >= 2) AS looks_like_code
+       FROM s""",
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ code-vs-prose detector: the training-mix router that decides
+    whether a document goes to the code pipeline (different dedup
+    granularity, different quality rules) or the prose one. Two cheap
+    signals, both exact integers: density of code-ish punctuation
+    (braces/semicolons/brackets, counted via the replace-length trick
+    so no regex-count semantics can diverge) and a keyword hit count
+    from regexp_extract_all (parity proven by the regex keys). The
+    verdict is a boolean OR of thresholds — one map-side pass, filter
+    reaches the scan. On this prose corpus nearly everything is
+    not-code, which is itself the property the test asserts."""
+    docs = read_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[{};()\[\]<>=]", ""))
+        ).cast("bigint").alias("n_codechars"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text,"
+            " '(def |class |import |return |void |int |function )', 0))"
+            " AS BIGINT)"
+        ).alias("n_keywords"),
+    )
+    s = m.select(
+        "doc_id",
+        "n_chars",
+        "n_keywords",
+        F.expr(
+            "CAST(FLOOR(1000000 * n_codechars / greatest(n_chars, 1)) AS BIGINT)"
+        ).alias("codechar_ppm"),
+    )
+    return s.select(
+        "doc_id",
+        "n_chars",
+        "codechar_ppm",
+        "n_keywords",
+        ((F.col("codechar_ppm") >= 20000) | (F.col("n_keywords") >= 2)).alias(
+            "looks_like_code"
+        ),
+    )
+
+
+@q(
+    "agg_dup_factor",
+    """WITH words AS (
+         SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+       sh AS (
+         SELECT doc_id, source,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+         FROM words),
+       s AS (
+         SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n_total,
+                CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct
+         FROM sh GROUP BY source)
+       SELECT source, n_total, n_distinct,
+              CAST(FLOOR(1000000 * n_total / n_distinct) AS BIGINT)
+                AS dup_factor_ppm
+       FROM s""",
+)
+def agg_dup_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ duplication factor per source: total 3-gram occurrences over
+    distinct 3-grams — the single number that ranks feeds by internal
+    redundancy (1.0× = every shingle unique; a boilerplate-heavy feed
+    reads 3–10×) and prioritizes where dedup spend pays. Complements
+    text_ngram_novelty's per-document curve with the per-source rollup
+    a pipeline owner actually budgets by. Occurrence counting keeps
+    WITHIN-document repeats (unlike the novelty key's distinct set) —
+    that is the point: template spam repeats inside documents too.
+    Exact floor-ppm; one explode + one two-level aggregate."""
+    from varda_spark.operators.dedup import shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = shingles(docs.select("doc_id", "source", "text"), n=3).select(
+        "source", "shingle"
+    )
+    s = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.countDistinct("shingle").cast("bigint").alias("n_distinct"),
+    )
+    return s.select(
+        "source",
+        "n_total",
+        "n_distinct",
+        F.expr(
+            "CAST(FLOOR(1000000 * n_total / n_distinct) AS BIGINT)"
+        ).alias("dup_factor_ppm"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
