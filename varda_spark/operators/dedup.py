@@ -40,14 +40,24 @@ def dedup_exact(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
 
 
 def shingles(df: DataFrame, n: int = 3, text: str = "text", out: str = "shingle") -> DataFrame:
-    """Explode n-word shingles of the token stream."""
+    """Explode n-word shingles of the token stream.
+
+    Documents shorter than n tokens yield NO shingles (empty array, not
+    a truncated one) — matching the oracle's stop-exclusive range
+    semantics. The explicit CASE matters: sequence(1, 0) DESCENDS in
+    Spark, which would both fabricate rows and trip ANSI element_at
+    out-of-bounds on short documents.
+    """
     df = df.withColumn("_w", tokens(text))
     parts = ", ".join(f"element_at(_w, i + {j})" for j in range(n))
     return df.withColumn(
         out,
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(_w) - {n - 1}, 0)), i -> concat_ws(' ', {parts}))"
+                f"CASE WHEN size(_w) >= {n}"
+                f" THEN transform(sequence(1, size(_w) - {n - 1}),"
+                f" i -> concat_ws(' ', {parts}))"
+                f" ELSE array() END"
             )
         ),
     ).drop("_w")
