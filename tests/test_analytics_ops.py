@@ -476,3 +476,36 @@ def test_basket_lift_matches_python_recompute(spark):
     for r in rows:
         assert pair[(r.pa, r.pb)] == r.n_ab and r.n_ab >= 3
         assert r.lift_centi == (100 * r.n_ab * n) // (item[r.pa] * item[r.pb])
+
+
+def test_regression_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    got = {r.brand: r for r in catalog.agg_regression(spark, SF).collect()}
+    b = (
+        catalog.read_table(spark, SF, "lineitem")
+        .join(
+            catalog.read_table(spark, SF, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .selectExpr(
+            "p_brand AS brand",
+            "CAST(FLOOR(l_quantity) AS BIGINT) AS x",
+            "l_extendedprice AS y",
+        )
+        .toPandas()
+    )
+    for brand, g in b.groupby("brand"):
+        slope, intercept = np.polyfit(g.x, g.y, 1)
+        assert math.isclose(got[brand].slope, slope, rel_tol=1e-6)
+        assert math.isclose(got[brand].intercept, intercept, rel_tol=1e-6)
+
+
+def test_upsample_plan_caps_and_floors(spark):
+    rows = catalog.text_upsample_plan(spark, SF).collect()
+    assert rows
+    max_tok = max(r.n_tokens for r in rows)
+    for r in rows:
+        assert 1 <= r.repeat_factor <= 4
+        assert r.repeat_factor == min(max_tok // r.n_tokens, 4)
+        assert r.effective_tokens == r.n_tokens * r.repeat_factor

@@ -8763,6 +8763,112 @@ def agg_dup_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_regression",
+    """WITH b AS (
+         SELECT p.p_brand AS brand,
+                CAST(FLOOR(l.l_quantity) AS BIGINT) AS x,
+                CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  AS y
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       s AS (
+         SELECT brand,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(x) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+         FROM b GROUP BY brand)
+       SELECT brand, CAST(n AS BIGINT) AS n_rows,
+              ((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 10000.0 AS slope,
+              ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+                / 10000.0 AS intercept
+       FROM s WHERE n * sxx - sx * sx <> 0""",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ per-group OLS fit (price ~ quantity per brand): slope and
+    intercept from the closed-form normal equations — the regression
+    primitive under elasticity estimates, trend removal, and per-segment
+    calibration, completing the bivariate family (agg_corr measures
+    association; this FITS the line). The agg_corr discipline: all four
+    moments exact integer/decimal sums in one map-combined pass, then
+    one shared-text float expression (the slope subexpression is
+    repeated verbatim in the intercept so both engines evaluate the
+    identical tree). Degenerate groups (zero x-variance) are excluded
+    rather than emitting NaN."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    b = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("x"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("y"),
+    )
+    s = b.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").alias("sxy"),
+    )
+    return s.filter("n * sxx - sx * sx <> 0").select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            "((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 10000.0"
+        ).alias("slope"),
+        F.expr(
+            "((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)"
+            " / 10000.0"
+        ).alias("intercept"),
+    )
+
+
+@q(
+    "text_upsample_plan",
+    """WITH c AS (
+         SELECT lang,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY lang),
+       m AS (SELECT CAST(MAX(n_tokens) AS BIGINT) AS max_tok FROM c)
+       SELECT c.lang, c.n_docs, c.n_tokens,
+              LEAST(CAST(FLOOR(m.max_tok / c.n_tokens) AS BIGINT), 4)
+                AS repeat_factor,
+              c.n_tokens * LEAST(CAST(FLOOR(m.max_tok / c.n_tokens) AS BIGINT), 4)
+                AS effective_tokens
+       FROM c CROSS JOIN m""",
+)
+def text_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K+ minority-language upsampling plan: integer repeat factor per
+    language = floor(largest language's tokens / own tokens), capped at
+    4× — the epoch-repetition table a multilingual mix actually ships
+    (the cap encodes the empirical limit where repeating data stops
+    helping; cf. sample_temperature which DOWNsamples the majority —
+    the two compose into a full rebalancing policy). Exact integer
+    division on token counts; 1-row max broadcast (whitelisted). The
+    effective_tokens column is the post-plan budget the scheduler
+    allocates against."""
+    docs = read_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.expr("size(split(trim(text), ' '))")).cast("bigint").alias("n_tokens"),
+    )
+    m = c.agg(F.max("n_tokens").cast("bigint").alias("max_tok"))
+    return c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "LEAST(CAST(FLOOR(max_tok / n_tokens) AS BIGINT), 4)"
+        ).alias("repeat_factor"),
+        F.expr(
+            "n_tokens * LEAST(CAST(FLOOR(max_tok / n_tokens) AS BIGINT), 4)"
+        ).alias("effective_tokens"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
