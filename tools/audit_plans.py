@@ -61,6 +61,7 @@ BNLJ_OK = {
     "join_bloom",        # 1-row filter-quality stats cross joins
     "agg_abc_class",     # 1-row grand-total revenue scalar
     "join_basket_lift",  # 1-row basket-count scalar (N in the lift)
+    "text_upsample_plan",  # 1-row max-language token scalar
 }
 
 
