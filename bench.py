@@ -1,11 +1,21 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints exactly ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "legacy20_wall": N, "sf": ...}
+
+`legacy20_wall` is the frozen round-1 block (LEGACY20 below — membership
+never changes) so round-over-round comparisons read one field instead of
+joining per-key against old BENCH files.
 
 Each query is forced to full materialization with the noop sink (no driver
 collect overhead, no count() shortcuts). A warm-up query runs first so JVM
 / codegen startup isn't charged to the first benchmark entry.
+
+Scaling smoke: ``python bench.py --sf 0.01,0.1`` runs the suite at both
+scale factors and prints ONE JSON line of per-query wall-time ratios
+divided by the data ratio (ratio ≈ 1 → linear scaling; > 2 → super-linear,
+flagged — the scale-killer detector the static plan audit can't see).
 """
 
 from __future__ import annotations
@@ -22,9 +32,9 @@ from varda_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: one per operator family, weighted toward the scale-critical
-# paths (binned interval join, LSH dedup, blocked similarity, sessionization).
-HEADLINE = [
+# FROZEN round-1 block — do not add/remove/reorder; reported as
+# legacy20_wall every round for stable cross-round comparison.
+LEGACY20 = [
     "freq_variant",     # THE varda core: frequency via binned interval join
     "agg_sum",          # TPC-H Q1 skeleton: full lineitem scan + grouped sums
     "join_equi",        # orders⋈customer shuffle join + agg
@@ -45,20 +55,27 @@ HEADLINE = [
     "dedup_simhash",    # simhash band join + hamming verify
     "sim_ivf",          # IVF coarse-quantized ANN
     "join_asof",        # as-of join via carry-forward window
-    # round-2 additions (no round-1 record; baselines recorded in BASELINE.md)
+]
+
+# Headline set: LEGACY20 plus one per newer operator family, weighted
+# toward the scale-critical paths.
+HEADLINE = LEGACY20 + [
+    # round-2 additions (baselines recorded in BASELINE.md)
     "freq_zygosity",    # zygosity-split frequency (flagship variant)
     "dedup_pipeline",   # exact dedup -> minhash -> components -> survivors
     "sim_lsh",          # hyperplane-LSH ANN candidate + exact verify
     "sim_kmeans",       # Lloyd's k-means coarse quantizer (3 rounds)
     "join_nearest",     # bedtools-closest sweep join
     "merge_upsert",     # warehouse MERGE keep-latest
-    # round-3 additions (baselines recorded in BASELINE.md on first run)
+    # round-3 additions
     "tpch_q9",          # 5-way join incl. synthesized partsupp (profit rollup)
     "tpch_q21",         # EXISTS/NOT-EXISTS double correlated semi/anti join
     "graph_jaccard",    # bipartite co-purchase item-item similarity top-k
     "join_bloom",       # explicit broadcast bloom runtime pre-filter
     "agg_kmv",          # k-minimum-values distinct sketch (hash-checkable)
     "text_span_mask",   # deterministic span-corruption training transform
+    # round-4 additions
+    "graph_triangles_approx",  # DOULION edge-sampled triangle estimate
 ]
 
 
@@ -66,28 +83,43 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    spark = get_spark("bench")
-    # warm-up: JVM, codegen, parquet footer caches — touch every table once
+def warm_up(spark, sf_dir: str) -> None:
+    """JVM, codegen, parquet footer caches — touch every table once."""
     from varda_spark.sources.tables import read_table
 
-    for t in ("lineitem", "orders", "customer", "supplier", "events", "documents", "embeddings"):
-        read_table(spark, SF_DIR, t).count()
-    materialize(REGISTRY["agg_count"].fn(spark, SF_DIR))
+    for t in (
+        "lineitem", "orders", "customer", "supplier",
+        "events", "documents", "embeddings",
+    ):
+        read_table(spark, sf_dir, t).count()
+    materialize(REGISTRY["agg_count"].fn(spark, sf_dir))
 
-    # best-of-2 per query: the container is co-tenant and single runs
-    # show ~2x noise; min-of-2 reports the achievable time
+
+def run_suite(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
+    """Best-of-N per query: the container is co-tenant and single runs
+    show ~2x noise; min-of-N reports the achievable time."""
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.time()
-            materialize(REGISTRY[name].fn(spark, SF_DIR))
+            materialize(REGISTRY[name].fn(spark, sf_dir))
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+    return times
 
+
+def sf_value(sf_dir: str):
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    warm_up(spark, SF_DIR)
+    times = run_suite(spark, SF_DIR)
     total = round(sum(times.values()), 3)
+    legacy = round(sum(times[k] for k in LEGACY20), 3)
     print(
         json.dumps(
             {
@@ -95,7 +127,38 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "legacy20_wall": legacy,
+                "sf": sf_value(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_scaling(sfs: list[str]) -> None:
+    lo, hi = sfs
+    lo_dir, hi_dir = f"/root/testdata/sf{lo}", f"/root/testdata/sf{hi}"
+    data_ratio = float(hi) / float(lo)
+    spark = get_spark("bench-scaling")
+    warm_up(spark, lo_dir)
+    t_lo = run_suite(spark, lo_dir)
+    warm_up(spark, hi_dir)
+    t_hi = run_suite(spark, hi_dir)
+    # normalized ratio: wall(hi)/wall(lo) per unit of data ratio; small-sf
+    # fixed overhead (~0.1s/query) pushes ratios BELOW 1 — flag only >2.
+    ratios = {
+        k: round((t_hi[k] / max(t_lo[k], 1e-9)) / data_ratio, 3) for k in t_hi
+    }
+    flagged = sorted(k for k, r in ratios.items() if r > 2.0)
+    print(
+        json.dumps(
+            {
+                "metric": "sf_scaling_ratio",
+                "value": round(max(ratios.values()), 3),
+                "unit": "x_per_data_ratio",
+                "queries": ratios,
+                "superlinear": flagged,
+                "sf": [float(lo), float(hi)],
             }
         )
     )
@@ -103,4 +166,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--sf":
+        main_scaling(sys.argv[2].split(","))
+    else:
+        main()

@@ -328,6 +328,47 @@ def test_compact_warehouse(spark, tmp_path, vcf_path):
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
 
 
+def test_compact_warehouse_crash_recovery(spark, tmp_path, vcf_path):
+    """A5 swap discipline: a crash at EVERY step of compact_warehouse's
+    rename swap leaves a readable table, and recover_compaction restores
+    the live path. Simulated by reconstructing each intermediate on-disk
+    state the swap can crash in (after __new write; between the two
+    renames; after the second rename with __old not yet dropped)."""
+    import os
+    import shutil
+
+    from varda_spark.sources.sinks import compact_warehouse, recover_compaction
+
+    obs = read_vcf(spark, vcf_path).repartition(4)
+    path = str(tmp_path / "wh")
+    obs.write.mode("overwrite").partitionBy("chromosome").parquet(path)
+    want = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    # state 1: crash right after __new was written — live dir untouched
+    shutil.copytree(path, path + "__new")
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == want
+    assert recover_compaction(path) == "live"
+    assert not os.path.exists(path + "__new")
+
+    # state 2: crash between the two renames — only __old exists
+    os.rename(path, path + "__old")
+    assert recover_compaction(path) == "restored_old"
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == want
+
+    # state 3: crash after the second rename — live new dir + stale __old
+    shutil.copytree(path, path + "__old")
+    assert recover_compaction(path) == "live"
+    assert not os.path.exists(path + "__old")
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == want
+
+    # and a real compaction still works after all that, clearing leftovers
+    shutil.copytree(path, path + "__new")  # stale junk from a "crash"
+    n = compact_warehouse(spark, path, files_per_bucket=2)
+    assert n == len(want)
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == want
+    assert not os.path.exists(path + "__new") and not os.path.exists(path + "__old")
+
+
 def test_read_documents_jsonl_and_csv(spark, tmp_path):
     """A-family breadth: JSONL (with corrupt-line quarantine) and CSV land
     in the same (doc_id, lang, text) shape as the documents table."""

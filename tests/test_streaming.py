@@ -512,3 +512,61 @@ def test_transform_with_state_type_counts_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_type_counts_processor_logic():
+    """Protobuf-free proof of the TypeCounts handler: a fake handle that
+    mimics the real MapState API (key-tuple -> value-tuple, containsKey/
+    getValue/updateValue) drives handleInputRows over multiple batches
+    and asserts cumulative per-type counts. This executes every line of
+    the processor that the env-gated end-to-end test cannot reach in a
+    container without google.protobuf; only the wire protocol itself
+    stays unproven (documented EXPERIMENTAL in the operator docstring)."""
+    import pandas as pd
+
+    from varda_spark.streaming.windows import _make_type_counts_processor
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, key):
+            assert isinstance(key, tuple), "MapState keys are tuples"
+            return key in self._m
+
+        def getValue(self, key):
+            assert isinstance(key, tuple)
+            return self._m[key]
+
+        def updateValue(self, key, value):
+            assert isinstance(key, tuple) and isinstance(value, tuple)
+            self._m[key] = value
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getMapState(self, name, key_schema, value_schema):
+            return self.states.setdefault(name, FakeMapState())
+
+    proc = _make_type_counts_processor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    b1 = pd.DataFrame({"event_type": ["click", "view", "click"]})
+    b2 = pd.DataFrame({"event_type": ["view"]})
+    out1 = pd.concat(list(proc.handleInputRows((7,), [b1, b2], None)))
+    got1 = dict(zip(out1["event_type"], out1["n"]))
+    assert got1 == {"click": 2, "view": 2}
+    assert list(out1["user_id"].unique()) == [7]
+
+    b3 = pd.DataFrame({"event_type": ["click", "purchase"]})
+    out2 = pd.concat(list(proc.handleInputRows((7,), [b3], None)))
+    got2 = dict(zip(out2["event_type"], out2["n"]))
+    assert got2 == {"click": 3, "purchase": 1}
+    assert handle.states["counts"]._m == {
+        ("click",): (3,),
+        ("view",): (2,),
+        ("purchase",): (1,),
+    }
+    proc.close()

@@ -53,6 +53,7 @@ BNLJ_OK = {
     "tpch_q16",          # same partsupp 1-row s_cnt scalar
     "tpch_q20",          # same partsupp 1-row s_cnt scalar
     "graph_triangles",   # 1-row wedge-sum and edge-count scalars joined in
+    "graph_triangles_approx",  # same 1-row sampled-edge-count scalar join
     "text_tfidf",        # 1-row corpus-count scalar (N in the IDF)
     "interval_density",  # 1-row min/max scalar exploded into the bin spine
     "agg_chisq",         # 1-row grand-total N joined onto 6 contingency cells

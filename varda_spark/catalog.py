@@ -4558,6 +4558,60 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "graph_triangles_approx",
+    f"""WITH {_COORDER_EDGES_SQL},
+       se AS (
+         SELECT pa, pb FROM e
+         WHERE CAST('0x' || substr(md5(pa || '-' || pb), 1, 4) AS INT) % 5 = 0),
+       tri AS (
+         SELECT COUNT(*) AS n_tri_sampled
+         FROM se e1 JOIN se e2 ON e1.pb = e2.pa
+                    JOIN se e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+       cnt AS (SELECT COUNT(*) AS n_edges_sampled FROM se)
+       SELECT CAST(n_edges_sampled AS BIGINT) AS n_edges_sampled,
+              CAST(n_tri_sampled AS BIGINT) AS n_tri_sampled,
+              CAST(125 * n_tri_sampled AS BIGINT) AS est_triangles
+       FROM tri, cnt""",
+)
+def graph_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate triangle count by DOULION edge sparsification
+    (Tsourakakis et al., KDD'09): keep each edge with probability
+    p = 1/5 using the repo's deterministic content-hash coin (same
+    md5 idiom as sample_hash — reproducible across engines, runs, and
+    partitionings, which is what lets a sampled estimator have an EXACT
+    DuckDB twin), count triangles on the sampled graph, scale by
+    1/p³ = 125. Each triangle survives with probability p³, so
+    E[est] = true count; on the dense near-regular testdata graph the
+    wedge volume drops by p² (~25×), turning graph_triangles' intrinsic
+    ~22 s at sf0.1 into ~1 s — the documented trade for a ±few-percent
+    estimate (1.9M triangles → ~15k sampled, rel. stderr ≈ 1/√15k <
+    1%). All-integer output (125·n is exact BIGINT math). At 100 TB
+    this is THE triangle plan: sparsify first, the exact key stays for
+    verification on subgraphs."""
+    e = _coorder_edges(spark, sf_dir)
+    key = F.concat_ws(
+        "-", F.col("pa").cast("string"), F.col("pb").cast("string")
+    )
+    coin = F.conv(F.substring(F.md5(key.cast("binary")), 1, 4), 16, 10).cast("int") % 5
+    se = e.filter(coin == 0).localCheckpoint()  # sampled graph reused 3×
+    e1, e2, e3 = se.alias("e1"), se.alias("e2"), se.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri_sampled"))
+    )
+    cnt = se.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
+    return tri.join(F.broadcast(cnt)).select(
+        F.col("n_edges_sampled").cast("bigint").alias("n_edges_sampled"),
+        F.col("n_tri_sampled").cast("bigint").alias("n_tri_sampled"),
+        (F.lit(125) * F.col("n_tri_sampled")).cast("bigint").alias("est_triangles"),
+    )
+
+
+@q(
     "text_containment",
     """WITH words AS (
          SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
@@ -7766,7 +7820,7 @@ def agg_quartile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_API2 = """
     WITH per_order AS (
       SELECT l_returnflag AS flag, l_orderkey,
-             SUM(CAST(l_quantity AS BIGINT)) AS qty
+             SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty
       FROM lineitem GROUP BY l_returnflag, l_orderkey),
     ranked AS (
       SELECT flag, l_orderkey, qty,
@@ -8385,8 +8439,10 @@ def agg_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM rev r CROSS JOIN tot t),
        cls AS (
          SELECT l_partkey, rev_c,
-                CASE WHEN 100 * (cum_c - rev_c) < 80 * tot_c THEN 'A'
-                     WHEN 100 * (cum_c - rev_c) < 95 * tot_c THEN 'B'
+                CASE WHEN 100 * CAST(cum_c - rev_c AS DECIMAL(38,0))
+                          < 80 * CAST(tot_c AS DECIMAL(38,0)) THEN 'A'
+                     WHEN 100 * CAST(cum_c - rev_c AS DECIMAL(38,0))
+                          < 95 * CAST(tot_c AS DECIMAL(38,0)) THEN 'B'
                      ELSE 'C' END AS abc
          FROM rk)
        SELECT abc,
@@ -8402,7 +8458,10 @@ def agg_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     is "class by the share BEFORE this item" (cum − own) in exact 1e-4
     currency units, so the line item that crosses the threshold still
     counts toward the class it started in — deterministic, no float
-    shares. The cumulative window is global by construction (a ranking
+    shares; the ×100/×80 threshold compare runs in DECIMAL(38,0) in both
+    engines so it cannot overflow int64 at large scale factors (total
+    revenue ×100 passes 2^63 around sf≈40 in 1e-4 units). The cumulative
+    window is global by construction (a ranking
     of ALL parts); at 100 TB the part-level rollup (the only fact-sized
     shuffle) reduces to one row per part first, so the windowed set is
     dimension-sized — documented single-partition window, whitelisted
@@ -8423,8 +8482,10 @@ def agg_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = rk.select(
         "rev_c",
         F.expr(
-            "CASE WHEN 100 * (cum_c - rev_c) < 80 * tot_c THEN 'A'"
-            " WHEN 100 * (cum_c - rev_c) < 95 * tot_c THEN 'B'"
+            "CASE WHEN 100 * CAST(cum_c - rev_c AS DECIMAL(38,0))"
+            " < 80 * CAST(tot_c AS DECIMAL(38,0)) THEN 'A'"
+            " WHEN 100 * CAST(cum_c - rev_c AS DECIMAL(38,0))"
+            " < 95 * CAST(tot_c AS DECIMAL(38,0)) THEN 'B'"
             " ELSE 'C' END"
         ).alias("abc"),
     )
@@ -8450,7 +8511,6 @@ def agg_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
          WINDOW win AS (PARTITION BY flag
                         ORDER BY l_shipdate, l_orderkey, l_linenumber))
        SELECT flag, l_orderkey, l_linenumber,
-              CAST(cum_pq AS BIGINT) AS cum_pq,
               CAST(cum_q AS BIGINT) AS cum_q,
               CAST(cum_pq AS DOUBLE) / CAST(cum_q AS DOUBLE) / 10000.0 AS vwap
        FROM w""",
@@ -8461,8 +8521,14 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     running weighted mean (cost per unit to date, blended rate). Both
     cumulative sums are exact integers (price in 1e-4 units ×
     integral quantity, DECIMAL(38,0) against overflow on the product
-    sum); the ratio is the only float, de-scaled in a fixed-order
-    expression. (ship-date, order, line) pins tie order identically in
+    sum); the OUTPUT carries only cum_q (bigint-safe) and the de-scaled
+    double vwap — the raw cum_pq column is deliberately NOT emitted: a
+    bigint cast would cap the operator at the sf where the running
+    product-sum passes 2^63 (~sf40), and a DECIMAL(38,0) output column
+    round-trips as Decimal objects on the Spark side but float64 on the
+    DuckDB side, breaking the driver's canonical row sort. The ratio is
+    the only float, de-scaled in a fixed-order expression over the
+    exact interior. (ship-date, order, line) pins tie order identically in
     both engines. One keyed window, two sums sharing one sort."""
     li = read_table(spark, sf_dir, "lineitem")
     b = li.select(
@@ -8489,7 +8555,6 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag",
         "l_orderkey",
         "l_linenumber",
-        F.col("cum_pq").cast("bigint").alias("cum_pq"),
         F.col("cum_q").cast("bigint").alias("cum_q"),
         F.expr(
             "CAST(cum_pq AS DOUBLE) / CAST(cum_q AS DOUBLE) / 10000.0"
@@ -8578,11 +8643,12 @@ def join_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM embeddings),
        n AS (
          SELECT vec_id, label, e,
-                (SELECT SUM(e[i.range] * e[i.range]) FROM range(1, 65) i) AS n2
+                CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS n2
          FROM q),
        pairs AS (
          SELECT a.label,
-                (SELECT SUM(a.e[i.range] * b.e[i.range]) FROM range(1, 65) i) AS dq,
+                CAST(list_sum(list_transform(list_zip(a.e, b.e),
+                                             s -> s[1] * s[2])) AS BIGINT) AS dq,
                 a.n2 AS na2, b.n2 AS nb2
          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
        bins AS (
@@ -8600,7 +8666,10 @@ def emb_pair_dist_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass piling into decile 0 while a healthy space spreads, and the
     per-label view separates a collapsed class from a collapsed model.
     Pairs are label-blocked (the dedup_embcos bound — never corpus ×
-    corpus); dot and norms are exact quantized integers, and the decile
+    corpus); dot and norms are exact quantized integers computed
+    dimension-agnostically in both engines (list_zip/list_sum on the
+    DuckDB side, zip_with/aggregate on the Spark side — no hardcoded
+    width), and the decile
     edge is floor of a fixed-order expression whose one transcendental
     is IEEE-exact sqrt. Output is a bounded (labels × 11)-row table no
     matter the corpus size."""
@@ -8873,37 +8942,67 @@ def text_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-visible ordering
 # =====================================================================
 # The correctness driver oracle-checks only the FIRST 50 registered keys
-# (insertion order; both CORRECTNESS_r01 and r02 are exactly
-# list(REGISTRY)[:50]). Rounds 1+2 green-lit 68 distinct keys, so round 3
-# ROTATES the window: these 50 slots are keys the driver has NEVER
-# sampled (all oracle-twinned — the rows-only keys stay out so every
-# driver row is a full hash check). With r01+r02 this takes the
-# driver-verified union to 118 distinct keys. Everything else keeps its
-# relative order after slot 50 and is still verified by
-# tools/check_oracle.py (all 200 keys, every round).
+# (insertion order; CORRECTNESS_r01..r03 are each exactly
+# list(REGISTRY)[:50]). Rounds 1-3 green-lit 118 distinct keys, so round
+# 4 ROTATES the window again: these 50 slots are oracle-twinned keys the
+# driver has NEVER sampled (rows-only keys stay out so every driver row
+# is a full hash check). With r01-r03 this takes the driver-verified
+# union to 168 distinct keys; the remaining ~51 twinned never-sampled
+# keys (staged in _DRIVER_PRIORITY_R5 below) rotate in next round.
+# Everything else keeps its relative order after slot 50 and is still
+# verified by tools/check_oracle.py (all keys, every round).
+# tools/check_rotation.py asserts the window has zero overlap with the
+# union of prior CORRECTNESS files.
 
 _DRIVER_PRIORITY = [
-    # core varda surface never yet sampled
-    "freq_selected", "freq_keys", "merge_upsert", "rollup_incremental",
-    # TPC-H: all 20 never-sampled (incl. the six new partsupp-backed ones)
-    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
-    "tpch_q21", "tpch_q22",
-    # ANN / dedup family beyond the r2-checked five
-    "sim_kmeans", "sim_ivf_kmeans", "sim_range_search",
-    "dedup_components", "dedup_cross_corpus", "dedup_keep_best",
-    "text_decontaminate",
-    # interval breadth
-    "join_nearest", "join_band", "join_recip_overlap", "interval_merge",
-    # window breadth
-    "win_sessionize", "win_range_frame", "win_fill_forward",
-    "win_first_last", "win_ntile", "win_gaps",
+    # varda frequency surface
+    "freq_annotate", "freq_trio_mendel",
+    # dedup / text-pipeline long tail
+    "dedup_stars", "text_langid", "text_tokens_bpe", "text_pii_scrub",
+    "text_containment", "text_domain_mix", "text_tfidf",
+    # SQL API + sampling
+    "sql_api", "sample_hash", "sample_per_group", "sample_stratified",
+    # multimodal plumbing
+    "multimodal_frames", "multimodal_audio", "multimodal_shard",
+    # scalar-function breadth (r2 adds, only locally certified until now)
+    "str_editdist", "str_regex", "str_funcs2", "null_funcs", "date_arith",
+    "date_spine", "arr_funcs", "arr_set_ops", "bit_funcs",
+    "regex_extract_all",
+    # join breadth
+    "join_full", "join_cross", "join_nullsafe", "join_fuzzy",
     # aggregation breadth
-    "agg_gsets", "agg_salted", "agg_stats", "agg_histogram", "agg_mode",
-    "agg_coverage", "agg_minmax_by",
-    # text pipeline
-    "text_gopher", "text_lm_score",
+    "agg_collect", "agg_cohort", "agg_weighted_median", "agg_unpivot",
+    "agg_corr", "agg_bitagg", "agg_moments", "agg_rfm",
+    # warehouse maintenance
+    "merge_scd2", "merge_cdc", "sort_zorder",
+    # graph family
+    "graph_degree", "graph_triangles", "graph_pagerank",
+    # window breadth
+    "win_funnel", "win_pctrank", "win_time_weighted", "win_streak",
+    "win_attribution",
+    # interval breadth
+    "interval_complement",
+]
+
+# Staged round-5 window: the remaining twinned never-driver-sampled keys
+# (plus any keys added in round 4, which are never-sampled by
+# construction). Promote this list to _DRIVER_PRIORITY at round-5 open.
+_DRIVER_PRIORITY_R5 = [
+    "stream_enrich",
+    "qa_integrity", "win_outlier", "agg_hhi", "sample_weighted",
+    "emb_norm_hist", "qa_profile", "interval_density", "graph_markov",
+    "agg_gini", "interval_jaccard", "win_drawdown", "agg_mad", "agg_ks",
+    "agg_chisq", "agg_benford", "graph_jaccard", "emb_quantize",
+    "win_ewma", "text_readability", "sample_temperature", "text_span_mask",
+    "agg_kmv", "win_cusum", "join_bloom", "agg_autocorr", "win_bollinger",
+    "sample_split", "text_paragraph_dedup", "win_rolling_median",
+    "join_interval_knn", "agg_leadtime", "agg_trimmed_mean",
+    "agg_quartile_skew", "sql_api2", "win_dod_growth", "agg_runs_test",
+    "win_minmax_scale", "text_ngram_novelty", "agg_seasonality",
+    "win_peak_detect", "interval_tile", "agg_interarrival",
+    "agg_abc_class", "win_vwap", "join_basket_lift", "emb_pair_dist_hist",
+    "text_code_detect", "agg_dup_factor", "agg_regression",
+    "text_upsample_plan",
 ]
 
 

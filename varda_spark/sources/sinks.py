@@ -132,18 +132,27 @@ def compact_warehouse(
     partition directory; tiny files dominate task-scheduling and footer
     overhead at scale. Rewrite: hash-repartition on the partition column
     (so each partition value's rows land in few tasks → few output files),
-    write to a sibling temp dir, then swap. The directory swap is NOT
-    atomic — a production deployment does this as a metadata commit in a
-    table format (Iceberg/Delta rewrite-files action); the data motion,
-    which is the expensive part, is exactly this plan. Returns the row
-    count (verified equal before swap).
+    write to a sibling ``__new`` dir, then swap with the same rename
+    discipline as ``VardaWarehouse._overwrite_dim`` (api.py): move the
+    live dir aside to ``__old``, rename ``__new`` in, drop ``__old``.
+    A crash at any step leaves a complete directory on disk — either the
+    live path still exists (crash before the second rename) or the new
+    one is in place; the ``__old``/``__new`` leftovers are droppable
+    (``recover_compaction`` below does exactly that). The renames are
+    atomic on a posix filesystem; on an object store do this as a
+    metadata commit in a table format (Iceberg/Delta rewrite-files
+    action) — the data motion, which is the expensive part, is exactly
+    this plan. Returns the row count (verified equal before swap).
     """
+    import os
     import shutil
-    import uuid
 
     df = spark.read.parquet(path)
     n_before = df.count()
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    tmp, old = path + "__new", path + "__old"
+    for leftover in (tmp, old):  # from a previous crashed run
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     (
         df.repartition(files_per_bucket, F.col(partition_col))
         .write.mode("overwrite")
@@ -154,6 +163,33 @@ def compact_warehouse(
     if n_after != n_before:  # paranoia before destroying anything
         shutil.rmtree(tmp)
         raise RuntimeError(f"compaction row mismatch: {n_before} -> {n_after}")
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_after
+
+
+def recover_compaction(path: str) -> str:
+    """Crash recovery for a mid-swap ``compact_warehouse``.
+
+    Idempotent: if the live dir exists, drop any ``__new``/``__old``
+    leftovers (the swap either never started or fully finished); if only
+    ``__old`` exists (crash between the two renames), rename it back.
+    Returns a short description of what was done. Callers run this at
+    warehouse open; compact_warehouse itself also clears leftovers.
+    """
+    import os
+    import shutil
+
+    tmp, old = path + "__new", path + "__old"
+    if os.path.exists(path):
+        for leftover in (tmp, old):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        return "live"
+    if os.path.exists(old):
+        os.rename(old, path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        return "restored_old"
+    raise FileNotFoundError(f"no live or __old directory at {path}")

@@ -246,26 +246,17 @@ def ewma_stream(ev_stream: DataFrame, depth: int = 8) -> DataFrame:
     )
 
 
-def type_counts_stream_tws(ev_stream: DataFrame) -> DataFrame:
-    """I5+ third custom stateful operator, on Spark 4's NEW
-    transformWithStateInPandas API (the arbitrary-state successor to
-    applyInPandasWithState): per-user running count per event type,
-    held in a MapState keyed by event_type.
+def _make_type_counts_processor():
+    """Build the TypeCounts StatefulProcessor class instance.
 
-    Why MapState matters at 100 TB: the legacy API forces ONE value blob
-    per group, so a per-type counter means deserializing and rewriting
-    the whole map on every event; MapState gives per-entry point reads/
-    writes in the state store (RocksDB at scale), touching only the
-    types present in the micro-batch. Emits the updated cumulative count
-    per (user, type) each batch; the last emission per pair equals the
-    batch groupBy count — pytest-checked.
-
-    Environment gate: the transformWithState protocol needs a working
-    google.protobuf on the Python side; this container ships none, so
-    the equivalence test importorskips (the operator itself stays
-    importable — the same gating pattern as the multimodal codec paths;
-    applyInPandasWithState above covers the protobuf-free stateful path
-    end-to-end).
+    Module-level factory so the handler logic is unit-testable WITHOUT
+    the transformWithState wire protocol: the class only touches the
+    handle via getMapState() and the MapState via containsKey/getValue/
+    updateValue with (key,)/(value,) tuple shapes, so a faithful fake
+    handle (tests/test_streaming.py::test_type_counts_processor_logic)
+    executes every line of handleInputRows — covering the tuple-shape
+    and accumulation logic that the env-gated end-to-end test cannot
+    reach in a protobuf-less container.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
@@ -301,8 +292,35 @@ def type_counts_stream_tws(ev_stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return TypeCounts()
+
+
+def type_counts_stream_tws(ev_stream: DataFrame) -> DataFrame:
+    """I5+ third custom stateful operator, on Spark 4's NEW
+    transformWithStateInPandas API (the arbitrary-state successor to
+    applyInPandasWithState): per-user running count per event type,
+    held in a MapState keyed by event_type.
+
+    Why MapState matters at 100 TB: the legacy API forces ONE value blob
+    per group, so a per-type counter means deserializing and rewriting
+    the whole map on every event; MapState gives per-entry point reads/
+    writes in the state store (RocksDB at scale), touching only the
+    types present in the micro-batch. Emits the updated cumulative count
+    per (user, type) each batch; the last emission per pair equals the
+    batch groupBy count — pytest-checked.
+
+    STATUS — EXPERIMENTAL: the transformWithState wire protocol needs a
+    working google.protobuf on the Python side; this container ships
+    none, so the end-to-end equivalence test importorskips and the
+    protocol path has never executed here. What IS executed every run:
+    the full handler logic (batch accumulation, MapState tuple shapes)
+    via the fake-handle unit test on _make_type_counts_processor, and
+    the protobuf-free stateful path end-to-end via applyInPandasWithState
+    (ewma_stream above). Treat the protocol wiring as unproven until a
+    protobuf-equipped environment runs the gated test.
+    """
     return ev_stream.groupBy("user_id").transformWithStateInPandas(
-        TypeCounts(),
+        _make_type_counts_processor(),
         outputStructType="user_id bigint, event_type string, n bigint",
         outputMode="Update",
         timeMode="None",
