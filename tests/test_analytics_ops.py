@@ -509,3 +509,59 @@ def test_upsample_plan_caps_and_floors(spark):
         assert 1 <= r.repeat_factor <= 4
         assert r.repeat_factor == min(max_tok // r.n_tokens, 4)
         assert r.effective_tokens == r.n_tokens * r.repeat_factor
+
+
+def test_depth_hist_conserves_interval_mass(spark):
+    """Sweep-line conservation law: Σ depth·bases over the histogram must
+    equal Σ (end − begin) over the input intervals — every base of every
+    interval is counted at exactly one depth. Also: depths positive,
+    segment counts positive."""
+    from varda_spark.catalog import _points_intervals
+
+    hist = catalog.interval_depth_hist(spark, SF).collect()
+    _, s = _points_intervals(spark, SF)
+    total = s.select(F.sum(F.col("end") - F.col("begin"))).collect()[0][0]
+    assert sum(r.depth * r.bases for r in hist) == total
+    assert all(r.depth > 0 and r.n_segments > 0 for r in hist)
+
+
+def test_salted_join_matches_plain_and_shuffles(spark):
+    """The salt must be semantically invisible (equals the plain join agg)
+    and the plan must actually take the shuffle path the demo documents
+    (SortMergeJoin, not broadcast)."""
+    got = {(r.flag, r.n, r.qty) for r in catalog.join_salted(spark, SF).collect()}
+    li = catalog.read_table(spark, SF, "lineitem")
+    want = {
+        (r.flag, r.n, r.qty)
+        for r in li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(FLOOR(l_quantity) AS BIGINT)")).cast("bigint").alias("qty"),
+        )
+        .collect()
+    }
+    assert got == want
+    plan = catalog.join_salted(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_rolling_corr_bounds_and_window(spark):
+    """Pearson r ∈ [−1, 1] wherever defined; defined rows have n ≥ 2;
+    n never exceeds the 20-row frame."""
+    rows = catalog.win_rolling_corr(spark, SF).collect()
+    assert rows and all(1 <= r.n <= 20 for r in rows)
+    defined = [r for r in rows if r.roll_corr is not None]
+    assert defined, "some windows must have nonzero variance"
+    assert all(-1.0 - 1e-12 <= r.roll_corr <= 1.0 + 1e-12 for r in defined)
+
+
+def test_minhash_recall_estimator_sane(spark):
+    """Candidate pairs share ≥1 shingle (banding ⇒ shared argmin), exact
+    Jaccard obeys inter ≤ union, and the estimator stays in [0, 8]."""
+    rows = catalog.dedup_minhash_recall(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_inter >= 1          # band agreement ⇒ shared shingle
+        assert r.n_inter <= r.n_union
+        assert 0 <= r.est_matches <= 8
+        assert 0 <= r.jac_pct <= 100 and 0 <= r.est_pct <= 100

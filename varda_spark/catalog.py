@@ -8499,13 +8499,15 @@ def agg_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_vwap",
     """WITH b AS (
          SELECT l_returnflag AS flag, l_shipdate, l_orderkey, l_linenumber,
-                CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
-                  AS px_c,
-                CAST(FLOOR(l_quantity) AS BIGINT) AS qty
-         FROM lineitem),
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                              AS BIGINT)
+                         * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS pq,
+                CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem
+         GROUP BY l_returnflag, l_shipdate, l_orderkey, l_linenumber),
        w AS (
          SELECT flag, l_shipdate, l_orderkey, l_linenumber,
-                SUM(CAST(px_c AS DECIMAL(38,0)) * qty) OVER win AS cum_pq,
+                SUM(CAST(pq AS DECIMAL(38,0))) OVER win AS cum_pq,
                 SUM(qty) OVER win AS cum_q
          FROM b
          WINDOW win AS (PARTITION BY flag
@@ -8528,18 +8530,31 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips as Decimal objects on the Spark side but float64 on the
     DuckDB side, breaking the driver's canonical row sort. The ratio is
     the only float, de-scaled in a fixed-order expression over the
-    exact interior. (ship-date, order, line) pins tie order identically in
-    both engines. One keyed window, two sums sharing one sort."""
+    exact interior. The keyed pre-aggregation is load-bearing: the
+    shipped lineitem has BAG semantics and ~3 (flag, date, order, line)
+    sort-key ties carry DIFFERENT price/qty, so a cumulative window over
+    raw rows emits order-dependent intermediate sums at the ties —
+    collapsing to one point per line id first makes every cum value
+    content-determined (same fix as win_rolling_corr). One keyed window,
+    two sums sharing one sort."""
     li = read_table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_returnflag").alias("flag"),
-        "l_shipdate",
-        "l_orderkey",
-        "l_linenumber",
-        F.expr(
-            "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
-        ).alias("px_c"),
-        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("qty"),
+    b = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        ).agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000"
+                    " AS BIGINT) * CAST(FLOOR(l_quantity) AS BIGINT)"
+                )
+            ).cast("bigint").alias("pq"),
+            F.sum(F.expr("CAST(FLOOR(l_quantity) AS BIGINT)"))
+            .cast("bigint")
+            .alias("qty"),
+        )
     )
     win = Window.partitionBy("flag").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber"
@@ -8548,7 +8563,7 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag",
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.expr("CAST(px_c AS DECIMAL(38,0)) * qty")).over(win).alias("cum_pq"),
+        F.sum(F.expr("CAST(pq AS DECIMAL(38,0))")).over(win).alias("cum_pq"),
         F.sum("qty").over(win).alias("cum_q"),
     )
     return w.select(
@@ -8935,6 +8950,550 @@ def text_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "n_tokens * LEAST(CAST(FLOOR(max_tok / n_tokens) AS BIGINT), 4)"
         ).alias("effective_tokens"),
+    )
+
+
+# =====================================================================
+# Round-4 additions: sweep-line interval depth, text-quality breadth,
+# estimator-quality audits, skew-safe salted join, rolling correlation,
+# embedding drift
+# =====================================================================
+
+
+@q(
+    "interval_depth_hist",
+    """WITH iv AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                (s_suppkey * 97) % 100000 + 1 AS begin,
+                (s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                  AS iv_end
+         FROM supplier),
+       ev AS (
+         SELECT chromosome, begin AS pos, 1 AS delta FROM iv
+         UNION ALL
+         SELECT chromosome, iv_end AS pos, -1 AS delta FROM iv),
+       agg AS (
+         SELECT chromosome, pos, SUM(delta) AS d
+         FROM ev GROUP BY chromosome, pos),
+       sw AS (
+         SELECT chromosome, pos,
+                SUM(d) OVER (PARTITION BY chromosome ORDER BY pos) AS depth,
+                LEAD(pos) OVER (PARTITION BY chromosome ORDER BY pos)
+                  AS next_pos
+         FROM agg)
+       SELECT CAST(depth AS BIGINT) AS depth,
+              CAST(SUM(next_pos - pos) AS BIGINT) AS bases,
+              CAST(COUNT(*) AS BIGINT) AS n_segments
+       FROM sw WHERE next_pos IS NOT NULL AND depth > 0
+       GROUP BY depth""",
+)
+def interval_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ coverage-depth histogram by SWEEP LINE — the samtools-depth /
+    bedtools-genomecov shape: how many bases of the genome are covered by
+    exactly d intervals. +1/−1 endpoint events, ties collapsed by a keyed
+    pre-aggregation (so within-position order can't matter), a running
+    sum per chromosome gives the depth of each gap between consecutive
+    event positions, and a histogram weights each depth by gap length.
+    All integers — no floats anywhere. Scale: the window partitions by
+    chromosome (parallel across chromosomes; at 100 TB you range-bucket
+    (chromosome, pos) and carry each bucket's boundary depth forward — a
+    two-pass prefix-sum, same plan family as win_running). The naive
+    alternative — join every base against every interval — is quadratic;
+    the sweep is O(n log n) and never materializes per-base rows."""
+    _, s = _points_intervals(spark, sf_dir)
+    iv = s.select("chromosome", "begin", F.col("end").alias("iv_end"))
+    ev = iv.select(
+        "chromosome", F.col("begin").alias("pos"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "chromosome", F.col("iv_end").alias("pos"), F.lit(-1).alias("delta")
+        )
+    )
+    agg = ev.groupBy("chromosome", "pos").agg(F.sum("delta").alias("d"))
+    w = Window.partitionBy("chromosome").orderBy("pos")
+    sw = agg.select(
+        "pos",
+        F.sum("d").over(w).alias("depth"),
+        F.lead("pos").over(w).alias("next_pos"),
+    )
+    return (
+        sw.filter(F.col("next_pos").isNotNull() & (F.col("depth") > 0))
+        .groupBy(F.col("depth").cast("bigint").alias("depth"))
+        .agg(
+            F.sum(F.col("next_pos") - F.col("pos")).cast("bigint").alias("bases"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        )
+    )
+
+
+@q(
+    "text_repetition",
+    """WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       bg AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, len(w)),
+                       i -> w[i] || ' ' || w[i + 1])) AS bigram
+         FROM words WHERE len(w) >= 2),
+       m AS (
+         SELECT doc_id, bigram, COUNT(*) AS m
+         FROM bg GROUP BY doc_id, bigram),
+       s AS (
+         SELECT doc_id, SUM(m) AS n2, COUNT(*) AS d2, MAX(m) AS m2
+         FROM m GROUP BY doc_id)
+       SELECT doc_id,
+              CAST(n2 AS BIGINT) AS n2,
+              CAST(d2 AS BIGINT) AS d2,
+              CAST(FLOOR((n2 - d2) * 1000000.0 / n2) AS BIGINT) AS dup_ppm,
+              CAST(FLOOR(m2 * 1000000.0 / n2) AS BIGINT) AS top_ppm
+       FROM s""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ within-document repetition signals (the Gopher repetition
+    filters, Rae et al. 2021 §A.1.2 — the axis text_gopher's band checks
+    don't cover): duplicate-bigram mass (1 − distinct/total, in ppm) and
+    top-bigram concentration (most frequent bigram's share, in ppm). A
+    looping generator or boilerplate-stuffed page shows high dup_ppm /
+    top_ppm at normal length, which is exactly what length-band filters
+    miss. Explode + two keyed aggregations — deliberately NOT a per-doc
+    higher-order-function fold (quadratic in doc length); the explode
+    stream reduces map-side so the shuffle carries one row per distinct
+    (doc, bigram). Docs under 2 words have no bigrams and drop out (same
+    empty-shingle rule as dedup_minhash)."""
+    from varda_spark.operators.dedup import shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    bg = shingles(d.select("doc_id", "text"), n=2, out="bigram")
+    m = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("m"))
+    s = m.groupBy("doc_id").agg(
+        F.sum("m").alias("n2"),
+        F.count(F.lit(1)).alias("d2"),
+        F.max("m").alias("m2"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("d2").cast("bigint").alias("d2"),
+        F.expr("CAST(FLOOR((n2 - d2) * 1000000.0 / n2) AS BIGINT)").alias("dup_ppm"),
+        F.expr("CAST(FLOOR(m2 * 1000000.0 / n2) AS BIGINT)").alias("top_ppm"),
+    )
+
+
+@q(
+    "text_c4_filters",
+    """WITH f AS (
+         SELECT doc_id,
+                (text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?'
+                 OR text LIKE '%"') AS ends_terminal,
+                len(string_split(trim(text), ' ')) >= 5 AS min_words,
+                (instr(text, '{') > 0 OR instr(text, '}') > 0
+                 OR instr(lower(text), 'javascript') > 0) AS code_marker,
+                (instr(lower(text), 'lorem ipsum') > 0
+                 OR instr(lower(text), 'cookie') > 0
+                 OR instr(lower(text), 'terms of use') > 0) AS boilerplate
+         FROM documents)
+       SELECT doc_id, ends_terminal, min_words, code_marker, boilerplate,
+              (ends_terminal AND min_words AND NOT code_marker
+               AND NOT boilerplate) AS c4_pass
+       FROM f""",
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ C4-style page filters (Raffel et al. 2020 §2.2, public): the
+    classic web-corpus cleaning rules — terminal punctuation, minimum
+    word count, curly-brace / 'javascript' code markers, boilerplate
+    phrases ('lorem ipsum', cookie/terms notices). Complements
+    text_gopher (statistical bands) and text_repetition (within-doc
+    duplication) as the third standard filter family; together they are
+    the C4+Gopher preprocessing stack. Pure string predicates — one
+    map-side scan, whole-stage codegen, zero shuffles; at 100 TB this is
+    bandwidth-bound, exactly as a filter should be."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?'"
+            " OR text LIKE '%\"'"
+        ).alias("ends_terminal"),
+        (F.size(F.split(F.trim(F.col("text")), " ")) >= 5).alias("min_words"),
+        F.expr(
+            "instr(text, '{') > 0 OR instr(text, '}') > 0"
+            " OR instr(lower(text), 'javascript') > 0"
+        ).alias("code_marker"),
+        F.expr(
+            "instr(lower(text), 'lorem ipsum') > 0"
+            " OR instr(lower(text), 'cookie') > 0"
+            " OR instr(lower(text), 'terms of use') > 0"
+        ).alias("boilerplate"),
+    ).withColumn(
+        "c4_pass",
+        F.col("ends_terminal")
+        & F.col("min_words")
+        & ~F.col("code_marker")
+        & ~F.col("boilerplate"),
+    )
+
+
+@q(
+    "dedup_minhash_recall",
+    """WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+         FROM words),
+       sigs AS (
+         SELECT doc_id,
+                MIN(md5('0|' || shingle)) AS sig_0, MIN(md5('1|' || shingle)) AS sig_1,
+                MIN(md5('2|' || shingle)) AS sig_2, MIN(md5('3|' || shingle)) AS sig_3,
+                MIN(md5('4|' || shingle)) AS sig_4, MIN(md5('5|' || shingle)) AS sig_5,
+                MIN(md5('6|' || shingle)) AS sig_6, MIN(md5('7|' || shingle)) AS sig_7
+         FROM sh GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, band FROM (
+           SELECT doc_id,
+                  ['0|' || sig_0 || '|' || sig_1, '1|' || sig_2 || '|' || sig_3,
+                   '2|' || sig_4 || '|' || sig_5, '3|' || sig_6 || '|' || sig_7] AS bands
+           FROM sigs), UNNEST(bands) AS u(band))
+       , cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+       est AS (
+         SELECT c.doc_a, c.doc_b,
+                (CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_4 = sb.sig_4 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_5 = sb.sig_5 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_6 = sb.sig_6 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_7 = sb.sig_7 THEN 1 ELSE 0 END) AS est_matches
+         FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+                     JOIN sigs sb ON sb.doc_id = c.doc_b),
+       dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM dsh GROUP BY doc_id),
+       co AS (
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM dsh x JOIN dsh y
+           ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         GROUP BY x.doc_id, y.doc_id)
+       SELECT e.doc_a, e.doc_b,
+              CAST(e.est_matches AS BIGINT) AS est_matches,
+              CAST(COALESCE(co.n_inter, 0) AS BIGINT) AS n_inter,
+              CAST(za.nsh + zb.nsh - COALESCE(co.n_inter, 0) AS BIGINT) AS n_union,
+              CAST(FLOOR(e.est_matches * 100.0 / 8) AS BIGINT) AS est_pct,
+              CAST(FLOOR(COALESCE(co.n_inter, 0) * 100.0
+                         / (za.nsh + zb.nsh - COALESCE(co.n_inter, 0)))
+                   AS BIGINT) AS jac_pct
+       FROM est e
+       JOIN sizes za ON za.doc_id = e.doc_a
+       JOIN sizes zb ON zb.doc_id = e.doc_b
+       LEFT JOIN co ON co.doc_a = e.doc_a AND co.doc_b = e.doc_b""",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2+ estimator-quality audit for MinHash LSH: for every banding
+    candidate pair, the ESTIMATED Jaccard (matching signature slots / 8)
+    next to the EXACT shingle-set Jaccard — the calibration table that
+    tells you whether your banding threshold is doing what the MinHash
+    math promises (E[est] = true Jaccard; 8 hashes → coarse but
+    unbiased). This is the audit every production dedup pipeline runs
+    before trusting a threshold at scale. Exact side uses the inverted
+    shingle index (co-occurrence counts via shingle-key join, never
+    all-pairs); candidates always share their band's argmin shingles so
+    the LEFT join is belt-and-braces, COALESCE(0) in both engines.
+    All-integer output (ppm-style pct floors)."""
+    from varda_spark.operators.dedup import minhash_candidates, minhash_signatures, shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    cand = minhash_candidates(d, num_hashes=8, bands=4, shingle_n=3)
+    sigs = minhash_signatures(d, num_hashes=8, shingle_n=3)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(8)],
+    )
+    est_col = sum(
+        F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", est_col.alias("est_matches")
+    )
+    dsh = shingles(d.select("doc_id", "text"), n=3).distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    x, y = dsh.alias("x"), dsh.alias("y")
+    co = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    out = (
+        est.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(co, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("est_matches").cast("bigint").alias("est_matches"),
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("bigint").alias("n_inter"),
+            (
+                F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))
+            ).cast("bigint").alias("n_union"),
+            F.expr("CAST(FLOOR(est_matches * 100.0 / 8) AS BIGINT)").alias("est_pct"),
+        )
+    )
+    return out.withColumn(
+        "jac_pct",
+        F.expr("CAST(FLOOR(n_inter * 100.0 / n_union) AS BIGINT)"),
+    )
+
+
+@q(
+    "join_salted",
+    """SELECT l_returnflag AS flag,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+       FROM lineitem
+       JOIN (SELECT DISTINCT l_returnflag AS flag FROM lineitem) dim
+         ON l_returnflag = dim.flag
+       GROUP BY l_returnflag""",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2+ SKEW-SAFE salted join, the explicit form: the fact side's join
+    key has 3 distinct values (l_returnflag — pathological skew: a plain
+    shuffle join puts ~200k rows in each of 3 tasks and idles the rest of
+    the cluster). Treatment: fact rows get a deterministic content-hash
+    salt in [0,16), the dim side is exploded ×16, and the join runs on
+    (key, salt) — 48 evenly-sized groups instead of 3 hot ones. The salt
+    is invisible to the result (oracle = plain join), which is the point:
+    salting is a physical rewrite, not a semantic one. The merge-join
+    hint forces the shuffle path so the demo is honest — with a 3-row dim
+    Spark would otherwise broadcast (which also beats skew and is the
+    right first answer when the dim fits; salting is for when BOTH sides
+    are too big to broadcast — here it's demonstrated on a small dim so
+    the oracle stays cheap). AQE's skewedJoin does this adaptively;
+    the explicit form works on any Spark and under any config."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = li.select(F.col("l_returnflag").alias("flag")).distinct()
+    n_salts = 16
+    salt_key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    fact = li.select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("qty"),
+        (
+            F.conv(F.substring(F.md5(salt_key.cast("binary")), 1, 4), 16, 10)
+            .cast("int") % n_salts
+        ).alias("salt"),
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    joined = fact.join(
+        dim_salted.hint("merge"),
+        (F.col("l_returnflag") == F.col("flag")) & (fact.salt == dim_salted.salt),
+    )
+    return joined.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qty").cast("bigint").alias("qty"),
+    )
+
+
+@q(
+    "win_rolling_corr",
+    """WITH b AS (
+         SELECT l_returnflag AS flag, l_shipdate, l_orderkey, l_linenumber,
+                SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS x,
+                SUM(CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,4)) * 100)
+                         AS BIGINT)) AS y
+         FROM lineitem
+         GROUP BY l_returnflag, l_shipdate, l_orderkey, l_linenumber),
+       w AS (
+         SELECT flag, l_orderkey, l_linenumber,
+                COUNT(*) OVER win AS n,
+                SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+                SUM(x * x) OVER win AS sxx, SUM(y * y) OVER win AS syy,
+                SUM(x * y) OVER win AS sxy
+         FROM b
+         WINDOW win AS (PARTITION BY flag
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       SELECT flag, l_orderkey, l_linenumber, CAST(n AS BIGINT) AS n,
+              CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                        AND n * syy - sy * sy > 0
+                   THEN (CAST(n AS DOUBLE) * sxy
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * sqrt(CAST(n AS DOUBLE) * syy
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   END AS roll_corr
+       FROM w""",
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ rolling 20-row Pearson correlation between quantity and price
+    per flag in ship order — the moving-relationship detector (beta
+    drift, sensor cross-talk) that the global agg_corr can't see. The
+    keyed pre-aggregation is load-bearing, not cosmetic: the shipped
+    lineitem has BAG semantics ((l_orderkey, l_linenumber) repeats), so
+    a ROWS frame over raw rows is tie-order-nondeterministic — collapsing
+    to one point per line id first makes every frame content-determined.
+    Six exact-integer window sums over ONE shared 20-row frame (price in
+    CENTS, not 1e-4 units: y² summed over 20 rows must stay under 2^63,
+    and cents give 10^14 × 20 ≈ 2·10^15 with every double conversion
+    below 2^53 → the closed form is bit-deterministic, sqrt being the
+    only IEEE-exact transcendental). Degenerate windows (n<2 or zero
+    variance) yield NULL via integer-exact guards in both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        ).agg(
+            F.sum(F.expr("CAST(FLOOR(l_quantity) AS BIGINT)")).alias("x"),
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,4)) * 100)"
+                    " AS BIGINT)"
+                )
+            ).alias("y"),
+        )
+    )
+    win = (
+        Window.partitionBy("flag")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-19, 0)
+    )
+    w = b.select(
+        "flag",
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+    )
+    return w.select(
+        "flag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CASE WHEN n >= 2 AND n * sxx - sx * sx > 0"
+            " AND n * syy - sy * sy > 0"
+            " THEN (CAST(n AS DOUBLE) * sxy"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (sqrt(CAST(n AS DOUBLE) * sxx"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * sqrt(CAST(n AS DOUBLE) * syy"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            " END"
+        ).alias("roll_corr"),
+    )
+
+
+@q(
+    "emb_centroid_shift",
+    """WITH q AS (
+         SELECT vec_id, label, vec_id % 2 AS par,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         FROM embeddings),
+       d AS (
+         SELECT label, par, i.range AS dim, SUM(e[i.range]) AS s
+         FROM q CROSS JOIN range(1, 4097) i
+         WHERE i.range <= len(e)
+         GROUP BY label, par, i.range),
+       n AS (
+         SELECT label, par, COUNT(*) AS cnt FROM q GROUP BY label, par),
+       t AS (
+         SELECT a.label,
+                SUM(CAST(a.s * nb.cnt - b.s * na.cnt AS DECIMAL(38,0))
+                    * CAST(a.s * nb.cnt - b.s * na.cnt AS DECIMAL(38,0)))
+                  AS tot,
+                MIN(na.cnt) AS na, MIN(nb.cnt) AS nb
+         FROM d a
+         JOIN d b ON a.label = b.label AND a.dim = b.dim
+                  AND a.par = 0 AND b.par = 1
+         JOIN n na ON na.label = a.label AND na.par = 0
+         JOIN n nb ON nb.label = a.label AND nb.par = 1
+         GROUP BY a.label)
+       SELECT label,
+              CAST(na AS BIGINT) AS n_even, CAST(nb AS BIGINT) AS n_odd,
+              sqrt(CAST(tot AS DOUBLE)) / na / nb / 1000.0 AS shift
+       FROM t""",
+)
+def emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ embedding drift detector: per label, the L2 distance between
+    the centroid of even vec_ids and the centroid of odd vec_ids — the
+    split-half consistency check (an encoder re-run, a corpus refresh, a
+    quantization change all show up as centroid shift long before top-k
+    overlap degrades). Exact integer interior: per-(label, dim, parity)
+    sums, then Σ_d (s_even·n_odd − s_odd·n_even)² in DECIMAL(38,0) —
+    the cross-multiplied form avoids division until the single final
+    float expression (sqrt/divide, both IEEE-deterministic; the
+    DECIMAL→DOUBLE conversion is correctly rounded in both engines).
+    Spark side posexplodes (dimension-agnostic); the oracle cross-joins
+    a guarded range(1, 4097) because DuckDB lacks lateral range(col) —
+    documented 4096-dim oracle ceiling, engine side has none. Scale:
+    everything is map-side partial aggregation on (label, dim, parity);
+    output is one row per label."""
+    from varda_spark.operators.similarity import quantized
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q_ = e.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("par"),
+        quantized("embedding", scale=1000).alias("e"),
+    )
+    d = (
+        q_.select("label", "par", F.posexplode("e").alias("dim0", "v"))
+        .groupBy("label", "par", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.sum("v").alias("s"))
+    )
+    n = q_.groupBy("label", "par").agg(F.count(F.lit(1)).alias("cnt"))
+    a = d.filter(F.col("par") == 0).select("label", "dim", F.col("s").alias("sa"))
+    b = d.filter(F.col("par") == 1).select("label", "dim", F.col("s").alias("sb"))
+    na = n.filter(F.col("par") == 0).select("label", F.col("cnt").alias("na"))
+    nb = n.filter(F.col("par") == 1).select("label", F.col("cnt").alias("nb"))
+    t = (
+        a.join(b, ["label", "dim"])
+        .join(F.broadcast(na), "label")
+        .join(F.broadcast(nb), "label")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(sa * nb - sb * na AS DECIMAL(38,0))"
+                    " * CAST(sa * nb - sb * na AS DECIMAL(38,0))"
+                )
+            ).alias("tot"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    return t.select(
+        "label",
+        F.col("na").cast("bigint").alias("n_even"),
+        F.col("nb").cast("bigint").alias("n_odd"),
+        F.expr("sqrt(CAST(tot AS DOUBLE)) / na / nb / 1000.0").alias("shift"),
     )
 
 
