@@ -565,3 +565,55 @@ def test_minhash_recall_estimator_sane(spark):
         assert r.n_inter <= r.n_union
         assert 0 <= r.est_matches <= 8
         assert 0 <= r.jac_pct <= 100 and 0 <= r.est_pct <= 100
+
+
+def test_lsh_recall_bounds_and_sampling(spark):
+    """Recall stats are consistent: hits ≤ edges, ppm in [0, 1e6], and the
+    ground-truth side only contains sampled (vec_id % 4 == 0) queries."""
+    rows = catalog.sim_lsh_recall(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_edges
+        assert 0 <= r.recall_ppm <= 1_000_000
+
+
+def test_pow2_hist_bucket_invariant(spark):
+    """Every bucket's min/max must satisfy 2^(k-1) ≤ v < 2^k (bin-length
+    log2 exactness), and counts sum to the lineitem row count."""
+    rows = catalog.agg_pow2_hist(spark, SF).collect()
+    li_n = catalog.read_table(spark, SF, "lineitem").count()
+    assert sum(r.n for r in rows) == li_n
+    for r in rows:
+        k = r.pow2_bucket
+        assert 2 ** (k - 1) <= r.min_cents <= r.max_cents < 2 ** k
+
+
+def test_bucketed_join_key_plan_has_no_exchange(spark):
+    """The join_bucketed catalog key's executed plan must contain a
+    SortMergeJoin fed by NO hash Exchange — the zero-shuffle property the
+    docstring claims (bucket metadata satisfies the distribution)."""
+    df = catalog.join_bucketed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_hashing_tf_conserves_token_mass(spark):
+    """Σ tf over buckets per doc == token count of the doc (hashing drops
+    nothing), and buckets stay in [0, 16)."""
+    rows = catalog.text_hashing_tf(spark, SF).collect()
+    from collections import defaultdict
+
+    per_doc = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.bucket < 16
+        per_doc[r.doc_id] += r.tf
+    d = catalog.read_table(spark, SF, "documents")
+    want = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n")
+        ).collect()
+    }
+    assert per_doc == want

@@ -9497,6 +9497,237 @@ def emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_recall_oracle() -> str:
+    """Oracle for sim_lsh_recall: exact within-label top-3 (sim_topk's
+    ×10000 quantization) LEFT-joined against raw LSH bucket-collision
+    candidates (sim_lsh's ×1000 quantization + the same baked hyperplane
+    matrix), recall aggregated per label in exact ppm."""
+    from varda_spark.operators.similarity import lsh_hyperplane_coefs
+
+    coefs = lsh_hyperplane_coefs(tables=4, bits=6, dim=64)
+    rows = ", ".join(f"({t}, {coefs[t]})" for t in range(24))
+    return f"""WITH hp(t, co) AS (SELECT * FROM (VALUES {rows}) v(t, co)),
+       q AS (
+         SELECT vec_id, label,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS el
+         FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                (SELECT SUM(a.e[i.range] * b.e[i.range])
+                 FROM range(1, 65) i) AS dot_q
+         FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id
+         WHERE a.vec_id % 4 = 0),
+       topk AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dot_q DESC, neighbor_id) AS rank
+           FROM pairs) WHERE rank <= 3),
+       proj AS (
+         SELECT q.vec_id, hp.t,
+                (SELECT SUM(q.el[r.range] * hp.co[r.range])
+                 FROM range(1, 65) r) AS s
+         FROM q CROSS JOIN hp),
+       buckets AS (
+         SELECT vec_id,
+                CAST(t // 6 AS VARCHAR) || '|' ||
+                string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END,
+                           '' ORDER BY t) AS bucket
+         FROM proj GROUP BY vec_id, t // 6),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+         FROM buckets a JOIN buckets b
+           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       hits AS (
+         SELECT t.query_id,
+                CASE WHEN c.da IS NULL THEN 0 ELSE 1 END AS hit
+         FROM topk t LEFT JOIN cand c
+           ON c.da = t.query_id AND c.db = t.neighbor_id)
+       SELECT ql.label,
+              CAST(COUNT(*) AS BIGINT) AS n_edges,
+              CAST(SUM(hit) AS BIGINT) AS n_hit,
+              CAST(FLOOR(SUM(hit) * 1000000.0 / COUNT(*)) AS BIGINT)
+                AS recall_ppm
+       FROM hits JOIN q ql ON ql.vec_id = hits.query_id
+       GROUP BY ql.label"""
+
+
+@q("sim_lsh_recall", _lsh_recall_oracle())
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ ANN recall audit — the number that decides whether an LSH
+    index is shippable: per label, the fraction of exact top-3 neighbor
+    edges (ground truth = the label-blocked integer-quantized ranking of
+    sim_topk) that appear among sim_lsh's raw bucket-collision
+    candidates. 4 tables × 6 bits at these densities recalls imperfectly
+    BY DESIGN (collision prob (1−θ/π)^6 per table) — the audit makes the
+    quality/cost trade measurable instead of hoped-for, exactly like
+    dedup_minhash_recall does for the MinHash estimator. Everything
+    integer: ground truth and candidates are both deterministic, recall
+    reported in exact floor-ppm. Scale: the exact side is label-blocked
+    (never corpus²), and the audit runs on a deterministic 1-in-4 query
+    sample (vec_id % 4 — how a recall audit is actually run at 100 TB:
+    ground truth for a sample of queries, candidates for the full
+    corpus)."""
+    from varda_spark.operators.similarity import lsh_candidate_pairs, quantized_topk_fast
+
+    e = read_table(spark, sf_dir, "embeddings")
+    topk = (
+        quantized_topk_fast(e, k=3)
+        .filter(F.col("query_id") % 4 == 0)  # sampled query set (see docstring)
+        .select("query_id", "neighbor_id")
+    )
+    cand = lsh_candidate_pairs(e)
+    sym = cand.unionAll(
+        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    hits = topk.join(
+        sym,
+        (F.col("query_id") == F.col("doc_a"))
+        & (F.col("neighbor_id") == F.col("doc_b")),
+        "left",
+    ).select(
+        "query_id",
+        F.when(F.col("doc_a").isNull(), 0).otherwise(1).alias("hit"),
+    )
+    labels = e.select("vec_id", "label")
+    return (
+        hits.join(labels, hits.query_id == labels.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum("hit").cast("bigint").alias("n_hit"),
+            F.expr(
+                "CAST(FLOOR(SUM(hit) * 1000000.0 / COUNT(*)) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+@q(
+    "agg_pow2_hist",
+    """WITH c AS (
+         SELECT CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,4)) * 100)
+                     AS BIGINT) AS cents
+         FROM lineitem)
+       SELECT CAST(length(bin(cents)) AS BIGINT) AS pow2_bucket,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              CAST(MIN(cents) AS BIGINT) AS min_cents,
+              CAST(MAX(cents) AS BIGINT) AS max_cents
+       FROM c GROUP BY length(bin(cents))""",
+)
+def agg_pow2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ power-of-two (log2) magnitude histogram — the long-tail
+    profiler for any positive measure (latencies, file sizes, revenue):
+    bucket k holds values in [2^(k-1), 2^k). The log2 is EXACT in both
+    engines via the bin-length trick — length(bin(x)) = floor(log2 x)+1
+    for x ≥ 1, pure integer string-length math, no floating log anywhere
+    (engine ln/log differ in the last ulp and would split boundary
+    values). One map-side bucket expression + one grouped agg; output is
+    ≤ 64 rows regardless of input size."""
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.expr(
+            "CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,4)) * 100) AS BIGINT)"
+        ).alias("cents")
+    )
+    return c.groupBy(
+        F.length(F.bin("cents")).cast("bigint").alias("pow2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )
+
+
+@q(
+    "join_bucketed",
+    """SELECT c_mktsegment AS segment,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS tot
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2+ ZERO-SHUFFLE co-located join via bucketing — the physical
+    design that, at 100 TB, replaces a full-network shuffle of both fact
+    tables with a local merge per bucket: both sides are written
+    bucketBy(16) on the join key (bucket metadata lives in the session
+    catalog, which is why this goes through saveAsTable), and Catalyst
+    sees the hash-distribution requirement already satisfied — the
+    SortMergeJoin consumes both scans with NO Exchange
+    (tests/test_skew_bucket.py proves the plan property on the library
+    helper; test_plans covers this key). The write cost is paid once and
+    amortized over every subsequent co-located join/agg on the key —
+    the standard warehouse layout decision for a repeatedly-joined pair.
+    Oracle = the same join unbucketed: bucketing is physical, not
+    semantic. Tables land under the repo's spark-warehouse dir."""
+    from varda_spark.sources.sinks import write_bucketed
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)").alias("tp")
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wh = "/root/repo/spark-warehouse"
+    write_bucketed(o, "r4_bkt_orders", "o_custkey", n_buckets=16, path=f"{wh}/r4_bkt_orders")
+    write_bucketed(c, "r4_bkt_customer", "c_custkey", n_buckets=16, path=f"{wh}/r4_bkt_customer")
+    j = spark.table("r4_bkt_orders").join(
+        # merge hint: at test sf the dim fits a broadcast, which would
+        # bypass the bucket layout entirely — force the SMJ this key
+        # demonstrates (at 100 TB neither side broadcasts and SMJ is
+        # what Catalyst picks unaided; the buckets then kill both
+        # exchanges, which test_plans asserts)
+        spark.table("r4_bkt_customer").hint("merge"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("tp").cast("bigint").alias("tot"),
+    )
+
+
+@q(
+    "text_hashing_tf",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+         FROM documents),
+       b AS (
+         SELECT doc_id,
+                CAST('0x' || substr(md5(tok), 1, 4) AS INT) % 16 AS bucket
+         FROM tok)
+       SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS tf
+       FROM b GROUP BY doc_id, bucket""",
+)
+def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ hashing-trick term-frequency vectorizer (the HashingTF idea,
+    Weinberger et al. 2009, without MLlib): token → md5 bucket in
+    [0, 16), per-doc bucket counts in SPARSE form — which is the scale
+    form: no vocabulary pass, no dictionary to broadcast or update, new
+    tokens land deterministically, and downstream dot products join on
+    (bucket) instead of materializing dense width-V rows. The md5 bucket
+    is the repo's standard cross-engine coin (sample_hash), so the
+    featurization is reproducible anywhere. Explode + one keyed count —
+    partial aggregation collapses map-side."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10)
+        .cast("int") % 16
+    )
+    return (
+        tok.select("doc_id", bucket.cast("bigint").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================

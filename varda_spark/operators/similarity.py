@@ -320,6 +320,24 @@ def lsh_neardup(
     only the verification dot product. All integer/single-IEEE-op math —
     oracle-exact.
     """
+    buckets = lsh_buckets(emb, tables=tables, bits=bits, key=key, vec=vec, scale=scale, dim=dim)
+    # a pair may collide in several tables; emit once
+    return _blocked_cos_pairs(buckets, threshold_pct, key=key, block="_bucket").distinct()
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    *,
+    tables: int = 4,
+    bits: int = 6,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+    dim: int = 64,
+) -> DataFrame:
+    """Tag every vector with its per-table sign-sketch bucket id (one row
+    per (vector, table) after the explode). Shared by lsh_neardup (which
+    verifies candidates) and lsh_candidate_pairs (which doesn't)."""
     coefs = lsh_hyperplane_coefs(tables, bits, dim)
     base = emb.select(key, quantized(vec, scale).alias("_q")).withColumn("_n2", qdot("_q", "_q"))
     bucket_cols = []
@@ -335,12 +353,33 @@ def lsh_neardup(
             )
         bucket_cols.append(F.concat(F.lit(f"{tb}|"), *bit_exprs).alias(f"_b{tb}"))
     tagged = base.select(key, "_q", "_n2", *bucket_cols)
-    buckets = tagged.select(
+    return tagged.select(
         key, "_q", "_n2",
         F.explode(F.array(*[F.col(f"_b{tb}") for tb in range(tables)])).alias("_bucket"),
     )
-    # a pair may collide in several tables; emit once
-    return _blocked_cos_pairs(buckets, threshold_pct, key=key, block="_bucket").distinct()
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    *,
+    tables: int = 4,
+    bits: int = 6,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+    dim: int = 64,
+) -> DataFrame:
+    """Raw bucket-collision pairs (doc_a < doc_b), NO cosine verification —
+    the candidate-generation surface whose recall sim_lsh_recall audits.
+    Bucket equi-join, fan-out bounded by per-bucket occupancy."""
+    buckets = lsh_buckets(emb, tables=tables, bits=bits, key=key, vec=vec, scale=scale, dim=dim)
+    a = buckets.select(F.col(key).alias("doc_a"), F.col("_bucket").alias("_ba"))
+    b = buckets.select(F.col(key).alias("doc_b"), F.col("_bucket").alias("_bb"))
+    return (
+        a.join(b, (F.col("_ba") == F.col("_bb")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def _blocked_cos_pairs(
