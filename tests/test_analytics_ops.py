@@ -617,3 +617,62 @@ def test_hashing_tf_conserves_token_mass(spark):
         ).collect()
     }
     assert per_doc == want
+
+
+def test_countmin_sketch_properties(spark):
+    """CM sketch invariants: ≤ 4×64 cells, every row's cells sum to the
+    total token count (each token increments exactly one counter per
+    row), counts positive."""
+    rows = catalog.agg_countmin(spark, SF).collect()
+    assert len(rows) <= 256
+    d = catalog.read_table(spark, SF, "documents")
+    n_tok = d.select(
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")))
+    ).collect()[0][0]
+    from collections import defaultdict
+
+    per_row = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.row < 4 and 0 <= r.col < 64 and r.cnt > 0
+        per_row[r.row] += r.cnt
+    assert all(per_row[r] == n_tok for r in range(4))
+
+
+def test_labelprop_communities_partition_nodes(spark):
+    """Community sizes partition the node set: Σ n_members == |nodes|,
+    and the result is retry-deterministic (sync rounds + pinned ties)."""
+    a = {(r.community, r.n_members) for r in catalog.graph_labelprop(spark, SF).collect()}
+    b = {(r.community, r.n_members) for r in catalog.graph_labelprop(spark, SF).collect()}
+    assert a == b
+    from varda_spark.catalog import _coorder_edges
+
+    e = _coorder_edges(spark, SF)
+    n_nodes = (
+        e.select(F.col("pa").alias("v"))
+        .unionAll(e.select(F.col("pb").alias("v")))
+        .distinct()
+        .count()
+    )
+    assert sum(n for _, n in a) == n_nodes
+
+
+def test_topn_share_bounds(spark):
+    """top10_rev ≤ total_rev; ppm within [0, 1e6]; segments with ≤ 10
+    customers have share exactly 1e6."""
+    for r in catalog.agg_topn_share(spark, SF).collect():
+        assert 0 < r.top10_rev <= r.total_rev
+        assert 0 <= r.top10_ppm <= 1_000_000
+        if r.n_customers <= 10:
+            assert r.top10_ppm == 1_000_000
+
+
+def test_sample_qc_counts_consistent(spark):
+    """n_het + n_hom ≤ n_obs (NULL zygosity excluded), ti + tv = n_obs,
+    and alt never equals ref by construction (titv well-defined)."""
+    rows = catalog.freq_sample_qc(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_het + r.n_hom <= r.n_obs
+        assert r.n_ti + r.n_tv == r.n_obs
+        if r.n_tv > 0:
+            assert r.titv_ppm is not None

@@ -9728,6 +9728,270 @@ def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_countmin",
+    """WITH tok AS (
+         SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+       cells AS (
+         SELECT r.range AS row,
+                CAST('0x' || substr(md5(CAST(r.range AS VARCHAR) || '|' || tok),
+                                    1, 4) AS INT) % 64 AS col
+         FROM tok CROSS JOIN range(0, 4) r)
+       SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM cells GROUP BY row, col""",
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ Count-Min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream: 4 rows × 64 columns of md5-derived counters; a point query
+    min(row_r[h_r(x)]) over-estimates a token's frequency by at most
+    εN with the classic guarantees. The sketch TABLE is the operator —
+    256 bounded cells that merge by addition across partitions, shards,
+    days (the reason CM sketches are the standard distributed
+    heavy-hitter substrate: the merge is a groupBy-sum, and at 100 TB
+    the token stream never leaves the mappers un-aggregated; the
+    shuffle carries ≤ 256 rows per partition). Deterministic md5 hash
+    rows — the same sketch everywhere, so the DuckDB twin is EXACT
+    despite this being an approximation structure (same trick as
+    graph_triangles_approx: derandomized estimator ⇒ exact parity).
+    Companion to agg_kmv (distinct-count sketch) on the frequency side."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+    cells = tok.select(
+        F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("row"), "tok"
+    ).select(
+        "row",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("row").cast("string"), F.lit("|"), F.col("tok")
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 64
+        ).alias("col"),
+    )
+    return cells.groupBy(
+        F.col("row").cast("bigint").alias("row"),
+        F.col("col").cast("bigint").alias("col"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+@q(
+    "graph_labelprop",
+    f"""WITH {_COORDER_EDGES_SQL},
+       nodes AS (
+         SELECT DISTINCT v FROM (
+           SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)),
+       adj AS (
+         SELECT pa AS v, pb AS n FROM e
+         UNION ALL SELECT pb AS v, pa AS n FROM e),
+       l0 AS (SELECT v, v AS lab FROM nodes),
+       r1 AS (
+         SELECT v, lab FROM (
+           SELECT a.v, l.lab, COUNT(*) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY a.v
+                       ORDER BY COUNT(*) DESC, l.lab) AS rn
+           FROM adj a JOIN l0 l ON l.v = a.n
+           GROUP BY a.v, l.lab) WHERE rn = 1),
+       r2 AS (
+         SELECT v, lab FROM (
+           SELECT a.v, l.lab, COUNT(*) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY a.v
+                       ORDER BY COUNT(*) DESC, l.lab) AS rn
+           FROM adj a JOIN r1 l ON l.v = a.n
+           GROUP BY a.v, l.lab) WHERE rn = 1)
+       SELECT CAST(lab AS BIGINT) AS community,
+              CAST(COUNT(*) AS BIGINT) AS n_members
+       FROM r2 GROUP BY lab""",
+)
+def graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph community detection by SYNCHRONOUS label propagation
+    (Raghavan et al. 2007), 2 fixed rounds, deterministic: each node
+    adopts the most frequent label among its neighbors, ties broken by
+    smallest label (count DESC, label ASC — pinned identically in both
+    engines; async LPA is run-order-dependent and could never have an
+    oracle). Complements the connectivity family: dedup_components finds
+    what IS connected, label propagation finds DENSELY connected regions
+    inside one component. Fixed-round unrolling is the oracle trick
+    (same as sim_kmeans): semantics = exactly N sync rounds, not
+    convergence. Scale: each round is one join on the adjacency list +
+    one (v, label) count + one argmax window per node — all shuffle-
+    bounded by |E|; Spark side localCheckpoints between rounds to keep
+    lineage flat (the dedup_components discipline)."""
+    e = _coorder_edges(spark, sf_dir)
+    adj = e.select(F.col("pa").alias("v"), F.col("pb").alias("n")).unionAll(
+        e.select(F.col("pb").alias("v"), F.col("pa").alias("n"))
+    ).localCheckpoint()
+    labels = adj.select("v").distinct().select("v", F.col("v").alias("lab"))
+    for _ in range(2):
+        nb = adj.join(
+            labels.select(F.col("v").alias("n"), "lab"), "n"
+        ).groupBy("v", "lab").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
+        labels = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lab").cast("bigint").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
+@q(
+    "agg_topn_share",
+    """WITH rev AS (
+         SELECT c.c_mktsegment AS segment, o.o_custkey,
+                CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS r
+         FROM orders o JOIN customer c ON o_custkey = c_custkey
+         GROUP BY c.c_mktsegment, o.o_custkey),
+       rk AS (
+         SELECT segment, r,
+                ROW_NUMBER() OVER (PARTITION BY segment
+                     ORDER BY r DESC, o_custkey) AS rn
+         FROM rev)
+       SELECT segment,
+              CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(SUM(r) AS BIGINT) AS total_rev,
+              CAST(SUM(CASE WHEN rn <= 10 THEN r ELSE 0 END) AS BIGINT)
+                AS top10_rev,
+              CAST(FLOOR(SUM(CASE WHEN rn <= 10 THEN r ELSE 0 END)
+                         * 1000000.0 / SUM(r)) AS BIGINT) AS top10_ppm
+       FROM rk GROUP BY segment""",
+)
+def agg_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ top-N concentration share per segment: what fraction of
+    revenue the 10 largest customers carry — the account-concentration
+    number next to agg_hhi's index form and agg_abc_class's inventory
+    form (three standard views of the same risk question). Deterministic
+    (r DESC, custkey) rank tie-break; share in exact floor-ppm. Scale:
+    the only fact-sized shuffle is the per-customer rollup; the ranking
+    window runs on the customer dimension, partitioned by segment."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)"))
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("r"), F.asc("o_custkey"))
+    rk = rev.withColumn("rn", F.row_number().over(w))
+    return rk.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("r").cast("bigint").alias("total_rev"),
+        F.sum(F.when(F.col("rn") <= 10, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("top10_rev"),
+        F.expr(
+            "CAST(FLOOR(SUM(CASE WHEN rn <= 10 THEN r ELSE 0 END)"
+            " * 1000000.0 / SUM(r)) AS BIGINT)"
+        ).alias("top10_ppm"),
+    )
+
+
+@q(
+    "freq_sample_qc",
+    """WITH obs AS (
+         SELECT l_suppkey AS sample_id,
+                (['A','C','G','T'])[(l_partkey % 4) + 1] AS ref,
+                (['A','C','G','T'])[((l_partkey % 4 + 1
+                    + (l_partkey // 4) % 3) % 4) + 1] AS alt,
+                CASE WHEN l_linenumber % 3 = 0 THEN 'homozygous'
+                     WHEN l_linenumber % 3 = 1 THEN 'heterozygous' END
+                  AS zygosity
+         FROM lineitem),
+       cls AS (
+         SELECT sample_id, zygosity,
+                CASE WHEN (ref IN ('A','G') AND alt IN ('A','G'))
+                       OR (ref IN ('C','T') AND alt IN ('C','T'))
+                     THEN 1 ELSE 0 END AS is_ti
+         FROM obs)
+       SELECT sample_id,
+              CAST(COUNT(*) AS BIGINT) AS n_obs,
+              CAST(SUM(CASE WHEN zygosity = 'heterozygous' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_het,
+              CAST(SUM(CASE WHEN zygosity = 'homozygous' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hom,
+              CAST(FLOOR(SUM(CASE WHEN zygosity = 'heterozygous' THEN 1 ELSE 0
+                             END) * 1000000.0
+                         / NULLIF(SUM(CASE WHEN zygosity IS NOT NULL
+                                           THEN 1 ELSE 0 END), 0))
+                   AS BIGINT) AS het_ppm,
+              CAST(SUM(is_ti) AS BIGINT) AS n_ti,
+              CAST(SUM(1 - is_ti) AS BIGINT) AS n_tv,
+              CAST(FLOOR(SUM(is_ti) * 1000000.0
+                         / NULLIF(SUM(1 - is_ti), 0)) AS BIGINT) AS titv_ppm
+       FROM cls GROUP BY sample_id""",
+)
+def freq_sample_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core sample QC sheet — the per-sample screen run after every
+    VCF import, before activation: heterozygosity rate (the sample-swap /
+    contamination detector; an outlier het_ppm vs the cohort flags a
+    mixed or duplicated sample) and transition/transversion ratio (the
+    genotyping-error detector; random errors drag Ti/Tv toward 0.5 vs
+    the genome-wide ~2.0-2.1 expectation for true variants). Alleles are
+    synthesized deterministically (ref from partkey%4, alt offset 1-3 so
+    alt ≠ ref always) with the same trick in both engines; transition =
+    purine↔purine or pyrimidine↔pyrimidine. Exact integer counts, ppm
+    ratios with NULLIF zero-guards. One grouped agg over the fact scan —
+    map-side partials, sample-count-sized output."""
+    li = read_table(spark, sf_dir, "lineitem")
+    acgt = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
+    obs = li.select(
+        F.col("l_suppkey").alias("sample_id"),
+        F.element_at(acgt, (F.col("l_partkey") % 4 + 1).cast("int")).alias("ref"),
+        F.element_at(
+            acgt,
+            F.expr("CAST((l_partkey % 4 + 1 + (l_partkey DIV 4) % 3) % 4 + 1 AS INT)"),
+        ).alias("alt"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit("homozygous"))
+        .when(F.col("l_linenumber") % 3 == 1, F.lit("heterozygous"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("zygosity"),
+    )
+    cls = obs.select(
+        "sample_id",
+        "zygosity",
+        F.expr(
+            "CASE WHEN (ref IN ('A','G') AND alt IN ('A','G'))"
+            " OR (ref IN ('C','T') AND alt IN ('C','T')) THEN 1 ELSE 0 END"
+        ).alias("is_ti"),
+    )
+    return cls.groupBy("sample_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(F.expr("CASE WHEN zygosity = 'heterozygous' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_het"),
+        F.sum(F.expr("CASE WHEN zygosity = 'homozygous' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_hom"),
+        F.expr(
+            "CAST(FLOOR(SUM(CASE WHEN zygosity = 'heterozygous' THEN 1 ELSE 0 END)"
+            " * 1000000.0 / NULLIF(SUM(CASE WHEN zygosity IS NOT NULL"
+            " THEN 1 ELSE 0 END), 0)) AS BIGINT)"
+        ).alias("het_ppm"),
+        F.sum("is_ti").cast("bigint").alias("n_ti"),
+        F.sum(F.lit(1) - F.col("is_ti")).cast("bigint").alias("n_tv"),
+        F.expr(
+            "CAST(FLOOR(SUM(is_ti) * 1000000.0 / NULLIF(SUM(1 - is_ti), 0))"
+            " AS BIGINT)"
+        ).alias("titv_ppm"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
