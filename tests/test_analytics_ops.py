@@ -676,3 +676,27 @@ def test_sample_qc_counts_consistent(spark):
         assert r.n_ti + r.n_tv == r.n_obs
         if r.n_tv > 0:
             assert r.titv_ppm is not None
+
+
+def test_countmin_query_upper_bounds_truth(spark):
+    """The CM guarantee, visible: est ≥ true for every probe; probes are
+    the exact top-20 tokens so true counts are positive."""
+    rows = catalog.agg_countmin_query(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.true_cnt > 0
+        assert r.est_cnt >= r.true_cnt
+
+
+def test_kcore_monotone_and_invariant(spark):
+    """Peeling is monotone (nodes and edges never grow round-over-round)
+    and round 0 equals the raw co-purchase graph."""
+    rows = {r.round: (r.n_nodes, r.n_edges) for r in catalog.graph_kcore(spark, SF).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    for r in range(1, 4):
+        assert rows[r][0] <= rows[r - 1][0]
+        assert rows[r][1] <= rows[r - 1][1]
+    from varda_spark.catalog import _coorder_edges
+
+    e = _coorder_edges(spark, SF)
+    assert rows[0][1] == e.count()

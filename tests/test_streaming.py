@@ -570,3 +570,51 @@ def test_type_counts_processor_logic():
         ("purchase",): (1,),
     }
     proc.close()
+
+
+def test_stream_countmin_matches_batch(spark, tmp_path):
+    """Streaming Count-Min: the sketch built by merging per-micro-batch
+    cell increments (idempotent foreachBatch rollup keyed on (row, col))
+    is cell-for-cell identical to the batch agg_countmin sketch — the
+    mergeability that makes CM the distributed/streaming heavy-hitter
+    substrate (merge = groupBy-sum, associative and commutative, so
+    micro-batch boundaries cannot change the result)."""
+    from pyspark.sql import functions as F
+
+    from varda_spark import catalog
+    from varda_spark.operators.text import countmin_cells
+    from varda_spark.sources.tables import read_table
+    from varda_spark.streaming.windows import idempotent_rollup_sink, read_rollup
+
+    SF = "/root/testdata/sf0.01"
+    d = read_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    d.repartition(3).write.parquet(src)  # ≥3 files → ≥3 micro-batches
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rollup = str(tmp_path / "sketch")
+    sink = idempotent_rollup_sink(["row", "col"], {"cnt": "count"}, rollup)
+
+    def to_cells(batch_df, batch_id):
+        sink(countmin_cells(batch_df).withColumn("cnt", F.lit(1)), batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(to_cells)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.row, r.col): r.cnt
+        for r in read_rollup(spark, rollup, ["row", "col"], ["cnt"]).collect()
+    }
+    want = {
+        (r.row, r.col): r.cnt for r in catalog.agg_countmin(spark, SF).collect()
+    }
+    assert got == want

@@ -54,6 +54,7 @@ BNLJ_OK = {
     "tpch_q20",          # same partsupp 1-row s_cnt scalar
     "graph_triangles",   # 1-row wedge-sum and edge-count scalars joined in
     "graph_triangles_approx",  # same 1-row sampled-edge-count scalar join
+    "graph_kcore",       # per-round 1-row node/edge-count scalar cross joins
     "text_tfidf",        # 1-row corpus-count scalar (N in the IDF)
     "interval_density",  # 1-row min/max scalar exploded into the bin spine
     "agg_chisq",         # 1-row grand-total N joined onto 6 contingency cells

@@ -9755,29 +9755,10 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     despite this being an approximation structure (same trick as
     graph_triangles_approx: derandomized estimator ⇒ exact parity).
     Companion to agg_kmv (distinct-count sketch) on the frequency side."""
+    from varda_spark.operators.text import countmin_cells
+
     d = read_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
-    cells = tok.select(
-        F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("row"), "tok"
-    ).select(
-        "row",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("row").cast("string"), F.lit("|"), F.col("tok")
-                        ).cast("binary")
-                    ),
-                    1,
-                    4,
-                ),
-                16,
-                10,
-            ).cast("int")
-            % 64
-        ).alias("col"),
-    )
+    cells = countmin_cells(d)
     return cells.groupBy(
         F.col("row").cast("bigint").alias("row"),
         F.col("col").cast("bigint").alias("col"),
@@ -9900,6 +9881,179 @@ def agg_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000.0 / SUM(r)) AS BIGINT)"
         ).alias("top10_ppm"),
     )
+
+
+@q(
+    "agg_countmin_query",
+    """WITH tok AS (
+         SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+       sketch AS (
+         SELECT row, col, COUNT(*) AS cnt FROM (
+           SELECT r.range AS row,
+                  CAST('0x' || substr(md5(CAST(r.range AS VARCHAR) || '|' || tok),
+                                      1, 4) AS INT) % 64 AS col
+           FROM tok CROSS JOIN range(0, 4) r)
+         GROUP BY row, col),
+       top20 AS (
+         SELECT tok, COUNT(*) AS true_cnt FROM tok GROUP BY tok
+         ORDER BY COUNT(*) DESC, tok LIMIT 20),
+       probes AS (
+         SELECT t.tok, t.true_cnt, r.range AS row,
+                CAST('0x' || substr(md5(CAST(r.range AS VARCHAR) || '|' || t.tok),
+                                    1, 4) AS INT) % 64 AS col
+         FROM top20 t CROSS JOIN range(0, 4) r)
+       SELECT p.tok, CAST(MIN(p.true_cnt) AS BIGINT) AS true_cnt,
+              CAST(MIN(s.cnt) AS BIGINT) AS est_cnt
+       FROM probes p JOIN sketch s ON s.row = p.row AND s.col = p.col
+       GROUP BY p.tok""",
+)
+def agg_countmin_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ Count-Min POINT QUERY — the read side of agg_countmin's sketch:
+    estimate(x) = min over hash rows of the addressed counters, compared
+    against the exact count for the 20 most frequent tokens (rank pinned
+    count DESC, token ASC). The CM guarantee est ≥ true, est ≤ true + εN
+    is visible row by row (pytest asserts the lower bound exactly). The
+    sketch is 256 cells — the probe join is a broadcast against a
+    dimension that never grows with the corpus; at 100 TB the sketch is
+    built incrementally (see the streaming twin test) and queries never
+    touch the raw stream. Build + query + audit: the full sketch
+    lifecycle as catalog keys."""
+    from varda_spark.operators.text import countmin_cells
+
+    d = read_table(spark, sf_dir, "documents")
+    sketch = countmin_cells(d).groupBy("row", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tok = d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+    top20 = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("tok"))
+        .limit(20)
+    )
+    probes = top20.select(
+        "tok",
+        "true_cnt",
+        F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("row"),
+    ).select(
+        "tok",
+        "true_cnt",
+        "row",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("tok")).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 64
+        ).alias("col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("tok")
+        .agg(
+            F.min("true_cnt").cast("bigint").alias("true_cnt"),
+            F.min("cnt").cast("bigint").alias("est_cnt"),
+        )
+    )
+
+
+def _kcore_round_sql(src: str, dst: str, k: int) -> str:
+    """One unrolled peeling round: degrees on {src}, drop nodes under k,
+    keep only edges with both endpoints surviving as {dst}."""
+    return f"""
+       deg_{dst} AS MATERIALIZED (
+         SELECT v, COUNT(*) AS d FROM (
+           SELECT pa AS v FROM {src} UNION ALL SELECT pb AS v FROM {src})
+         GROUP BY v),
+       keep_{dst} AS MATERIALIZED (SELECT v FROM deg_{dst} WHERE d >= {k}),
+       {dst} AS MATERIALIZED (
+         SELECT e.pa, e.pb FROM {src} e
+         JOIN keep_{dst} ka ON ka.v = e.pa
+         JOIN keep_{dst} kb ON kb.v = e.pb)"""
+
+
+@q(
+    "graph_kcore",
+    f"""WITH {_COORDER_EDGES_SQL},
+       e0 AS MATERIALIZED (SELECT pa, pb FROM e),
+       {_kcore_round_sql('e0', 'e1', 10)},
+       {_kcore_round_sql('e1', 'e2', 10)},
+       {_kcore_round_sql('e2', 'e3', 10)},
+       stats AS (
+         SELECT 0 AS round,
+                (SELECT COUNT(*) FROM (SELECT DISTINCT v FROM (
+                   SELECT pa AS v FROM e0 UNION ALL SELECT pb AS v FROM e0)))
+                  AS n_nodes,
+                (SELECT COUNT(*) FROM e0) AS n_edges
+         UNION ALL SELECT 1,
+                (SELECT COUNT(*) FROM (SELECT DISTINCT v FROM (
+                   SELECT pa AS v FROM e1 UNION ALL SELECT pb AS v FROM e1))),
+                (SELECT COUNT(*) FROM e1)
+         UNION ALL SELECT 2,
+                (SELECT COUNT(*) FROM (SELECT DISTINCT v FROM (
+                   SELECT pa AS v FROM e2 UNION ALL SELECT pb AS v FROM e2))),
+                (SELECT COUNT(*) FROM e2)
+         UNION ALL SELECT 3,
+                (SELECT COUNT(*) FROM (SELECT DISTINCT v FROM (
+                   SELECT pa AS v FROM e3 UNION ALL SELECT pb AS v FROM e3))),
+                (SELECT COUNT(*) FROM e3))
+       SELECT CAST(round AS BIGINT) AS round,
+              CAST(n_nodes AS BIGINT) AS n_nodes,
+              CAST(n_edges AS BIGINT) AS n_edges
+       FROM stats""",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph k-core peeling (k=10, 3 fixed synchronous rounds): each
+    round drops every node with degree < k in the CURRENT induced
+    subgraph and keeps only edges between survivors — the standard
+    densest-region / influence-backbone extraction (Seidman 1983), and
+    the degeneracy-ordering building block. Fixed-round semantics (not
+    to-convergence) keeps the oracle an unrolled CTE chain, the
+    sim_kmeans/graph_labelprop trick; on this graph the survivor counts
+    per round ARE the result (a monotone shrinking sequence — pytest
+    asserts monotonicity and the degree invariant after round 3). Scale:
+    each round is one degree count + two semi-join-shaped filters,
+    shuffle bounded by |E|; Spark localCheckpoints the shrinking edge
+    set between rounds so lineage stays flat."""
+    e = _coorder_edges(spark, sf_dir).localCheckpoint()
+    k = 10
+    stats = []
+    cur = e
+    for rnd in range(4):
+        nodes = (
+            cur.select(F.col("pa").alias("v"))
+            .unionAll(cur.select(F.col("pb").alias("v")))
+        )
+        n_nodes = nodes.distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+        n_edges = cur.agg(F.count(F.lit(1)).alias("n_edges"))
+        stats.append(
+            n_nodes.crossJoin(F.broadcast(n_edges)).select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                F.col("n_edges").cast("bigint").alias("n_edges"),
+            )
+        )
+        if rnd == 3:
+            break
+        deg = nodes.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("v")
+        cur = (
+            cur.join(keep.withColumnRenamed("v", "pa"), "pa")
+            .join(keep.withColumnRenamed("v", "pb"), "pb")
+            .select("pa", "pb")
+            .localCheckpoint()
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out
 
 
 @q(

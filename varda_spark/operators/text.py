@@ -115,3 +115,32 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     # string literal, so \s must be written \\s in the expr text
     pat = BPE_ISH_PATTERN.replace("\\", "\\\\")
     return F.expr(f"regexp_extract_all(lower({c._jc.toString()}), '{pat}', 0)")
+
+
+def countmin_cells(df: DataFrame, text: str = "text", rows: int = 4, width: int = 64) -> DataFrame:
+    """Count-Min sketch increments for a batch of documents: one
+    (row, col) cell hit per (token occurrence, hash row). md5-derived
+    column index — deterministic across engines, runs, partitionings, so
+    sketches built anywhere merge consistently (the merge is a plain
+    groupBy-sum over (row, col); see catalog.agg_countmin for the batch
+    aggregate and streaming tests for the foreachBatch-merged twin)."""
+    tok = df.select(F.explode(F.split(F.trim(F.col(text)), " ")).alias("tok"))
+    return tok.select(
+        F.explode(F.array(*[F.lit(r) for r in range(rows)])).alias("row"), "tok"
+    ).select(
+        "row",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("tok")).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % width
+        ).alias("col"),
+    )
