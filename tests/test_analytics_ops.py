@@ -700,3 +700,97 @@ def test_kcore_monotone_and_invariant(spark):
 
     e = _coorder_edges(spark, SF)
     assert rows[0][1] == e.count()
+
+
+def test_interval_cluster_partitions_intervals(spark):
+    rows = catalog.interval_cluster(spark, SF).collect()
+    assert len(rows) == 100  # one output row per input interval
+    # cluster members must pairwise-overlap transitively: within a cluster,
+    # each interval's begin is <= the running max end of earlier members
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[(r.chromosome, r.cluster)].append((r.begin, r.end))
+        assert r.cluster_size >= 1
+    for (_, _), ivs in clusters.items():
+        ivs.sort()
+        run_end = ivs[0][1]
+        for b, e in ivs[1:]:
+            assert b <= run_end  # overlap/touch chains the island
+            run_end = max(run_end, e)
+    # cluster_size agrees with actual membership
+    sizes = {(r.chromosome, r.cluster): r.cluster_size for r in rows}
+    for k, ivs in clusters.items():
+        assert sizes[k] == len(ivs)
+
+
+def test_interval_subtract_removes_exactly_b(spark):
+    segs = catalog.interval_subtract(spark, SF).collect()
+    a = {r.iv_id: (r.chromosome, r.ab, r.ae) for r in
+         catalog._points_intervals(spark, SF)[1].select(
+             F.col("sample_key").alias("iv_id"), "chromosome",
+             F.col("begin").alias("ab"), F.col("end").alias("ae")).collect()}
+    part = catalog.read_table(spark, SF, "part").filter(F.col("p_partkey") % 11 == 0)
+    b = part.select(
+        (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("p_partkey") * 31) % 100000 + 1).alias("bb"),
+        ((F.col("p_partkey") * 31) % 100000 + 1 + 100 + (F.col("p_partkey") % 4) * 200).alias("be"),
+    ).collect()
+    bmap = {}
+    for r in b:
+        bmap.setdefault(r.chromosome, []).append((r.bb, r.be))
+    for s in segs:
+        chrom, ab, ae = a[s.iv_id]
+        # residual segments stay inside their A interval...
+        assert ab <= s.seg_begin <= s.seg_end <= ae
+        # ...and never intersect any B interval
+        for bb, be in bmap.get(chrom, []):
+            assert s.seg_end < bb or s.seg_begin > be
+    # base-count conservation: residual bases = A bases - covered bases
+    total_resid = sum(s.seg_end - s.seg_begin + 1 for s in segs)
+    total_a = sum(ae - ab + 1 for (_, ab, ae) in a.values())
+    covered = 0
+    for iv_id, (chrom, ab, ae) in a.items():
+        pts = sorted(set())
+        merged = []
+        for bb, be in sorted(bmap.get(chrom, [])):
+            lo, hi = max(ab, bb), min(ae, be)
+            if lo > hi:
+                continue
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        covered += sum(hi - lo + 1 for lo, hi in merged)
+    assert total_resid == total_a - covered
+
+
+def test_assortativity_in_pearson_range(spark):
+    r = catalog.graph_assortativity(spark, SF).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.n_endpoints % 2 == 0  # symmetrized edge list is even-sized
+    # moments are consistent: E[x^2] >= E[x]^2 (variance nonneg)
+    assert r.n_endpoints * r.sum_xx >= r.sum_deg * r.sum_deg
+
+
+def test_rsi_and_stochastic_bounded_ppm(spark):
+    rsi = catalog.win_rsi(spark, SF).collect()
+    assert rsi
+    for r in rsi:
+        assert r.sgain >= 0 and r.sloss >= 0
+        if r.rsi_ppm is not None:
+            assert 0 <= r.rsi_ppm <= 1000000
+    st = catalog.win_stochastic(spark, SF).collect()
+    assert st
+    for r in st:
+        assert r.low14 <= r.high14
+        if r.pctk_ppm is not None:
+            assert 0 <= r.pctk_ppm <= 1000000
+
+
+def test_zipf_rank1_is_million(spark):
+    rows = sorted(catalog.text_zipf(spark, SF).collect(), key=lambda r: r.rnk)
+    assert rows[0].rnk == 1 and rows[0].zipf_ppm == 1000000
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)

@@ -26,6 +26,8 @@ GLOBAL_ONE_TASK_OK = {
     "agg_abc_class",     # global cumulative rank over the PART dimension
                          # (one row per part after the fact rollup) —
                          # dimension-sized by construction, documented
+    "text_zipf",         # rank window over the 50-row TakeOrdered top —
+                         # vocabulary-head-sized by construction
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -64,6 +66,7 @@ BNLJ_OK = {
     "agg_abc_class",     # 1-row grand-total revenue scalar
     "join_basket_lift",  # 1-row basket-count scalar (N in the lift)
     "text_upsample_plan",  # 1-row max-language token scalar
+    "text_zipf",         # 1-row rank-1-count scalar (ppm denominator)
 }
 
 

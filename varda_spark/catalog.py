@@ -10146,6 +10146,419 @@ def freq_sample_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "interval_cluster",
+    """WITH ivs AS (
+         SELECT s_suppkey AS iv_id,
+                CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                     AS BIGINT) AS "end"
+         FROM supplier),
+       o AS (
+         SELECT iv_id, chromosome, begin, "end",
+                CASE WHEN MAX("end") OVER w IS NULL OR begin > MAX("end") OVER w
+                     THEN 1 ELSE 0 END AS new_i
+         FROM ivs
+         WINDOW w AS (PARTITION BY chromosome ORDER BY begin, "end", iv_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       s AS (
+         SELECT iv_id, chromosome, begin, "end",
+                SUM(new_i) OVER (PARTITION BY chromosome
+                                 ORDER BY begin, "end", iv_id
+                                 ROWS UNBOUNDED PRECEDING) AS cluster
+         FROM o)
+       SELECT iv_id, chromosome, begin, "end",
+              CAST(cluster AS BIGINT) AS cluster,
+              CAST(COUNT(*) OVER (PARTITION BY chromosome, cluster)
+                   AS BIGINT) AS cluster_size
+       FROM s""",
+)
+def interval_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ bedtools cluster: every interval keeps its identity but gains a
+    per-chromosome cluster id (the gaps-and-islands id from interval_merge,
+    un-aggregated) plus the cluster's member count — the primitive behind
+    "which overlapping imports does this coverage region belong to" without
+    collapsing them. Same single partitioned-window pass as interval_merge
+    (no joins, per-chromosome parallel); the cluster_size window runs over
+    the already-keyed (chromosome, cluster) partition. Scale: one shuffle
+    on chromosome; at 100 TB chromosome alone is too coarse a key, so the
+    production path would range-partition on (chromosome, begin-bucket) and
+    stitch islands across bucket seams — documented here, not needed at
+    bench scale."""
+    _, s = _points_intervals(spark, sf_dir)
+    ivs = s.select(
+        F.col("sample_key").alias("iv_id"), "chromosome",
+        F.col("begin").cast("long").alias("begin"),
+        F.col("end").cast("long").alias("end"),
+    )
+    w = Window.partitionBy("chromosome").orderBy("begin", "end", "iv_id")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_i = F.when(prev_max.isNull() | (F.col("begin") > prev_max), 1).otherwise(0)
+    clustered = ivs.withColumn(
+        "cluster",
+        F.sum(new_i).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    wc = Window.partitionBy("chromosome", "cluster")
+    return clustered.select(
+        "iv_id", "chromosome", "begin", "end",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
+    )
+
+
+_SUBTRACT_B_SQL = """
+       braw AS (
+         SELECT CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
+                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS begin,
+                CAST((p_partkey * 31) % 100000 + 1 + 100 + (p_partkey % 4) * 200
+                     AS BIGINT) AS "end"
+         FROM part WHERE p_partkey % 11 = 0),
+       bo AS (
+         SELECT chromosome, begin, "end",
+                CASE WHEN MAX("end") OVER w IS NULL OR begin > MAX("end") OVER w
+                     THEN 1 ELSE 0 END AS new_i
+         FROM braw
+         WINDOW w AS (PARTITION BY chromosome ORDER BY begin, "end"
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       bs AS (
+         SELECT chromosome, begin, "end",
+                SUM(new_i) OVER (PARTITION BY chromosome ORDER BY begin, "end"
+                                 ROWS UNBOUNDED PRECEDING) AS island
+         FROM bo),
+       bm AS (
+         SELECT chromosome, MIN(begin) AS begin, MAX("end") AS "end"
+         FROM bs GROUP BY chromosome, island)
+"""
+
+
+@q(
+    "interval_subtract",
+    f"""WITH a AS (
+         SELECT s_suppkey AS iv_id,
+                CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS ab,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                     AS BIGINT) AS ae
+         FROM supplier),
+       {_SUBTRACT_B_SQL},
+       ov AS (
+         SELECT a.iv_id, a.chromosome, a.ab, a.ae, b.begin AS bb, b."end" AS be
+         FROM a JOIN bm b
+           ON a.chromosome = b.chromosome
+          AND b.begin <= a.ae AND b."end" >= a.ab),
+       gaps AS (
+         SELECT iv_id, chromosome,
+                GREATEST(ab, COALESCE(
+                  LAG(be) OVER (PARTITION BY iv_id ORDER BY bb) + 1, ab)) AS s,
+                bb - 1 AS e
+         FROM ov
+         UNION ALL
+         SELECT iv_id, chromosome, GREATEST(ab, MAX(be) + 1) AS s, ae AS e
+         FROM ov GROUP BY iv_id, chromosome, ab, ae),
+       untouched AS (
+         SELECT iv_id, chromosome, ab AS s, ae AS e FROM a
+         WHERE iv_id NOT IN (SELECT iv_id FROM ov))
+       SELECT iv_id, chromosome, CAST(s AS BIGINT) AS seg_begin,
+              CAST(e AS BIGINT) AS seg_end
+       FROM (SELECT * FROM gaps WHERE s <= e
+             UNION ALL SELECT * FROM untouched)""",
+)
+def interval_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ bedtools subtract: residual pieces of each A interval after
+    removing every B interval (closed-interval semantics) — the masking
+    primitive (exclude blacklist/repeat regions from coverage). B is first
+    collapsed to disjoint runs (merge_intervals), so per A interval the
+    overlapping B's are non-overlapping and sorted: the residual segments
+    are exactly the gap before each B (LAG of previous B end, clipped to
+    A's begin), the tail after the last B (one grouped agg), and untouched
+    A's via anti-join. The A x merged-B overlap uses the UCSC-binned
+    range_overlap_join — equi-shuffle on (chromosome, bin), never a theta
+    join — and every window partitions on iv_id (per-interval, unskewed).
+    Scale: merge is one window pass; overlap join is the binned scale
+    path; output is data-sized. All integer arithmetic."""
+    from varda_spark.operators.interval import merge_intervals, range_overlap_join
+
+    _, s = _points_intervals(spark, sf_dir)
+    a = s.select(
+        F.col("sample_key").alias("iv_id"), "chromosome",
+        F.col("begin").cast("long").alias("ab"),
+        F.col("end").cast("long").alias("ae"),
+    )
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 11 == 0)
+    braw = part.select(
+        (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("p_partkey") * 31) % 100000 + 1).cast("long").alias("begin"),
+        ((F.col("p_partkey") * 31) % 100000 + 1 + 100
+         + (F.col("p_partkey") % 4) * 200).cast("long").alias("end"),
+    )
+    bm = merge_intervals(braw).select(
+        "chromosome", F.col("begin").cast("long").alias("begin"),
+        F.col("end").cast("long").alias("end"),
+    )
+    ov = range_overlap_join(
+        a.withColumnRenamed("ab", "begin").withColumnRenamed("ae", "end"), bm
+    ).select(
+        "iv_id", "chromosome",
+        F.col("begin").alias("ab"), F.col("end").alias("ae"),
+        F.col("r_begin").alias("bb"), F.col("r_end").alias("be"),
+    )
+    wiv = Window.partitionBy("iv_id").orderBy("bb")
+    gaps = ov.select(
+        "iv_id", "chromosome",
+        F.greatest(
+            F.col("ab"),
+            F.coalesce(F.lag("be").over(wiv) + 1, F.col("ab")),
+        ).alias("s"),
+        (F.col("bb") - 1).alias("e"),
+    )
+    tails = ov.groupBy("iv_id", "chromosome", "ab", "ae").agg(
+        F.max("be").alias("maxbe")
+    ).select(
+        "iv_id", "chromosome",
+        F.greatest(F.col("ab"), F.col("maxbe") + 1).alias("s"),
+        F.col("ae").alias("e"),
+    )
+    untouched = a.join(ov.select("iv_id").distinct(), "iv_id", "left_anti").select(
+        "iv_id", "chromosome", F.col("ab").alias("s"), F.col("ae").alias("e")
+    )
+    segs = gaps.filter(F.col("s") <= F.col("e")).unionAll(
+        tails.filter(F.col("s") <= F.col("e"))
+    ).unionAll(untouched)
+    return segs.select(
+        "iv_id", "chromosome",
+        F.col("s").cast("bigint").alias("seg_begin"),
+        F.col("e").cast("bigint").alias("seg_end"),
+    )
+
+
+@q(
+    "graph_assortativity",
+    f"""WITH {_COORDER_EDGES_SQL},
+       deg AS (
+         SELECT node, COUNT(*) AS d FROM (
+           SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+         GROUP BY node),
+       sym AS (
+         SELECT pa AS src, pb AS dst FROM e
+         UNION ALL SELECT pb AS src, pa AS dst FROM e),
+       xy AS (
+         SELECT CAST(ds.d AS DECIMAL(38,0)) AS x,
+                CAST(dd.d AS DECIMAL(38,0)) AS y
+         FROM sym JOIN deg ds ON sym.src = ds.node
+                  JOIN deg dd ON sym.dst = dd.node),
+       sums AS (
+         SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                SUM(x) AS sx, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+         FROM xy)
+       SELECT CAST(n AS BIGINT) AS n_endpoints,
+              CAST(sx AS BIGINT) AS sum_deg,
+              CAST(sxy AS BIGINT) AS sum_xy,
+              CAST(sxx AS BIGINT) AS sum_xx,
+              CAST(n * sxy - sx * sx AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
+       FROM sums""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-purchase graph: the
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list — positive = hubs attach to hubs (social-network shape),
+    negative = hub-and-spoke (internet/biology shape). Decides whether
+    degree-based partitioning tricks (hub salting, high-degree vertex
+    mirroring) will pay off downstream. Exact: all moment sums accumulate
+    in DECIMAL(38,0) (no int64 overflow at any sf — the advisory
+    agg_abc_class lesson), symmetry makes Sy=Sx and Syy=Sxx so one pass
+    suffices; the final r is one deterministic double division. Plan:
+    degree agg + two broadcast-friendly joins (deg is node-sized) + one
+    global 1-row agg — map-side partials everywhere."""
+    e = _coorder_edges(spark, sf_dir)
+    nodes = e.select(F.col("pa").alias("node")).unionAll(
+        e.select(F.col("pb").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    xy = (
+        sym.join(F.broadcast(deg).withColumnRenamed("node", "src")
+                 .withColumnRenamed("d", "x"), "src")
+        .join(F.broadcast(deg).withColumnRenamed("node", "dst")
+              .withColumnRenamed("d", "y"), "dst")
+        .select(F.col("x").cast("decimal(38,0)").alias("x"),
+                F.col("y").cast("decimal(38,0)").alias("y"))
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_endpoints"),
+        F.col("sx").cast("bigint").alias("sum_deg"),
+        F.col("sxy").cast("bigint").alias("sum_xy"),
+        F.col("sxx").cast("bigint").alias("sum_xx"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("assortativity"),
+    )
+
+
+@q(
+    "win_rsi",
+    """WITH b AS (
+         SELECT event_id, user_id, ts,
+                CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq
+         FROM events),
+       d AS (
+         SELECT event_id, user_id, ts,
+                xq - LAG(xq) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS diff
+         FROM b),
+       w AS (
+         SELECT event_id, user_id,
+                SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER win AS sgain,
+                SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER win AS sloss,
+                COUNT(diff) OVER win AS nd
+         FROM d
+         WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       SELECT event_id, user_id,
+              CAST(sgain AS BIGINT) AS sgain, CAST(sloss AS BIGINT) AS sloss,
+              CAST(FLOOR(1000000.0 * sgain / NULLIF(sgain + sloss, 0))
+                   AS BIGINT) AS rsi_ppm
+       FROM w WHERE nd = 14""",
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ 14-period RSI (Cutler's simple-average variant) of event value
+    per user — the bounded momentum oscillator next to win_bollinger and
+    win_cusum; Cutler's SMA form instead of Wilder's smoothing because
+    the recursion-free rolling sum is exact in integer arithmetic (the
+    win_ewma lesson: EWMA-style recursions are float-order-sensitive).
+    Gains/losses are LAG diffs on the 1e4 fixed-point grid, summed over
+    a 14-row frame; rows with fewer than 14 observed diffs are dropped
+    (COUNT(diff) guard — no partition-edge bias); rsi_ppm is one final
+    deterministic float floor. Plan: both windows share one (user_id)
+    sort — single shuffle, embarrassing parallel."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id", "user_id", "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("xq"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = b.withColumn("diff", F.col("xq") - F.lag("xq").over(wo))
+    frame = wo.rowsBetween(-13, Window.currentRow)
+    w = d.select(
+        "event_id", "user_id",
+        F.sum(F.when(F.col("diff") > 0, F.col("diff")).otherwise(0)).over(frame).alias("sgain"),
+        F.sum(F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0)).over(frame).alias("sloss"),
+        F.count("diff").over(frame).alias("nd"),
+    )
+    return w.filter(F.col("nd") == 14).select(
+        "event_id", "user_id",
+        F.col("sgain").cast("bigint").alias("sgain"),
+        F.col("sloss").cast("bigint").alias("sloss"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * sgain / NULLIF(sgain + sloss, 0)) AS BIGINT)"
+        ).alias("rsi_ppm"),
+    )
+
+
+@q(
+    "win_stochastic",
+    """WITH b AS (
+         SELECT event_id, user_id, ts,
+                CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq
+         FROM events),
+       w AS (
+         SELECT event_id, user_id, xq,
+                MIN(xq) OVER win AS mn, MAX(xq) OVER win AS mx,
+                COUNT(*) OVER win AS nn
+         FROM b
+         WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       SELECT event_id, user_id,
+              CAST(mn AS BIGINT) AS low14, CAST(mx AS BIGINT) AS high14,
+              CAST(FLOOR(1000000.0 * (xq - mn) / NULLIF(mx - mn, 0))
+                   AS BIGINT) AS pctk_ppm
+       FROM w WHERE nn = 14""",
+)
+def win_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ stochastic oscillator %K over a 14-row frame: where the current
+    value sits inside the recent [low, high] envelope, in ppm — the
+    range-position normalization (win_minmax_scale's rolling cousin;
+    flat-envelope rows yield NULL via the NULLIF guard rather than a
+    fake 0). Exact on the 1e4 fixed-point grid; full-frame rows only.
+    Plan: rolling MIN/MAX/COUNT share one keyed sort — single shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id", "user_id", "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("xq"),
+    )
+    frame = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        -13, Window.currentRow
+    )
+    w = b.select(
+        "event_id", "user_id", "xq",
+        F.min("xq").over(frame).alias("mn"),
+        F.max("xq").over(frame).alias("mx"),
+        F.count(F.lit(1)).over(frame).alias("nn"),
+    )
+    return w.filter(F.col("nn") == 14).select(
+        "event_id", "user_id",
+        F.col("mn").cast("bigint").alias("low14"),
+        F.col("mx").cast("bigint").alias("high14"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * (xq - mn) / NULLIF(mx - mn, 0)) AS BIGINT)"
+        ).alias("pctk_ppm"),
+    )
+
+
+@q(
+    "text_zipf",
+    """WITH toks AS (
+         SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+       c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+       t AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 50),
+       r AS (SELECT tok, cnt,
+                    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+             FROM t)
+       SELECT tok, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk,
+              CAST(FLOOR(1000000.0 * cnt * rnk / (SELECT MAX(cnt) FROM t))
+                   AS BIGINT) AS zipf_ppm
+       FROM r""",
+)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ Zipf-law fit check over the corpus vocabulary: top-50 tokens by
+    frequency with rank and zipf_ppm = 1e6 * (cnt_r * r / cnt_1) — under a
+    perfect 1/r law every row reads 1e6; systematic drift up/down exposes
+    head-heavy (template/boilerplate) or head-light (scrambled) corpora.
+    The natural-language sanity check next to text_ngram_novelty. Scale:
+    token count is one grouped agg (map-side partials over the corpus
+    scan); the top-50 uses orderBy+limit = TakeOrderedAndProject (per-
+    partition heap top-k, never a global sort); rank window and the 1-row
+    cnt_1 scalar both run over the 50-row result (whitelisted one-task
+    shapes, vocabulary-head-sized by construction)."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "tok").limit(50)
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "tok"))
+    )
+    c1 = top.agg(F.max("cnt").alias("c1"))
+    return ranked.crossJoin(F.broadcast(c1)).select(
+        "tok",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.expr("CAST(FLOOR(1000000.0 * cnt * rnk / c1) AS BIGINT)").alias("zipf_ppm"),
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
