@@ -28,6 +28,10 @@ GLOBAL_ONE_TASK_OK = {
                          # dimension-sized by construction, documented
     "text_zipf",         # rank window over the 50-row TakeOrdered top —
                          # vocabulary-head-sized by construction
+    "agg_decile_lift",   # NTILE over the customer-dimension spend rollup
+                         # (one row per customer) + cum/total windows over
+                         # the 10-row decile table — same argument as
+                         # agg_abc_class, documented in the docstring
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -57,6 +61,8 @@ BNLJ_OK = {
     "graph_triangles",   # 1-row wedge-sum and edge-count scalars joined in
     "graph_triangles_approx",  # same 1-row sampled-edge-count scalar join
     "graph_kcore",       # per-round 1-row node/edge-count scalar cross joins
+    "graph_bfs",         # per-round 1-row frontier/visited-count scalar
+                         # cross joins (4 rows out total)
     "text_tfidf",        # 1-row corpus-count scalar (N in the IDF)
     "interval_density",  # 1-row min/max scalar exploded into the bin spine
     "agg_chisq",         # 1-row grand-total N joined onto 6 contingency cells

@@ -10559,6 +10559,428 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_simpson",
+    """WITH c AS (
+         SELECT user_id, event_type, COUNT(*) AS cnt
+         FROM events GROUP BY user_id, event_type),
+       s AS (
+         SELECT user_id, SUM(cnt) AS n, SUM(cnt * cnt) AS s2,
+                COUNT(*) AS n_types
+         FROM c GROUP BY user_id)
+       SELECT user_id, CAST(n AS BIGINT) AS n_events,
+              CAST(n_types AS BIGINT) AS n_types,
+              CAST((1000000 * (n * n - s2)) // (n * n) AS BIGINT)
+                AS simpson_ppm,
+              CAST((1000000 * n * n) // s2 AS BIGINT) AS eff_types_ppm
+       FROM s""",
+)
+def agg_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ Gini-Simpson diversity per user over event types: the
+    probability two random events differ in type (1 - sum p_i^2) and the
+    effective number of types (inverse Simpson, N^2/sum c_i^2) — the
+    diversity index chosen over Shannon entropy deliberately: it is a
+    pure RATIONAL function of integer counts, so both engines compute it
+    bit-exactly with integer division (ppm floor), where entropy's
+    per-category log2 is correctly-rounded differently across libm
+    implementations and would break the value hash (the repo-wide
+    no-float-log rule; see agg_pow2_hist's bin-length trick). Plan: two
+    grouped aggs with map-side partials; per-user counts stay well under
+    the 1e6*n^2 < int64 ceiling (n per key < ~3e6 — docstring contract,
+    DECIMAL(38,0) is the escape hatch beyond)."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.expr("CAST((1000000 * (n * n - s2)) DIV (n * n) AS BIGINT)").alias(
+            "simpson_ppm"
+        ),
+        F.expr("CAST((1000000 * n * n) DIV s2 AS BIGINT)").alias("eff_types_ppm"),
+    )
+
+
+@q(
+    "agg_welch_ttest",
+    """WITH s AS (
+         SELECT
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS s1,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                         THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS s2,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_quantity AS DECIMAL(18,4))
+                              * CAST(l_quantity AS DECIMAL(18,4)) END)
+                AS DOUBLE) AS ss1,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                         THEN CAST(l_quantity AS DECIMAL(18,4))
+                              * CAST(l_quantity AS DECIMAL(18,4)) END)
+                AS DOUBLE) AS ss2
+         FROM lineitem),
+       m AS (
+         SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+                (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+                (ss2 - s2 * s2 / n2) / (n2 - 1) AS v2
+         FROM s)
+       SELECT n1, n2, m1, m2,
+              (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+              (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                   + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS welch_df
+       FROM m""",
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ Welch's unequal-variance t-test between two cohorts (returned
+    vs accepted lineitems, on quantity): t statistic and
+    Welch-Satterthwaite degrees of freedom — the A/B-test primitive.
+    Float discipline: the sufficient statistics (n, sum, sum-of-squares)
+    accumulate EXACTLY in DECIMAL(18,4)/(38,8) so shuffle order cannot
+    change them; only then does ONE deterministic cast to double feed a
+    fixed-shape expression tree of IEEE ops (+,-,*,/,sqrt — all
+    correctly rounded, hence bit-identical across engines). Single-pass
+    conditional aggregation: one scan, map-side partials, 1-row output."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    s = li.agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("l_returnflag") == "R", dq)).cast("double").alias("s1"),
+        F.sum(F.when(F.col("l_returnflag") == "A", dq)).cast("double").alias("s2"),
+        F.sum(F.when(F.col("l_returnflag") == "R", dq * dq)).cast("double").alias("ss1"),
+        F.sum(F.when(F.col("l_returnflag") == "A", dq * dq)).cast("double").alias("ss2"),
+    )
+    m = s.select(
+        "n1", "n2",
+        F.expr("s1 / n1").alias("m1"),
+        F.expr("s2 / n2").alias("m2"),
+        F.expr("(ss1 - s1 * s1 / n1) / (n1 - 1)").alias("v1"),
+        F.expr("(ss2 - s2 * s2 / n2) / (n2 - 1)").alias("v2"),
+    )
+    return m.select(
+        "n1", "n2", "m1", "m2",
+        F.expr("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)").alias("t_stat"),
+        F.expr(
+            "(v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)"
+            " / ((v1 / n1) * (v1 / n1) / (n1 - 1)"
+            "    + (v2 / n2) * (v2 / n2) / (n2 - 1))"
+        ).alias("welch_df"),
+    )
+
+
+@q(
+    "graph_bfs",
+    f"""WITH {_COORDER_EDGES_SQL},
+       sym AS (SELECT pa AS src, pb AS dst FROM e
+               UNION ALL SELECT pb AS src, pa AS dst FROM e),
+       f0 AS (SELECT MIN(pa) AS v FROM e),
+       vis0 AS (SELECT v FROM f0),
+       f1 AS (SELECT DISTINCT s.dst AS v FROM sym s JOIN f0 ON s.src = f0.v
+              WHERE s.dst NOT IN (SELECT v FROM vis0)),
+       vis1 AS (SELECT v FROM vis0 UNION SELECT v FROM f1),
+       f2 AS (SELECT DISTINCT s.dst AS v FROM sym s JOIN f1 ON s.src = f1.v
+              WHERE s.dst NOT IN (SELECT v FROM vis1)),
+       vis2 AS (SELECT v FROM vis1 UNION SELECT v FROM f2),
+       f3 AS (SELECT DISTINCT s.dst AS v FROM sym s JOIN f2 ON s.src = f2.v
+              WHERE s.dst NOT IN (SELECT v FROM vis2)),
+       vis3 AS (SELECT v FROM vis2 UNION SELECT v FROM f3)
+       SELECT 0 AS round, CAST((SELECT COUNT(*) FROM f0) AS BIGINT) AS frontier,
+              CAST((SELECT COUNT(*) FROM vis0) AS BIGINT) AS visited
+       UNION ALL SELECT 1, (SELECT COUNT(*) FROM f1), (SELECT COUNT(*) FROM vis1)
+       UNION ALL SELECT 2, (SELECT COUNT(*) FROM f2), (SELECT COUNT(*) FROM vis2)
+       UNION ALL SELECT 3, (SELECT COUNT(*) FROM f3), (SELECT COUNT(*) FROM vis3)""",
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first expansion from the minimum-id node of the co-purchase
+    graph, 3 synchronous rounds: per-round frontier and cumulative visited
+    counts — the reachability/diameter probe (and the skeleton of every
+    label-push algorithm here: frontier join + anti-join dedup, the
+    graph_labelprop/graph_kcore family). Fixed-round unrolled-CTE oracle
+    like kcore; Spark iterates with localCheckpoint on the visited set so
+    lineage stays flat. Scale: each round is one join shuffled on the
+    frontier key + one anti-join against visited (both data-sized,
+    frontier-bounded); no driver state beyond the loop counter."""
+    e = _coorder_edges(spark, sf_dir)
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).localCheckpoint()
+    f = e.agg(F.min("pa").alias("v"))
+    vis = f
+    out = []
+    for rnd in range(4):
+        fc = f.agg(F.count(F.lit(1)).alias("frontier"))
+        vc = vis.agg(F.count(F.lit(1)).alias("visited"))
+        out.append(
+            fc.crossJoin(F.broadcast(vc)).select(
+                F.lit(rnd).alias("round"),
+                F.col("frontier").cast("bigint").alias("frontier"),
+                F.col("visited").cast("bigint").alias("visited"),
+            )
+        )
+        if rnd == 3:
+            break
+        nxt = (
+            sym.join(f.withColumnRenamed("v", "src"), "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(vis, "v", "left_anti")
+            .localCheckpoint()
+        )
+        vis = vis.unionAll(nxt).localCheckpoint()
+        f = nxt
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+@q(
+    "win_macd",
+    """WITH b AS (
+         SELECT event_id, user_id, ts,
+                CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq
+         FROM events),
+       w AS (
+         SELECT event_id, user_id,
+                128 * xq
+                  + 64 * COALESCE(LAG(xq, 1) OVER win, 0)
+                  + 32 * COALESCE(LAG(xq, 2) OVER win, 0)
+                  + 16 * COALESCE(LAG(xq, 3) OVER win, 0)
+                  + 8 * COALESCE(LAG(xq, 4) OVER win, 0)
+                  + 4 * COALESCE(LAG(xq, 5) OVER win, 0)
+                  + 2 * COALESCE(LAG(xq, 6) OVER win, 0)
+                  + 1 * COALESCE(LAG(xq, 7) OVER win, 0) AS fnum,
+                128
+                  + CASE WHEN LAG(xq, 1) OVER win IS NULL THEN 0 ELSE 64 END
+                  + CASE WHEN LAG(xq, 2) OVER win IS NULL THEN 0 ELSE 32 END
+                  + CASE WHEN LAG(xq, 3) OVER win IS NULL THEN 0 ELSE 16 END
+                  + CASE WHEN LAG(xq, 4) OVER win IS NULL THEN 0 ELSE 8 END
+                  + CASE WHEN LAG(xq, 5) OVER win IS NULL THEN 0 ELSE 4 END
+                  + CASE WHEN LAG(xq, 6) OVER win IS NULL THEN 0 ELSE 2 END
+                  + CASE WHEN LAG(xq, 7) OVER win IS NULL THEN 0 ELSE 1 END AS fden,
+                16384 * xq
+                  + 12288 * COALESCE(LAG(xq, 1) OVER win, 0)
+                  + 9216 * COALESCE(LAG(xq, 2) OVER win, 0)
+                  + 6912 * COALESCE(LAG(xq, 3) OVER win, 0)
+                  + 5184 * COALESCE(LAG(xq, 4) OVER win, 0)
+                  + 3888 * COALESCE(LAG(xq, 5) OVER win, 0)
+                  + 2916 * COALESCE(LAG(xq, 6) OVER win, 0)
+                  + 2187 * COALESCE(LAG(xq, 7) OVER win, 0) AS snum,
+                16384
+                  + CASE WHEN LAG(xq, 1) OVER win IS NULL THEN 0 ELSE 12288 END
+                  + CASE WHEN LAG(xq, 2) OVER win IS NULL THEN 0 ELSE 9216 END
+                  + CASE WHEN LAG(xq, 3) OVER win IS NULL THEN 0 ELSE 6912 END
+                  + CASE WHEN LAG(xq, 4) OVER win IS NULL THEN 0 ELSE 5184 END
+                  + CASE WHEN LAG(xq, 5) OVER win IS NULL THEN 0 ELSE 3888 END
+                  + CASE WHEN LAG(xq, 6) OVER win IS NULL THEN 0 ELSE 2916 END
+                  + CASE WHEN LAG(xq, 7) OVER win IS NULL THEN 0 ELSE 2187 END AS sden
+         FROM b
+         WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT event_id, user_id,
+              CAST(fnum AS BIGINT) AS fnum, CAST(fden AS BIGINT) AS fden,
+              CAST(snum AS BIGINT) AS snum, CAST(sden AS BIGINT) AS sden,
+              CAST(fnum AS DOUBLE) / CAST(fden AS DOUBLE) / 10000.0
+                - CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE) / 10000.0 AS macd
+       FROM w""",
+)
+def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ MACD: difference of a fast (alpha=1/2) and slow (alpha=1/4)
+    exponentially weighted average of event value per user — the trend-
+    shift detector layered on the win_ewma machinery. Both EWMAs use the
+    8-tap truncated-geometric trick with EXACT integer weights: fast taps
+    2^(7-k), slow taps 3^k*4^(7-k) (the alpha=1/4 geometric ratio 3/4
+    integerized by 4^7), so every tap product and the tap-present
+    denominators are exact BIGINTs; one final fixed-order double
+    expression de-scales and subtracts. All four accumulators share ONE
+    keyed window sort — same single-shuffle plan as win_ewma."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id", "user_id", "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("xq"),
+    )
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fw = [1 << (7 - k) for k in range(8)]
+    sw = [(3 ** k) * (4 ** (7 - k)) for k in range(8)]
+    fnum = F.lit(0).cast("bigint")
+    fden = F.lit(0).cast("bigint")
+    snum = F.lit(0).cast("bigint")
+    sden = F.lit(0).cast("bigint")
+    for k in range(8):
+        lagged = F.col("xq") if k == 0 else F.lag("xq", k).over(win)
+        fnum = fnum + F.coalesce(lagged, F.lit(0)) * fw[k]
+        fden = fden + F.when(lagged.isNull(), 0).otherwise(fw[k])
+        snum = snum + F.coalesce(lagged, F.lit(0)) * sw[k]
+        sden = sden + F.when(lagged.isNull(), 0).otherwise(sw[k])
+    w = b.select(
+        "event_id", "user_id",
+        fnum.cast("bigint").alias("fnum"), fden.cast("bigint").alias("fden"),
+        snum.cast("bigint").alias("snum"), sden.cast("bigint").alias("sden"),
+    )
+    return w.select(
+        "event_id", "user_id", "fnum", "fden", "snum", "sden",
+        F.expr(
+            "CAST(fnum AS DOUBLE) / CAST(fden AS DOUBLE) / 10000.0"
+            " - CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE) / 10000.0"
+        ).alias("macd"),
+    )
+
+
+@q(
+    "agg_decile_lift",
+    """WITH spend AS (
+         SELECT o_custkey,
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                              AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY o_custkey),
+       dec AS (
+         SELECT o_custkey, cents,
+                NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+         FROM spend),
+       g AS (
+         SELECT decile, COUNT(*) AS n_customers, SUM(cents) AS rev_c
+         FROM dec GROUP BY decile),
+       c AS (
+         SELECT decile, n_customers, rev_c,
+                SUM(rev_c) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING) AS cum_c,
+                SUM(rev_c) OVER () AS tot_c
+         FROM g)
+       SELECT CAST(decile AS BIGINT) AS decile,
+              CAST(n_customers AS BIGINT) AS n_customers,
+              CAST(rev_c AS BIGINT) AS rev_c,
+              CAST((1000000 * CAST(cum_c AS HUGEINT))
+                   // CAST(tot_c AS HUGEINT) AS BIGINT) AS cum_share_ppm,
+              CAST((10000000 * CAST(rev_c AS HUGEINT))
+                   // CAST(tot_c AS HUGEINT) AS BIGINT) AS lift_ppm
+       FROM c""",
+)
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ decile lift table: customers ranked by total spend, cut into 10
+    equal-count buckets; per decile the revenue share, cumulative share,
+    and lift vs a uniform decile (1e6 = average) — the campaign-targeting
+    / whale-concentration readout next to agg_abc_class's ABC cut and
+    agg_hhi's concentration index. Exact: spend in fixed-point cents,
+    NTILE ties broken by custkey, ppm floors. The NTILE window is global
+    but runs over the CUSTOMER-dimension aggregate (one row per customer,
+    dimension-sized by construction — whitelisted one-task shape, same
+    argument as agg_abc_class); the cumulative/total windows run over the
+    10-row decile table."""
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    dec_w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    dec = spend.withColumn("decile", F.ntile(10).over(dec_w))
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("cents").alias("rev_c")
+    )
+    cum_w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot_w = Window.partitionBy()
+    c = g.select(
+        "decile", "n_customers", "rev_c",
+        F.sum("rev_c").over(cum_w).alias("cum_c"),
+        F.sum("rev_c").over(tot_w).alias("tot_c"),
+    )
+    return c.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("rev_c").cast("bigint").alias("rev_c"),
+        F.expr(
+            "CAST((1000000 * CAST(cum_c AS DECIMAL(38,0)))"
+            " DIV CAST(tot_c AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("cum_share_ppm"),
+        F.expr(
+            "CAST((10000000 * CAST(rev_c AS DECIMAL(38,0)))"
+            " DIV CAST(tot_c AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+@q(
+    "text_winnowing",
+    """WITH words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       grams AS (
+         SELECT doc_id,
+                unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+         FROM words),
+       h AS (
+         SELECT doc_id, i,
+                CAST('0x' || substr(md5(w[i] || ' ' || w[i + 1] || ' '
+                                        || w[i + 2]), 1, 10) AS BIGINT)
+                  * 65536 + (65535 - i % 65536) AS combined
+         FROM grams),
+       win AS (
+         SELECT doc_id,
+                MIN(combined) OVER w AS fp,
+                COUNT(*) OVER w AS nn
+         FROM h
+         WINDOW w AS (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_windows,
+              CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints
+       FROM win WHERE nn = 4 GROUP BY doc_id""",
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every word 3-gram, slide a w=4 window, keep each
+    window's minimal hash — guarantees any shared run of >= w+k-1 tokens
+    between two documents shares a fingerprint, at ~2/(w+1) the density
+    of full shingling. The local-copy detector that complements
+    dedup_minhash's global similarity. Rightmost-tie robustness is packed
+    INTO the min: combined = hash*2^16 + (2^16-1 - i mod 2^16), so the
+    minimum simultaneously selects the smallest 40-bit hash and, on hash
+    ties, the rightmost position — one MIN instead of an order-sensitive
+    argmin (identical semantics both engines; docs beyond 65536 grams
+    recycle tie-break positions — deterministic either way). Plan:
+    explode to grams (map-side), one per-doc window sort, one grouped
+    agg; everything partitions on doc_id, unskewed."""
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("w"))
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 3 THEN sequence(1, size(w) - 2)"
+                " ELSE CAST(array() AS ARRAY<INT>) END"
+            )
+        ).alias("i"),
+        "w",
+    )
+    h = grams.select(
+        "doc_id", "i",
+        F.expr(
+            "CAST(conv(substring(md5(concat(element_at(w, i), ' ',"
+            " element_at(w, i + 1), ' ', element_at(w, i + 2))), 1, 10), 16, 10)"
+            " AS BIGINT) * 65536 + (65535 - i % 65536)"
+        ).alias("combined"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, Window.currentRow)
+    win = h.select(
+        "doc_id",
+        F.min("combined").over(w).alias("fp"),
+        F.count(F.lit(1)).over(w).alias("nn"),
+    )
+    return (
+        win.filter(F.col("nn") == 4)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-visible ordering
 # =====================================================================
