@@ -28,6 +28,9 @@ GLOBAL_ONE_TASK_OK = {
                          # dimension-sized by construction, documented
     "text_zipf",         # rank window over the 50-row TakeOrdered top —
                          # vocabulary-head-sized by construction
+    "agg_survival",      # risk-set / cumulative-hazard windows over the
+                         # DAY-grain lead-time table (calendar-span
+                         # bounded, ~4k rows at any sf — documented)
     "agg_decile_lift",   # NTILE over the customer-dimension spend rollup
                          # (one row per customer) + cum/total windows over
                          # the 10-row decile table — same argument as
@@ -67,6 +70,8 @@ BNLJ_OK = {
     "interval_density",  # 1-row min/max scalar exploded into the bin spine
     "agg_chisq",         # 1-row grand-total N joined onto 6 contingency cells
     "agg_benford",       # 1-row digit-count total for exact ppm shares
+    "agg_survival",      # 1-row order-count total joined onto the day table
+    "qa_drift_tvd",      # 1-row cohort totals + 1-row corpus TVD scalar
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins
     "agg_abc_class",     # 1-row grand-total revenue scalar

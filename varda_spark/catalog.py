@@ -11049,6 +11049,456 @@ _DRIVER_PRIORITY_R5 = [
 ]
 
 
+@q(
+    "agg_survival",
+    """WITH lead AS (
+         SELECT o.o_orderkey,
+                date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(MIN(l.l_shipdate) AS DATE)) AS lead_day
+         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_orderkey, o.o_orderdate),
+       ev AS (
+         SELECT lead_day, CAST(COUNT(*) AS BIGINT) AS d
+         FROM lead GROUP BY lead_day),
+       tot AS (SELECT CAST(SUM(d) AS BIGINT) AS n FROM ev),
+       rk AS (
+         SELECT e.lead_day, e.d,
+                t.n - COALESCE(SUM(e.d) OVER (ORDER BY e.lead_day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS n_risk
+         FROM ev e CROSS JOIN tot t),
+       hz AS (
+         SELECT lead_day, d, n_risk,
+                (1000000 * d) // n_risk AS hazard_ppm
+         FROM rk)
+       SELECT CAST(lead_day AS BIGINT) AS lead_day,
+              CAST(n_risk AS BIGINT) AS n_risk,
+              CAST(d AS BIGINT) AS n_events,
+              CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+              CAST(SUM(hazard_ppm) OVER (ORDER BY lead_day
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hazard_ppm
+       FROM hz""",
+)
+def agg_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ survival / time-to-event curve on order fulfilment: per
+    lead-time day (order date to first shipment), the at-risk count,
+    events, discrete hazard d/n ppm, and the Nelson-Aalen cumulative
+    hazard — the retention-curve primitive (swap orders for users and
+    shipment for churn). Exactness: hazard terms are integer-floored ppm
+    BEFORE summation (floor-then-sum is the contract, documented here;
+    the alternative sum-then-floor needs rational accumulation) — no
+    float anywhere, so the curve is bit-stable. The classic KM survival
+    PRODUCT is deliberately not emitted: exact cross-engine products
+    need log-space floats (banned by the no-float-log rule);
+    exp(-cum_hazard) is the standard recovery for readers. Plan: the
+    order-grain lead-time agg shuffles once on orderkey; everything
+    after runs on the DAY-grain table, bounded by the lead-time domain
+    (~a few hundred rows at ANY sf — the global windows are one-task
+    over that dimension-sized table, whitelisted in audit_plans)."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    lead = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.datediff(
+                F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("lead_day")
+        )
+    )
+    ev = lead.groupBy("lead_day").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    tot = ev.agg(F.sum("d").cast("bigint").alias("n"))
+    prior_w = Window.orderBy("lead_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rk = ev.crossJoin(F.broadcast(tot)).select(
+        "lead_day", "d",
+        (F.col("n") - F.coalesce(F.sum("d").over(prior_w), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    hz = rk.withColumn("hazard_ppm", F.expr("(1000000 * d) DIV n_risk"))
+    cum_w = Window.orderBy("lead_day").rowsBetween(Window.unboundedPreceding, 0)
+    return hz.select(
+        F.col("lead_day").cast("bigint").alias("lead_day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("hazard_ppm").cast("bigint").alias("hazard_ppm"),
+        F.sum("hazard_ppm").over(cum_w).cast("bigint").alias("cum_hazard_ppm"),
+    )
+
+
+@q(
+    "qa_drift_tvd",
+    """WITH tagged AS (
+         SELECT event_type,
+                (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7) % 2
+                  AS cohort
+         FROM events),
+       c AS (
+         SELECT event_type,
+                CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         FROM tagged GROUP BY event_type),
+       n AS (
+         SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+                CAST((1000000 * CAST(SUM(ABS(c1 * CAST(
+                        (SELECT SUM(c2) FROM c) AS HUGEINT)
+                        - c2 * CAST((SELECT SUM(c1) FROM c) AS HUGEINT)))
+                      AS HUGEINT))
+                     // (2 * CAST(SUM(c1) AS HUGEINT) * CAST(SUM(c2) AS HUGEINT))
+                     AS BIGINT) AS tvd_ppm
+         FROM c)
+       SELECT c.event_type, c.c1, c.c2, n.n1, n.n2,
+              CAST((1000000 * ABS(c.c1 * CAST(n.n2 AS HUGEINT)
+                                  - c.c2 * CAST(n.n1 AS HUGEINT)))
+                   // (CAST(n.n1 AS HUGEINT) * CAST(n.n2 AS HUGEINT))
+                   AS BIGINT) AS delta_ppm,
+              n.tvd_ppm
+       FROM c CROSS JOIN n""",
+)
+def qa_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA+ distribution-drift monitor: total-variation distance between
+    the event-type mix of even vs odd epoch-weeks (the canonical "did
+    this week's data shift vs last week's" gate before a training run).
+    TVD chosen over PSI/KL deliberately: those need log (banned —
+    engines' libm differ); TVD = ½·Σ|p−q| is a pure RATIONAL of counts,
+    so cross-multiplied int128/DECIMAL(38,0) arithmetic makes both the
+    per-type delta and the total exact at any sf (c·n products pass
+    int64 around sf≈1e3; HUGEINT/DECIMAL carry to 1e38). Output: one row
+    per event type with its ppm contribution plus the corpus TVD
+    replicated — the 1-row totals side is a broadcast scalar (BNLJ
+    whitelist pattern). Plan: one scan, one k-types-row agg, map-side
+    partials; the cohort tag is a pure projection so pruning and
+    pushdown survive."""
+    ev = read_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.expr(
+            "(datediff(CAST(ts AS DATE), DATE'1970-01-01') DIV 7) % 2"
+        ).alias("cohort"),
+    )
+    c = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    nrow = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    with_delta = c.crossJoin(F.broadcast(nrow)).withColumn(
+        "delta_ppm",
+        F.expr(
+            "CAST((1000000 * ABS(CAST(c1 AS DECIMAL(38,0))"
+            " * CAST(n2 AS DECIMAL(38,0))"
+            " - CAST(c2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))))"
+            " DIV (CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ),
+    )
+    tvd = with_delta.agg(
+        F.expr(
+            "CAST((1000000 * CAST(SUM(ABS(CAST(c1 AS DECIMAL(38,0))"
+            " * CAST(n2 AS DECIMAL(38,0))"
+            " - CAST(c2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))))"
+            " AS DECIMAL(38,0)))"
+            " DIV (2 * CAST(MAX(n1) AS DECIMAL(38,0))"
+            " * CAST(MAX(n2) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("tvd_ppm")
+    )
+    return with_delta.crossJoin(F.broadcast(tvd)).select(
+        "event_type", "c1", "c2", "n1", "n2", "delta_ppm", "tvd_ppm"
+    )
+
+
+
+
+@q(
+    "text_rake",
+    """WITH norm AS (
+         SELECT doc_id,
+                string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' ') AS w
+         FROM documents),
+       tok AS (
+         SELECT doc_id, i, w[i] AS t
+         FROM (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM norm)
+         WHERE w[i] <> ''),
+       kw AS (
+         SELECT doc_id, i, t,
+                i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         FROM tok
+         WHERE t NOT IN ('the','a','an','of','and','or','in','on','to','is',
+                         'are','was','for','with','as','by','at','it','this',
+                         'that','be','from')),
+       island AS (
+         SELECT doc_id, grp, COUNT(*) AS plen,
+                string_agg(t, ' ' ORDER BY i) AS phrase
+         FROM kw GROUP BY doc_id, grp),
+       member AS (
+         SELECT k.doc_id, k.grp, k.t, s.plen, s.phrase
+         FROM kw k JOIN island s ON s.doc_id = k.doc_id AND s.grp = k.grp
+         WHERE s.plen <= 4),
+       word AS (
+         SELECT t, CAST(COUNT(*) AS BIGINT) AS freq,
+                CAST(SUM(plen) AS BIGINT) AS degree,
+                (1000000 * CAST(SUM(plen) AS BIGINT)) // COUNT(*) AS score_ppm
+         FROM member GROUP BY t),
+       iscore AS (
+         SELECT m.doc_id, m.grp, m.phrase,
+                CAST(SUM(w.score_ppm) AS BIGINT) AS s
+         FROM member m JOIN word w ON w.t = m.t
+         GROUP BY m.doc_id, m.grp, m.phrase)
+       SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+              CAST(MIN(s) AS BIGINT) AS score_ppm
+       FROM iscore GROUP BY phrase
+       ORDER BY score_ppm DESC, phrase LIMIT 50""",
+)
+def text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ RAKE keyword extraction (Rose et al. 2010, public): candidate
+    phrases are maximal stopword-free token runs (gaps-and-islands on
+    token position — pos minus dense row number, pure integer window
+    math); word score = co-occurrence degree / frequency as an exact
+    ppm ratio; phrase score = Σ member-word scores. Top-50 phrases by
+    score. Every score is integer (counts and floored ratios), so both
+    engines agree bit-for-bit — no tf-idf-style float log. Islands are
+    capped at 4 tokens (standard RAKE practice; also bounds the
+    string_agg). Plan: token explode is map-side; the two shuffles are
+    the (doc,island) group and the corpus word table; phrase dedup
+    reuses the island group keys; final top-50 is a TakeOrdered, no
+    global window. 100 TB: the word table is vocabulary-sized, islands
+    are document-local — both shuffle keys are well-distributed."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " "
+                )
+            ).alias("i0", "t"),
+        )
+        .filter(F.col("t") != "")
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "t")
+    )
+    stops = [
+        "the", "a", "an", "of", "and", "or", "in", "on", "to", "is",
+        "are", "was", "for", "with", "as", "by", "at", "it", "this",
+        "that", "be", "from",
+    ]
+    isl_w = Window.partitionBy("doc_id").orderBy("i")
+    kw = tok.filter(~F.col("t").isin(stops)).withColumn(
+        "grp", F.col("i") - F.row_number().over(isl_w)
+    )
+    island = kw.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "t"))),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    member = kw.join(island.filter(F.col("plen") <= 4), ["doc_id", "grp"])
+    word = member.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    ).withColumn("score_ppm", F.expr("(1000000 * degree) DIV freq"))
+    iscore = member.join(word.select("t", "score_ppm"), "t").groupBy(
+        "doc_id", "grp", "phrase"
+    ).agg(F.sum("score_ppm").cast("bigint").alias("s"))
+    return (
+        iscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.min("s").cast("bigint").alias("score_ppm"),
+        )
+        .orderBy(F.col("score_ppm").desc(), "phrase")
+        .limit(50)
+    )
+
+
+@q(
+    "agg_bootstrap",
+    """WITH keyed AS (
+         SELECT l_orderkey * 8 + l_linenumber AS rk,
+                CAST(l_quantity AS DECIMAL(18,4)) AS q
+         FROM lineitem),
+       rep AS (
+         SELECT k.rk, k.q, b
+         FROM keyed k, unnest(range(0, 32)) AS t(b)),
+       coin AS (
+         SELECT q, b,
+                CAST('0x' || substr(md5(CAST(rk AS VARCHAR) || ':'
+                                        || CAST(b AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 1000000 AS u
+         FROM rep),
+       w AS (
+         SELECT q, b,
+                CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                     WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                     WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+                     WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+                     WHEN u < 999998 THEN 8 ELSE 9 END AS wt
+         FROM coin)
+       SELECT CAST(b AS BIGINT) AS replicate,
+              CAST(SUM(wt) AS BIGINT) AS n_eff,
+              CAST(SUM(wt * q) AS DOUBLE) / SUM(wt) AS mean_qty
+       FROM w GROUP BY b""",
+)
+def agg_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ Poissonized bootstrap: 32 deterministic resampling replicates
+    of mean(l_quantity) for uncertainty bands without collecting data —
+    the scalable bootstrap (each row's replicate-b multiplicity is an
+    independent-ish Poisson(1) draw, the standard streaming-bootstrap
+    trick). The draw is md5(row_key:b) mapped through the Poisson(1)
+    CDF in exact ppm thresholds — integer compares, so both engines
+    sample IDENTICAL weights; the weighted sum accumulates in
+    DECIMAL(18,4) and takes ONE deterministic cast to double. Readers
+    take the replicate spread as the CI. Plan: 32× row fan-out is
+    map-side generate (no shuffle amplification — partial aggregation
+    combines to 32 rows per partition before the single 32-key
+    shuffle); cost is B× the base scan, the honest price of bootstrap.
+    Row key l_orderkey*8+l_linenumber is unique (linenumber ≤ 7)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("q"),
+    )
+    rep = keyed.select(
+        "rk", "q", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    u = (
+        "CAST(conv(substring(md5(CAST(rk AS STRING) || ':'"
+        " || CAST(b AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000"
+    )
+    w = rep.withColumn(
+        "wt",
+        F.expr(
+            f"CASE WHEN {u} < 367879 THEN 0 WHEN {u} < 735758 THEN 1"
+            f" WHEN {u} < 919698 THEN 2 WHEN {u} < 981011 THEN 3"
+            f" WHEN {u} < 996340 THEN 4 WHEN {u} < 999405 THEN 5"
+            f" WHEN {u} < 999916 THEN 6 WHEN {u} < 999989 THEN 7"
+            f" WHEN {u} < 999998 THEN 8 ELSE 9 END"
+        ),
+    )
+    return w.groupBy("b").agg(
+        F.col("b").cast("bigint").alias("replicate"),
+        F.sum("wt").cast("bigint").alias("n_eff"),
+        (F.sum(F.col("wt") * F.col("q")).cast("double") / F.sum("wt")).alias(
+            "mean_qty"
+        ),
+    ).select("replicate", "n_eff", "mean_qty")
+
+
+@q(
+    "dedup_binary_chunks",
+    """WITH b AS (
+         SELECT doc_id, hex(CAST(text AS BLOB)) AS h FROM documents
+         WHERE octet_length(CAST(text AS BLOB)) >= 16),
+       chunks AS (
+         SELECT DISTINCT doc_id, substr(h, 1 + 32 * i, 32) AS c
+         FROM (SELECT doc_id, h,
+                      unnest(range(0, CAST(length(h) // 32 AS BIGINT))) AS i
+               FROM b)),
+       per_doc AS (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+         FROM chunks GROUP BY doc_id),
+       shared AS (
+         SELECT c FROM chunks GROUP BY c
+         HAVING COUNT(*) BETWEEN 2 AND 64),
+       pairs AS (
+         SELECT x.doc_id AS item_a, y.doc_id AS item_b,
+                CAST(COUNT(*) AS BIGINT) AS shared_chunks
+         FROM chunks x
+         JOIN shared s ON s.c = x.c
+         JOIN chunks y ON y.c = x.c AND y.doc_id > x.doc_id
+         GROUP BY x.doc_id, y.doc_id)
+       SELECT p.item_a, p.item_b, p.shared_chunks,
+              da.n_chunks AS chunks_a, db.n_chunks AS chunks_b,
+              (1000000 * p.shared_chunks)
+                // least(da.n_chunks, db.n_chunks) AS containment_ppm
+       FROM pairs p
+       JOIN per_doc da ON da.doc_id = p.item_a
+       JOIN per_doc db ON db.doc_id = p.item_b""",
+)
+def dedup_binary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5+ chunk-level binary dedup (CDC-style, fixed 16-byte aligned
+    chunks): the multimodal-blob analogue of shingle dedup — two items
+    sharing raw byte chunks are storage-dup or partial-copy candidates
+    even when whole-file digests differ (truncated uploads, re-muxed
+    containers, concatenated shards). Operates on the same deterministic
+    text-bytes payloads as synthesize_blobs (sources/multimodal.py), so
+    the DuckDB twin sees identical bytes; with real binaryFile blobs the
+    pipeline is unchanged. Chunks are compared via their 32-hex-char
+    identity (hex() is uppercase in BOTH engines, checked); chunks seen
+    in >64 items are dropped as boilerplate (zero blocks, format
+    headers) — the fan-out cap that keeps the pair join from exploding
+    on a hot chunk at 100 TB. Plan: map-side chunk explode + DISTINCT,
+    inverted-index self-join keyed on chunk (shuffle on a
+    well-distributed 128-bit key), bounded pair output; containment ppm
+    is exact integer floor division."""
+    docs = read_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", F.hex(F.col("text").cast("binary")).alias("h")
+    ).filter(F.length(F.col("text").cast("binary")) >= 16)
+    chunks = (
+        b.select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(0, CAST(length(h) DIV 32 AS INT) - 1)")
+            ).alias("i"),
+            "h",
+        )
+        .select(
+            "doc_id", F.expr("substring(h, 1 + 32 * i, 32)").alias("c")
+        )
+        .distinct()
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    shared = (
+        chunks.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter((F.col("cnt") >= 2) & (F.col("cnt") <= 64))
+        .select("c")
+    )
+    x = chunks.join(shared, "c")
+    y = chunks.withColumnRenamed("doc_id", "doc_b")
+    pairs = (
+        x.join(y, "c")
+        .filter(F.col("doc_b") > F.col("doc_id"))
+        .groupBy(
+            F.col("doc_id").alias("item_a"), F.col("doc_b").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_chunks"))
+    )
+    da = per_doc.select(
+        F.col("doc_id").alias("item_a"), F.col("n_chunks").alias("chunks_a")
+    )
+    db_ = per_doc.select(
+        F.col("doc_id").alias("item_b"), F.col("n_chunks").alias("chunks_b")
+    )
+    return (
+        pairs.join(da, "item_a")
+        .join(db_, "item_b")
+        .select(
+            "item_a", "item_b", "shared_chunks", "chunks_a", "chunks_b",
+            F.expr(
+                "(1000000 * shared_chunks) DIV least(chunks_a, chunks_b)"
+            ).alias("containment_ppm"),
+        )
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
