@@ -31,6 +31,10 @@ GLOBAL_ONE_TASK_OK = {
     "agg_survival",      # risk-set / cumulative-hazard windows over the
                          # DAY-grain lead-time table (calendar-span
                          # bounded, ~4k rows at any sf — documented)
+    "win_seasonal_decompose",  # 7-day MA + dow windows over the DAY-grain
+                         # revenue rollup (calendar-bounded, documented)
+    "agg_distinct_growth",  # cumulative sum over the DAY-grain new-user
+                         # table (calendar-bounded, documented)
     "agg_decile_lift",   # NTILE over the customer-dimension spend rollup
                          # (one row per customer) + cum/total windows over
                          # the 10-row decile table — same argument as
@@ -72,6 +76,7 @@ BNLJ_OK = {
     "agg_benford",       # 1-row digit-count total for exact ppm shares
     "agg_survival",      # 1-row order-count total joined onto the day table
     "qa_drift_tvd",      # 1-row cohort totals + 1-row corpus TVD scalar
+    "graph_modularity",  # 1-row edge-count total joined onto communities
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins
     "agg_abc_class",     # 1-row grand-total revenue scalar

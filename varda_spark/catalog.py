@@ -11499,6 +11499,353 @@ def dedup_binary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "freq_hwe",
+    """WITH gt AS (
+         SELECT l_partkey AS site_id,
+                CASE WHEN l_orderkey % 3 = 0 THEN 2
+                     WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END AS n_ref
+         FROM lineitem),
+       cnt AS (
+         SELECT site_id,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN n_ref = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hom_ref,
+                CAST(SUM(CASE WHEN n_ref = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_het,
+                CAST(SUM(CASE WHEN n_ref = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hom_alt
+         FROM gt GROUP BY site_id),
+       poly AS (
+         SELECT site_id, n, n_hom_ref, n_het, n_hom_alt,
+                2 * n_hom_ref + n_het AS x
+         FROM cnt
+         WHERE 2 * n_hom_ref + n_het > 0
+           AND 2 * n_hom_ref + n_het < 2 * n),
+       chi AS (
+         SELECT site_id, n, n_hom_ref, n_het, n_hom_alt,
+                (1000000 * (4 * CAST(n AS HUGEINT) * n_hom_ref
+                            - CAST(x AS HUGEINT) * x)
+                         * (4 * CAST(n AS HUGEINT) * n_hom_ref
+                            - CAST(x AS HUGEINT) * x))
+                  // (4 * CAST(n AS HUGEINT) * x * x)
+                + (1000000 * (2 * CAST(n AS HUGEINT) * n_het
+                              - CAST(x AS HUGEINT) * (2 * n - x))
+                           * (2 * CAST(n AS HUGEINT) * n_het
+                              - CAST(x AS HUGEINT) * (2 * n - x)))
+                  // (2 * CAST(n AS HUGEINT) * x * (2 * n - x))
+                + (1000000 * (4 * CAST(n AS HUGEINT) * n_hom_alt
+                              - CAST(2 * n - x AS HUGEINT) * (2 * n - x))
+                           * (4 * CAST(n AS HUGEINT) * n_hom_alt
+                              - CAST(2 * n - x AS HUGEINT) * (2 * n - x)))
+                  // (4 * CAST(n AS HUGEINT) * (2 * n - x) * (2 * n - x))
+                  AS chi2_ppm
+         FROM poly)
+       SELECT site_id, n, n_hom_ref, n_het, n_hom_alt,
+              CAST(chi2_ppm AS BIGINT) AS chi2_ppm,
+              chi2_ppm >= 3841459 AS hwe_fail
+       FROM chi""",
+)
+def freq_hwe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core Hardy-Weinberg equilibrium test per variant site: the
+    population-genetics QC that flags genotyping artifacts (sites whose
+    hom/het mix is impossible under random mating — batch effects,
+    alignment errors, CNVs masquerading as SNVs). chi² with 1 df against
+    expected p², 2pq, q² where p is the REF allele frequency. Exactness:
+    p = x/2n is kept RATIONAL — each (obs−exp)²/exp term is
+    cross-multiplied to the integer identity (4n·oRR − x²)²/(4n·x²) etc.,
+    so chi2_ppm is three floored non-negative integer divisions summed
+    (floor-then-sum contract, same as agg_survival) in int128/DECIMAL —
+    no float. hwe_fail is the 5% critical value 3.841459 as a ppm
+    integer compare. Monomorphic sites (x=0 or x=2n) are excluded —
+    HWE is undefined there. Genotypes are synthesized 1:1:1 from
+    orderkey%3 (both engines identically). Plan: one grouped agg over
+    the call matrix (site-keyed shuffle, map-side partials), then pure
+    per-row integer math — site-count-sized output."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = li.select(
+        F.col("l_partkey").alias("site_id"),
+        F.expr(
+            "CASE WHEN l_orderkey % 3 = 0 THEN 2"
+            " WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END"
+        ).alias("n_ref"),
+    )
+    cnt = gt.groupBy("site_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("n_ref") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hom_ref"),
+        F.sum(F.when(F.col("n_ref") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_het"),
+        F.sum(F.when(F.col("n_ref") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hom_alt"),
+    )
+    poly = cnt.withColumn("x", F.expr("2 * n_hom_ref + n_het")).filter(
+        (F.col("x") > 0) & (F.col("x") < 2 * F.col("n"))
+    )
+    D = "DECIMAL(38,0)"
+    t1 = (
+        f"(1000000 * (4 * CAST(n AS {D}) * n_hom_ref - CAST(x AS {D}) * x)"
+        f" * (4 * CAST(n AS {D}) * n_hom_ref - CAST(x AS {D}) * x))"
+        f" DIV (4 * CAST(n AS {D}) * x * x)"
+    )
+    t2 = (
+        f"(1000000 * (2 * CAST(n AS {D}) * n_het"
+        f" - CAST(x AS {D}) * (2 * n - x))"
+        f" * (2 * CAST(n AS {D}) * n_het - CAST(x AS {D}) * (2 * n - x)))"
+        f" DIV (2 * CAST(n AS {D}) * x * (2 * n - x))"
+    )
+    t3 = (
+        f"(1000000 * (4 * CAST(n AS {D}) * n_hom_alt"
+        f" - CAST(2 * n - x AS {D}) * (2 * n - x))"
+        f" * (4 * CAST(n AS {D}) * n_hom_alt"
+        f" - CAST(2 * n - x AS {D}) * (2 * n - x)))"
+        f" DIV (4 * CAST(n AS {D}) * (2 * n - x) * (2 * n - x))"
+    )
+    chi = poly.withColumn("chi2_ppm", F.expr(f"{t1} + {t2} + {t3}"))
+    return chi.select(
+        "site_id", "n", "n_hom_ref", "n_het", "n_hom_alt",
+        F.col("chi2_ppm").cast("bigint").alias("chi2_ppm"),
+        (F.col("chi2_ppm") >= 3841459).alias("hwe_fail"),
+    )
+
+
+@q(
+    "graph_modularity",
+    f"""WITH {_COORDER_EDGES_SQL},
+       nodes AS (
+         SELECT DISTINCT v FROM (
+           SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)),
+       adj AS (
+         SELECT pa AS v, pb AS n FROM e
+         UNION ALL SELECT pb AS v, pa AS n FROM e),
+       l0 AS (SELECT v, v AS lab FROM nodes),
+       r1 AS (
+         SELECT v, lab FROM (
+           SELECT a.v, l.lab, COUNT(*) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY a.v
+                       ORDER BY COUNT(*) DESC, l.lab) AS rn
+           FROM adj a JOIN l0 l ON l.v = a.n
+           GROUP BY a.v, l.lab) WHERE rn = 1),
+       r2 AS (
+         SELECT v, lab FROM (
+           SELECT a.v, l.lab, COUNT(*) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY a.v
+                       ORDER BY COUNT(*) DESC, l.lab) AS rn
+           FROM adj a JOIN r1 l ON l.v = a.n
+           GROUP BY a.v, l.lab) WHERE rn = 1),
+       m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+       ein AS (
+         SELECT la.lab AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+         FROM e JOIN r2 la ON la.v = e.pa
+                JOIN r2 lb ON lb.v = e.pb
+         WHERE la.lab = lb.lab GROUP BY la.lab),
+       deg AS (
+         SELECT l.lab AS community, CAST(COUNT(*) AS BIGINT) AS d_tot
+         FROM adj a JOIN r2 l ON l.v = a.v GROUP BY l.lab),
+       com AS (
+         SELECT d.community, COALESCE(i.e_in, 0) AS e_in, d.d_tot
+         FROM deg d LEFT JOIN ein i ON i.community = d.community)
+       SELECT c.community, c.e_in, c.d_tot,
+              CAST((1000000 * (4 * CAST(mm.m AS HUGEINT) * c.e_in
+                               - CAST(c.d_tot AS HUGEINT) * c.d_tot
+                               + 4 * CAST(mm.m AS HUGEINT) * mm.m))
+                   // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT)
+                - 1000000 AS q_ppm
+       FROM com c CROSS JOIN m mm""",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph community QUALITY: Newman modularity contribution per
+    label-propagation community — Q_c = e_c/m − (d_c/2m)², the standard
+    "is this partition better than random" score (sum over communities
+    = Q; Q>0.3 is conventionally 'real structure'). Runs the exact
+    2-round synchronous LPA of graph_labelprop, then three |E|-bounded
+    aggregates: intra-community edge counts, community degree sums, and
+    one 1-row edge total. Exactness with SIGNED values: Spark DIV
+    truncates toward zero while DuckDB // floors — they differ on
+    negatives, so the ppm ratio is SHIFTED by +4m² (d_c ≤ 2m guarantees
+    non-negativity), floored identically, then 1e6 is subtracted back —
+    the negative-division parity trick, reusable wherever a signed
+    rational needs flooring. int128/DECIMAL(38,0) interior (d_c² passes
+    int64 near 3e9 edges). Plan: LPA rounds shuffle on |E|; scoring adds
+    two broadcast-joinable label maps and a 1-row scalar (BNLJ
+    whitelist)."""
+    e = _coorder_edges(spark, sf_dir).localCheckpoint()
+    adj = e.select(F.col("pa").alias("v"), F.col("pb").alias("n")).unionAll(
+        e.select(F.col("pb").alias("v"), F.col("pa").alias("n"))
+    ).localCheckpoint()
+    labels = adj.select("v").distinct().select("v", F.col("v").alias("lab"))
+    for _ in range(2):
+        nb = adj.join(
+            labels.select(F.col("v").alias("n"), "lab"), "n"
+        ).groupBy("v", "lab").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
+        labels = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+            .localCheckpoint()
+        )
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    la = labels.select(F.col("v").alias("pa"), F.col("lab").alias("lab_a"))
+    lb = labels.select(F.col("v").alias("pb"), F.col("lab").alias("lab_b"))
+    ein = (
+        e.join(la, "pa")
+        .join(lb, "pb")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    deg = (
+        adj.join(labels, "v")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_tot"))
+    )
+    com = deg.join(ein, "community", "left").select(
+        "community",
+        F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+        "d_tot",
+    )
+    D = "DECIMAL(38,0)"
+    return com.crossJoin(F.broadcast(m)).select(
+        "community", "e_in", "d_tot",
+        (
+            F.expr(
+                f"CAST((1000000 * (4 * CAST(m AS {D}) * e_in"
+                f" - CAST(d_tot AS {D}) * d_tot"
+                f" + 4 * CAST(m AS {D}) * m))"
+                f" DIV (4 * CAST(m AS {D}) * m) AS BIGINT)"
+            )
+            - 1000000
+        ).alias("q_ppm"),
+    )
+
+
+@q(
+    "win_seasonal_decompose",
+    """WITH day AS (
+         SELECT CAST(o_orderdate AS DATE) AS d,
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                              AS BIGINT)) AS BIGINT) AS rev_c
+         FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+       tr AS (
+         SELECT d, rev_c,
+                CASE WHEN COUNT(*) OVER w = 7
+                     THEN (SUM(rev_c) OVER w) // 7 END AS trend_c,
+                date_diff('day', DATE '1970-01-01', d) % 7 AS dow
+         FROM day
+         WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       det AS (
+         SELECT d, rev_c, trend_c, dow, rev_c - trend_c AS detr
+         FROM tr WHERE trend_c IS NOT NULL),
+       seas AS (
+         SELECT dow,
+                CAST(SUM(CAST(detr AS DECIMAL(38,0))) AS DOUBLE)
+                  / COUNT(*) AS seasonal_c
+         FROM det GROUP BY dow)
+       SELECT t.d AS day, t.rev_c, t.trend_c, CAST(t.dow AS BIGINT) AS dow,
+              s.seasonal_c,
+              CAST(t.rev_c - t.trend_c AS DOUBLE) - s.seasonal_c AS resid_c
+       FROM det t JOIN seas s ON s.dow = t.dow""",
+)
+def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ classical seasonal decomposition of daily revenue:
+    trend = centered 7-day moving average (exact cents DIV 7, emitted
+    only for full windows), seasonal = day-of-week mean of the detrended
+    series, residual = rev − trend − seasonal — the additive
+    trend/seasonal/residual split behind every anomaly dashboard
+    (complements agg_seasonality's fingerprint and win_peak_detect).
+    Float discipline: the detrended values are SIGNED, and signed
+    integer division diverges between engines (Spark DIV truncates,
+    DuckDB // floors) — so the seasonal mean uses the davg idiom
+    instead: exact DECIMAL sum, ONE deterministic cast to double,
+    divide by count. dow is epoch-day mod 7 (engine-portable; no
+    locale-dependent DAYOFWEEK). Plan: order scan → day-grain rollup
+    (map-side partials); all windows run on the DAY table
+    (calendar-bounded at any sf — one-task whitelisted); the 7-row
+    dow table broadcast-joins back."""
+    o = read_table(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = day.select(
+        "d", "rev_c",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.expr("1").cast("bigint"),
+        ).alias("_full"),
+        F.sum("rev_c").over(w).alias("_s7"),
+        F.expr("datediff(d, DATE'1970-01-01') % 7").alias("dow"),
+    ).select(
+        "d", "rev_c", "dow",
+        F.when(F.col("_full") == 1, F.expr("_s7 DIV 7")).alias("trend_c"),
+    )
+    det = tr.filter(F.col("trend_c").isNotNull()).withColumn(
+        "detr", F.col("rev_c") - F.col("trend_c")
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.sum(F.col("detr").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal_c")
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        F.col("d").alias("day"), "rev_c", "trend_c",
+        F.col("dow").cast("bigint").alias("dow"),
+        "seasonal_c",
+        (
+            (F.col("rev_c") - F.col("trend_c")).cast("double")
+            - F.col("seasonal_c")
+        ).alias("resid_c"),
+    )
+
+
+@q(
+    "agg_distinct_growth",
+    """WITH first_day AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+         GROUP BY user_id),
+       per_day AS (
+         SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+         FROM first_day GROUP BY d0)
+       SELECT day, new_users,
+              CAST(SUM(new_users) OVER (ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+       FROM per_day""",
+)
+def agg_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ cumulative-distinct growth curve: new users per day (by first
+    event) and the running total of distinct users ever seen — the
+    audience/corpus growth readout that a naive per-day
+    COUNT(DISTINCT ...) over expanding windows computes at O(days·|data|)
+    cost. The first-touch reformulation is the scale trick: ONE
+    user-keyed aggregate (min day per user — well-distributed shuffle),
+    then the cumulative sum runs on the DAY-grain table (calendar-
+    bounded, one-task whitelisted). Entity-level twin of
+    text_ngram_novelty's content-level novelty curve. Exact integers
+    throughout."""
+    ev = read_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    per_day = first_day.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    cum_w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "new_users",
+        F.sum("new_users").over(cum_w).cast("bigint").alias("cum_users"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
