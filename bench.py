@@ -76,6 +76,8 @@ HEADLINE = LEGACY20 + [
     "text_span_mask",   # deterministic span-corruption training transform
     # round-4 additions
     "graph_triangles_approx",  # DOULION edge-sampled triangle estimate
+    "agg_bootstrap",    # 32-replicate Poissonized bootstrap (B× fan-out)
+    "dedup_binary_chunks",  # chunk-level binary dedup inverted-index join
 ]
 
 

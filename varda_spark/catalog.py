@@ -11328,74 +11328,153 @@ def text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_bootstrap",
     """WITH keyed AS (
          SELECT l_orderkey * 8 + l_linenumber AS rk,
-                CAST(l_quantity AS DECIMAL(18,4)) AS q
+                CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qc
          FROM lineitem),
-       rep AS (
-         SELECT k.rk, k.q, b
-         FROM keyed k, unnest(range(0, 32)) AS t(b)),
-       coin AS (
-         SELECT q, b,
-                CAST('0x' || substr(md5(CAST(rk AS VARCHAR) || ':'
-                                        || CAST(b AS VARCHAR)), 1, 15)
-                     AS BIGINT) % 1000000 AS u
-         FROM rep),
-       w AS (
-         SELECT q, b,
-                CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
-                     WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
-                     WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
-                     WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
-                     WHEN u < 999998 THEN 8 ELSE 9 END AS wt
-         FROM coin)
+       grp AS (
+         SELECT rk, qc, g,
+                md5(CAST(rk AS VARCHAR) || ':' || CAST(g AS VARCHAR)) AS h
+         FROM keyed, unnest(range(0, 6)) AS t(g)),
+       xs AS (
+         SELECT qc, g,
+                CAST('0x' || substr(h, 1, 15) AS BIGINT) AS x1,
+                CAST('0x' || substr(h, 16, 15) AS BIGINT) AS x2
+         FROM grp),
+       wts AS (
+         SELECT qc, g,
+                CASE WHEN x1 % 1048576 < 385749 THEN 0 WHEN x1 % 1048576 < 771499 THEN 1 WHEN x1 % 1048576 < 964373 THEN 2 WHEN x1 % 1048576 < 1028665 THEN 3 WHEN x1 % 1048576 < 1044738 THEN 4 WHEN x1 % 1048576 < 1047952 THEN 5 WHEN x1 % 1048576 < 1048488 THEN 6 WHEN x1 % 1048576 < 1048565 THEN 7 WHEN x1 % 1048576 < 1048574 THEN 8 ELSE 9 END AS wt0,
+                CASE WHEN (x1 // 1048576) % 1048576 < 385749 THEN 0 WHEN (x1 // 1048576) % 1048576 < 771499 THEN 1 WHEN (x1 // 1048576) % 1048576 < 964373 THEN 2 WHEN (x1 // 1048576) % 1048576 < 1028665 THEN 3 WHEN (x1 // 1048576) % 1048576 < 1044738 THEN 4 WHEN (x1 // 1048576) % 1048576 < 1047952 THEN 5 WHEN (x1 // 1048576) % 1048576 < 1048488 THEN 6 WHEN (x1 // 1048576) % 1048576 < 1048565 THEN 7 WHEN (x1 // 1048576) % 1048576 < 1048574 THEN 8 ELSE 9 END AS wt1,
+                CASE WHEN x1 // 1099511627776 < 385749 THEN 0 WHEN x1 // 1099511627776 < 771499 THEN 1 WHEN x1 // 1099511627776 < 964373 THEN 2 WHEN x1 // 1099511627776 < 1028665 THEN 3 WHEN x1 // 1099511627776 < 1044738 THEN 4 WHEN x1 // 1099511627776 < 1047952 THEN 5 WHEN x1 // 1099511627776 < 1048488 THEN 6 WHEN x1 // 1099511627776 < 1048565 THEN 7 WHEN x1 // 1099511627776 < 1048574 THEN 8 ELSE 9 END AS wt2,
+                CASE WHEN x2 % 1048576 < 385749 THEN 0 WHEN x2 % 1048576 < 771499 THEN 1 WHEN x2 % 1048576 < 964373 THEN 2 WHEN x2 % 1048576 < 1028665 THEN 3 WHEN x2 % 1048576 < 1044738 THEN 4 WHEN x2 % 1048576 < 1047952 THEN 5 WHEN x2 % 1048576 < 1048488 THEN 6 WHEN x2 % 1048576 < 1048565 THEN 7 WHEN x2 % 1048576 < 1048574 THEN 8 ELSE 9 END AS wt3,
+                CASE WHEN (x2 // 1048576) % 1048576 < 385749 THEN 0 WHEN (x2 // 1048576) % 1048576 < 771499 THEN 1 WHEN (x2 // 1048576) % 1048576 < 964373 THEN 2 WHEN (x2 // 1048576) % 1048576 < 1028665 THEN 3 WHEN (x2 // 1048576) % 1048576 < 1044738 THEN 4 WHEN (x2 // 1048576) % 1048576 < 1047952 THEN 5 WHEN (x2 // 1048576) % 1048576 < 1048488 THEN 6 WHEN (x2 // 1048576) % 1048576 < 1048565 THEN 7 WHEN (x2 // 1048576) % 1048576 < 1048574 THEN 8 ELSE 9 END AS wt4,
+                CASE WHEN x2 // 1099511627776 < 385749 THEN 0 WHEN x2 // 1099511627776 < 771499 THEN 1 WHEN x2 // 1099511627776 < 964373 THEN 2 WHEN x2 // 1099511627776 < 1028665 THEN 3 WHEN x2 // 1099511627776 < 1044738 THEN 4 WHEN x2 // 1099511627776 < 1047952 THEN 5 WHEN x2 // 1099511627776 < 1048488 THEN 6 WHEN x2 // 1099511627776 < 1048565 THEN 7 WHEN x2 // 1099511627776 < 1048574 THEN 8 ELSE 9 END AS wt5
+         FROM xs),
+       agg AS (
+         SELECT g,
+                CAST(SUM(wt0) AS BIGINT) AS n0,
+                CAST(SUM(wt0 * qc) AS BIGINT) AS s0,
+                CAST(SUM(wt1) AS BIGINT) AS n1,
+                CAST(SUM(wt1 * qc) AS BIGINT) AS s1,
+                CAST(SUM(wt2) AS BIGINT) AS n2,
+                CAST(SUM(wt2 * qc) AS BIGINT) AS s2,
+                CAST(SUM(wt3) AS BIGINT) AS n3,
+                CAST(SUM(wt3 * qc) AS BIGINT) AS s3,
+                CAST(SUM(wt4) AS BIGINT) AS n4,
+                CAST(SUM(wt4 * qc) AS BIGINT) AS s4,
+                CAST(SUM(wt5) AS BIGINT) AS n5,
+                CAST(SUM(wt5 * qc) AS BIGINT) AS s5
+         FROM wts GROUP BY g),
+       flat AS (
+         SELECT 6 * g + j AS b,
+                CASE j WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2
+                       WHEN 3 THEN n3 WHEN 4 THEN n4 ELSE n5 END AS n_eff,
+                CASE j WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+                       WHEN 3 THEN s3 WHEN 4 THEN s4 ELSE s5 END AS s
+         FROM agg, unnest(range(0, 6)) AS u(j)
+         WHERE 6 * g + j < 32)
        SELECT CAST(b AS BIGINT) AS replicate,
-              CAST(SUM(wt) AS BIGINT) AS n_eff,
-              CAST(SUM(wt * q) AS DOUBLE) / SUM(wt) AS mean_qty
-       FROM w GROUP BY b""",
+              CAST(n_eff AS BIGINT) AS n_eff,
+              CAST(s AS DOUBLE) / 10000.0 / n_eff AS mean_qty
+       FROM flat""",
 )
 def agg_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D+ Poissonized bootstrap: 32 deterministic resampling replicates
     of mean(l_quantity) for uncertainty bands without collecting data —
     the scalable bootstrap (each row's replicate-b multiplicity is an
     independent-ish Poisson(1) draw, the standard streaming-bootstrap
-    trick). The draw is md5(row_key:b) mapped through the Poisson(1)
-    CDF in exact ppm thresholds — integer compares, so both engines
-    sample IDENTICAL weights; the weighted sum accumulates in
-    DECIMAL(18,4) and takes ONE deterministic cast to double. Readers
-    take the replicate spread as the CI. Plan: 32× row fan-out is
-    map-side generate (no shuffle amplification — partial aggregation
-    combines to 32 rows per partition before the single 32-key
-    shuffle); cost is B× the base scan, the honest price of bootstrap.
-    Row key l_orderkey*8+l_linenumber is unique (linenumber ≤ 7)."""
+    trick). Entropy layout and expression shape are perf-critical,
+    measured at sf0.1: one md5 per (row, replicate) = 23.7 s; one md5
+    per sextet but six conv() calls + decimal sums = 16.6 s; this form =
+    ~7 s — TWO conv() calls per digest (15 hex chars each, bit-sliced
+    into three 20-bit draws with integer DIV/%), weights evaluated as
+    SIX COLUMNS, quantity pre-scaled to BIGINT cents so all 12
+    aggregates are long sums, and the per-replicate reshape explodes
+    only the 6-ROW aggregate. Draws map through the Poisson(1) CDF
+    quantized to exact /2^20 thresholds (integer compares, no modulo
+    bias) — both engines sample IDENTICAL weights; the one float op is
+    the final mean. Plan: one 6x map-side fan-out, partial aggregation
+    to 6 rows per partition, a 6-key shuffle, constant-sized reshape.
+    Row key l_orderkey*8+l_linenumber is unique (linenumber <= 7)."""
     li = read_table(spark, sf_dir, "lineitem")
     keyed = li.select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
-        F.col("l_quantity").cast("decimal(18,4)").alias("q"),
-    )
-    rep = keyed.select(
-        "rk", "q", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
-    )
-    u = (
-        "CAST(conv(substring(md5(CAST(rk AS STRING) || ':'"
-        " || CAST(b AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000"
-    )
-    w = rep.withColumn(
-        "wt",
         F.expr(
-            f"CASE WHEN {u} < 367879 THEN 0 WHEN {u} < 735758 THEN 1"
-            f" WHEN {u} < 919698 THEN 2 WHEN {u} < 981011 THEN 3"
-            f" WHEN {u} < 996340 THEN 4 WHEN {u} < 999405 THEN 5"
-            f" WHEN {u} < 999916 THEN 6 WHEN {u} < 999989 THEN 7"
-            f" WHEN {u} < 999998 THEN 8 ELSE 9 END"
+            "CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("qc"),
+    )
+    grp = keyed.select(
+        "qc", "rk", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("g")
+    ).withColumn(
+        "h",
+        F.md5(
+            F.expr(
+                "CAST(CAST(rk AS STRING) || ':' || CAST(g AS STRING)"
+                " AS BINARY)"
+            )
         ),
     )
-    return w.groupBy("b").agg(
+    xs = grp.select(
+        "qc", "g",
+        F.expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)").alias("x1"),
+        F.expr("CAST(conv(substring(h, 16, 15), 16, 10) AS BIGINT)").alias("x2"),
+    )
+    spark_u = [
+        "x1 % 1048576",
+        "(x1 DIV 1048576) % 1048576",
+        "x1 DIV 1099511627776",
+        "x2 % 1048576",
+        "(x2 DIV 1048576) % 1048576",
+        "x2 DIV 1099511627776",
+    ]
+
+    def wt(u: str) -> str:
+        return (
+            f"CASE WHEN {u} < 385749 THEN 0 WHEN {u} < 771499 THEN 1"
+            f" WHEN {u} < 964373 THEN 2 WHEN {u} < 1028665 THEN 3"
+            f" WHEN {u} < 1044738 THEN 4 WHEN {u} < 1047952 THEN 5"
+            f" WHEN {u} < 1048488 THEN 6 WHEN {u} < 1048565 THEN 7"
+            f" WHEN {u} < 1048574 THEN 8 ELSE 9 END"
+        )
+
+    wts = xs.select(
+        "qc", "g",
+        *[F.expr(wt(u)).alias(f"wt{j}") for j, u in enumerate(spark_u)],
+    )
+    agg = wts.groupBy("g").agg(
+        *[
+            a
+            for j in range(6)
+            for a in (
+                F.sum(f"wt{j}").cast("bigint").alias(f"n{j}"),
+                F.sum(F.col(f"wt{j}") * F.col("qc"))
+                .cast("bigint")
+                .alias(f"s{j}"),
+            )
+        ]
+    )
+    flat = (
+        agg.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("j")
+        )
+        .filter(F.expr("6 * g + j < 32"))
+        .select(
+            F.expr("6 * g + j").alias("b"),
+            F.expr(
+                "CASE j WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2"
+                " WHEN 3 THEN n3 WHEN 4 THEN n4 ELSE n5 END"
+            ).alias("n_eff"),
+            F.expr(
+                "CASE j WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2"
+                " WHEN 3 THEN s3 WHEN 4 THEN s4 ELSE s5 END"
+            ).alias("s"),
+        )
+    )
+    return flat.select(
         F.col("b").cast("bigint").alias("replicate"),
-        F.sum("wt").cast("bigint").alias("n_eff"),
-        (F.sum(F.col("wt") * F.col("q")).cast("double") / F.sum("wt")).alias(
+        F.col("n_eff").cast("bigint").alias("n_eff"),
+        (F.col("s").cast("double") / 10000.0 / F.col("n_eff")).alias(
             "mean_qty"
         ),
-    ).select("replicate", "n_eff", "mean_qty")
-
+    )
 
 @q(
     "dedup_binary_chunks",
