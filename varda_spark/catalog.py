@@ -11925,6 +11925,275 @@ def agg_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "join_interval_coverage",
+    """WITH regions AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS rb,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                     AS BIGINT) AS re,
+                s_suppkey AS region_id
+         FROM supplier),
+       feats AS (
+         SELECT CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
+                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS fb,
+                CAST((p_partkey * 31) % 100000 + 1 + 100 + (p_partkey % 5) * 50
+                     AS BIGINT) AS fe
+         FROM part),
+       hit AS (
+         SELECT r.region_id, r.chromosome, r.rb, r.re,
+                greatest(f.fb, r.rb) AS cb, least(f.fe, r.re) AS ce
+         FROM regions r JOIN feats f
+           ON f.chromosome = r.chromosome AND f.fb < r.re AND f.fe > r.rb),
+       o AS (
+         SELECT region_id, rb, re, cb, ce,
+                CASE WHEN MAX(ce) OVER w IS NULL OR cb > MAX(ce) OVER w
+                     THEN 1 ELSE 0 END AS new_i
+         FROM hit
+         WINDOW w AS (PARTITION BY region_id ORDER BY cb, ce
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       s AS (
+         SELECT region_id, rb, re, cb, ce,
+                SUM(new_i) OVER (PARTITION BY region_id ORDER BY cb, ce
+                                 ROWS UNBOUNDED PRECEDING) AS island
+         FROM o),
+       merged AS (
+         SELECT region_id, MIN(rb) AS rb, MIN(re) AS re,
+                MIN(cb) AS mb, MAX(ce) AS me, COUNT(*) AS n_feat
+         FROM s GROUP BY region_id, island)
+       SELECT region_id,
+              CAST(MIN(re - rb) AS BIGINT) AS region_len,
+              CAST(SUM(me - mb) AS BIGINT) AS covered_bp,
+              CAST(SUM(n_feat) AS BIGINT) AS n_features,
+              CAST((1000000 * SUM(me - mb)) // MIN(re - rb) AS BIGINT)
+                AS coverage_ppm
+       FROM merged GROUP BY region_id""",
+)
+def join_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ bedtools-coverage: per region, how many base pairs a second
+    feature set covers — overlap join, clip each feature to the region,
+    merge the clipped intervals (gaps-and-islands per region — double
+    counting is THE classic coverage bug, merged-union length is the
+    fix), then sum island lengths and emit the exact ppm fraction. The
+    genomics workhorse behind "is this exon adequately covered" and the
+    general measure-overlap-density primitive. Plan: the overlap join
+    runs on (chromosome, fb<re, fe>rb) — at this demo cardinality a
+    5-key chromosome equi-join; at genome scale the binned strategy of
+    join_interval (operators/binning.py) is the drop-in scale path, and
+    the merge windows are PARTITIONED per region (distributed, not
+    global). Counts and lengths are integers; coverage_ppm is floor
+    division. Per-region output, region-count-sized."""
+    s = read_table(spark, sf_dir, "supplier")
+    pt = read_table(spark, sf_dir, "part")
+    regions = s.select(
+        (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("rb"),
+        (
+            (F.col("s_suppkey") * 97) % 100000 + 1 + 200
+            + (F.col("s_suppkey") % 7) * 500
+        ).cast("long").alias("re"),
+        F.col("s_suppkey").alias("region_id"),
+    )
+    feats = pt.select(
+        (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("p_partkey") * 31) % 100000 + 1).cast("long").alias("fb"),
+        (
+            (F.col("p_partkey") * 31) % 100000 + 1 + 100
+            + (F.col("p_partkey") % 5) * 50
+        ).cast("long").alias("fe"),
+    )
+    hit = regions.join(
+        feats,
+        (regions.chromosome == feats.chromosome)
+        & (feats.fb < regions.re)
+        & (feats.fe > regions.rb),
+    ).select(
+        "region_id", "rb", "re",
+        F.greatest("fb", "rb").alias("cb"),
+        F.least("fe", "re").alias("ce"),
+    )
+    prior_w = (
+        Window.partitionBy("region_id")
+        .orderBy("cb", "ce")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = hit.withColumn(
+        "new_i",
+        F.when(
+            F.max("ce").over(prior_w).isNull()
+            | (F.col("cb") > F.max("ce").over(prior_w)),
+            1,
+        ).otherwise(0),
+    )
+    cum_w = (
+        Window.partitionBy("region_id")
+        .orderBy("cb", "ce")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    si = o.withColumn("island", F.sum("new_i").over(cum_w))
+    merged = si.groupBy("region_id", "island").agg(
+        F.min("rb").alias("rb"), F.min("re").alias("re"),
+        F.min("cb").alias("mb"), F.max("ce").alias("me"),
+        F.count(F.lit(1)).alias("n_feat"),
+    )
+    return merged.groupBy("region_id").agg(
+        F.min(F.col("re") - F.col("rb")).cast("bigint").alias("region_len"),
+        F.sum(F.col("me") - F.col("mb")).cast("bigint").alias("covered_bp"),
+        F.sum("n_feat").cast("bigint").alias("n_features"),
+        F.expr(
+            "CAST((1000000 * SUM(me - mb)) DIV MIN(re - rb) AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )
+
+
+@q(
+    "freq_fst",
+    """WITH gt AS (
+         SELECT l_partkey AS site_id,
+                l_suppkey % 2 AS pop,
+                CASE WHEN l_orderkey % 3 = 0 THEN 2
+                     WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END AS n_ref
+         FROM lineitem),
+       cnt AS (
+         SELECT site_id,
+                CAST(2 * SUM(CASE WHEN pop = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS a,
+                CAST(SUM(CASE WHEN pop = 0 THEN n_ref ELSE 0 END) AS BIGINT)
+                  AS x1,
+                CAST(2 * SUM(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS b,
+                CAST(SUM(CASE WHEN pop = 1 THEN n_ref ELSE 0 END) AS BIGINT)
+                  AS x2
+         FROM gt GROUP BY site_id),
+       poly AS (
+         SELECT site_id, a, x1, b, x2, a + b AS n, x1 + x2 AS x
+         FROM cnt
+         WHERE a > 0 AND b > 0 AND x1 + x2 > 0 AND x1 + x2 < a + b)
+       SELECT site_id, a AS alleles_pop1, x1 AS ref_pop1,
+              b AS alleles_pop2, x2 AS ref_pop2,
+              1000000 - CAST(
+                (1000000 * CAST(n AS HUGEINT)
+                   * (CAST(b AS HUGEINT) * x1 * (a - x1)
+                      + CAST(a AS HUGEINT) * x2 * (b - x2)))
+                // (CAST(a AS HUGEINT) * b * x * (n - x)) AS BIGINT)
+                AS fst_ppm
+       FROM poly""",
+)
+def freq_fst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core population differentiation: per-site Wright's Fst
+    between two cohorts (suppkey parity), Fst = 1 − Hs/Ht with
+    heterozygosities kept RATIONAL — the whole estimator reduces to the
+    integer identity Fst = 1 − N·[B·x1(A−x1) + A·x2(B−x2)] /
+    (A·B·X·(N−X)) over allele counts (A,B = population allele totals,
+    X = pooled ref count, N = A+B), so fst_ppm is one floored
+    non-negative int128/DECIMAL division subtracted from 1e6 — slightly
+    negative Fst (Hs > Ht) survives exactly because the subtraction
+    happens AFTER the floor, identically in both engines. The
+    batch-effect / population-structure screen that pairs with
+    freq_hwe. Monomorphic or single-population sites excluded. Plan:
+    one site-keyed grouped agg (map-side partials), then per-row
+    integer math — site-count-sized output."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = li.select(
+        F.col("l_partkey").alias("site_id"),
+        (F.col("l_suppkey") % 2).alias("pop"),
+        F.expr(
+            "CASE WHEN l_orderkey % 3 = 0 THEN 2"
+            " WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END"
+        ).alias("n_ref"),
+    )
+    cnt = gt.groupBy("site_id").agg(
+        (2 * F.sum(F.when(F.col("pop") == 0, 1).otherwise(0)))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("pop") == 0, F.col("n_ref")).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        (2 * F.sum(F.when(F.col("pop") == 1, 1).otherwise(0)))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(F.col("pop") == 1, F.col("n_ref")).otherwise(0))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    poly = cnt.withColumn("n", F.col("a") + F.col("b")).withColumn(
+        "x", F.col("x1") + F.col("x2")
+    ).filter(
+        (F.col("a") > 0) & (F.col("b") > 0)
+        & (F.col("x") > 0) & (F.col("x") < F.col("n"))
+    )
+    D = "DECIMAL(38,0)"
+    return poly.select(
+        "site_id",
+        F.col("a").alias("alleles_pop1"), F.col("x1").alias("ref_pop1"),
+        F.col("b").alias("alleles_pop2"), F.col("x2").alias("ref_pop2"),
+        F.expr(
+            f"1000000 - CAST((1000000 * CAST(n AS {D})"
+            f" * (CAST(b AS {D}) * x1 * (a - x1)"
+            f" + CAST(a AS {D}) * x2 * (b - x2)))"
+            f" DIV (CAST(a AS {D}) * b * x * (n - x)) AS BIGINT)"
+        ).alias("fst_ppm"),
+    )
+
+
+@q(
+    "pack_epoch_plan",
+    """WITH plan AS (
+         SELECT doc_id, epoch,
+                md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+                  AS h
+         FROM documents, unnest(range(0, 2)) AS t(epoch)),
+       sharded AS (
+         SELECT doc_id, epoch, h,
+                CAST('0x' || substr(h, 1, 15) AS BIGINT) % 4 AS shard
+         FROM plan)
+       SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+              CAST(shard AS BIGINT) AS shard,
+              CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h)
+                   AS BIGINT) AS position
+       FROM sharded""",
+)
+def pack_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K+ deterministic training-epoch shuffle plan: every document gets
+    a (epoch, shard, position) — a fresh content-addressed global
+    permutation per epoch, pre-sharded for the data-loader fleet. This
+    replaces RNG-state shuffles (irreproducible across engine versions,
+    resume-hostile) with md5(epoch:doc) ordering: re-runs, retries, and
+    a grown corpus reproduce every already-assigned position prefix
+    within a shard bucket. Position is a ROW_NUMBER per (epoch, shard)
+    partition — DISTRIBUTED windows (one per shard bucket), never a
+    global sort; shards are md5-uniform so the 2×|docs| fan-out spreads
+    evenly at any scale. The md5 hex string itself is the sort key
+    (lexicographic = unbiased uniform order, no int collision
+    tiebreak needed)."""
+    docs = read_table(spark, sf_dir, "documents")
+    plan = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("epoch")
+    ).withColumn(
+        "h",
+        F.md5(
+            F.expr(
+                "CAST(CAST(epoch AS STRING) || ':'"
+                " || CAST(doc_id AS STRING) AS BINARY)"
+            )
+        ),
+    )
+    sharded = plan.withColumn(
+        "shard",
+        F.expr(
+            "CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) % 4"
+        ),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h")
+    return sharded.select(
+        "doc_id",
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("position"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
