@@ -35,6 +35,8 @@ GLOBAL_ONE_TASK_OK = {
                          # revenue rollup (calendar-bounded, documented)
     "agg_distinct_growth",  # cumulative sum over the DAY-grain new-user
                          # table (calendar-bounded, documented)
+    "agg_mannwhitney",   # cumulative-count window over the VALUE-domain
+                         # table (~50 distinct quantities, documented)
     "agg_decile_lift",   # NTILE over the customer-dimension spend rollup
                          # (one row per customer) + cum/total windows over
                          # the 10-row decile table — same argument as
@@ -77,6 +79,8 @@ BNLJ_OK = {
     "agg_survival",      # 1-row order-count total joined onto the day table
     "qa_drift_tvd",      # 1-row cohort totals + 1-row corpus TVD scalar
     "graph_modularity",  # 1-row edge-count total joined onto communities
+    "text_collocations", # 1-row token-count total (N in the lift)
+    "emb_pca_power",     # 1-row rescale maxima + 64-row v1 broadcast
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins
     "agg_abc_class",     # 1-row grand-total revenue scalar

@@ -12194,6 +12194,310 @@ def pack_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "text_collocations",
+    """WITH norm AS (
+         SELECT doc_id,
+                string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' ') AS w
+         FROM documents),
+       tok AS (
+         SELECT doc_id, i, w[i] AS t
+         FROM (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM norm)
+         WHERE w[i] <> ''),
+       seq AS (
+         SELECT doc_id, t,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS p
+         FROM tok),
+       bg AS (
+         SELECT a.t AS w1, b.t AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+         FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         GROUP BY a.t, b.t),
+       uni AS (
+         SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM seq GROUP BY t),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seq)
+       SELECT g.w1, g.w2, g.c_ab, ua.c AS c_w1, ub.c AS c_w2,
+              CAST((1000000 * CAST(t.n AS HUGEINT) * g.c_ab)
+                   // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS lift_ppm
+       FROM bg g
+       JOIN uni ua ON ua.t = g.w1
+       JOIN uni ub ON ub.t = g.w2
+       CROSS JOIN tot t
+       WHERE g.c_ab >= 5
+       ORDER BY lift_ppm DESC, g.w1, g.w2 LIMIT 50""",
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ collocation mining: adjacent-word pairs ranked by LIFT —
+    P(w1w2)/(P(w1)·P(w2)) as the exact rational N·c_ab/(c_a·c_b) in ppm
+    (lift ≡ exp(PMI), monotone in it, chosen because PMI's log is
+    banned by the no-float-log rule — the same trade agg_simpson makes
+    vs entropy). Support floor c_ab ≥ 5 kills the hapax-pair noise that
+    dominates raw PMI rankings. The corpus-statistics primitive behind
+    phrase detection ("new york" sticks, "the of" doesn't) —
+    complements RAKE (stopword islands) and join_basket_lift (order
+    baskets). Token positions are re-numbered per doc with a
+    PARTITIONED row_number so the bigram self-join key (doc, p+1) skips
+    the dropped empty tokens identically in both engines. Plan: bigram
+    formation is a doc-local self-join on (doc_id, position) —
+    co-partitioned, no fan-out; vocabulary joins are word-keyed
+    shuffles; lift math is int128/DECIMAL (N·c_ab passes int64 near
+    1e18 token-pairs); final top-50 is a TakeOrdered."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " "
+                )
+            ).alias("i", "t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    seq = tok.select("doc_id", "t", F.row_number().over(w).alias("p"))
+    a = seq.select("doc_id", F.col("t").alias("w1"), "p")
+    b = seq.select(
+        "doc_id", F.col("t").alias("w2"), (F.col("p") - 1).alias("p")
+    )
+    bg = (
+        a.join(b, ["doc_id", "p"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    uni = seq.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = seq.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    D = "DECIMAL(38,0)"
+    return (
+        bg.join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c_w1")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c_ab", "c_w1", "c_w2",
+            F.expr(
+                f"CAST((1000000 * CAST(n AS {D}) * c_ab)"
+                f" DIV (CAST(c_w1 AS {D}) * c_w2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+@q(
+    "agg_mannwhitney",
+    """WITH obs AS (
+         SELECT CAST(l_quantity AS DECIMAL(18,4)) AS q,
+                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+         FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+       v AS (
+         SELECT q,
+                CAST(SUM(g1) AS BIGINT) AS n1_v,
+                CAST(SUM(1 - g1) AS BIGINT) AS n2_v,
+                CAST(COUNT(*) AS BIGINT) AS t_v
+         FROM obs GROUP BY q),
+       rk AS (
+         SELECT n1_v, n2_v, t_v,
+                2 * COALESCE(SUM(t_v) OVER (ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + t_v + 1 AS avg_rank_2x
+         FROM v),
+       s AS (
+         SELECT CAST(SUM(n1_v) AS BIGINT) AS n1,
+                CAST(SUM(n2_v) AS BIGINT) AS n2,
+                CAST(SUM(n1_v * avg_rank_2x) AS BIGINT) AS r1_2x,
+                CAST(SUM(t_v * t_v * t_v - t_v) AS BIGINT) AS tie_sum
+         FROM rk)
+       SELECT n1, n2,
+              CAST(r1_2x - n1 * (n1 + 1) AS BIGINT) AS u1_2x,
+              CAST(2 * n1 * n2 - (r1_2x - n1 * (n1 + 1)) AS BIGINT) AS u2_2x,
+              CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                / (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                       * ((n1 + n2 + 1)
+                          - CAST(tie_sum AS DOUBLE)
+                            / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))))
+                AS z_score
+       FROM s""",
+)
+def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ Mann-Whitney U rank-sum test (returned vs accepted quantity):
+    the nonparametric sibling of agg_welch_ttest — distribution-free
+    ordinal shift detection with the tie-corrected normal z. The scale
+    reformulation is the point: ranks are NOT assigned by a global sort
+    of the data — quantity is grouped to its VALUE DOMAIN (≤ ~50
+    distinct values), per-value cohort counts are exact, and the
+    average rank per value falls out of a cumulative count over that
+    tiny value table (2×-scaled to stay integer through .5 tie
+    midpoints). U is emitted 2×-SCALED (u1_2x/u2_2x) because tied midranks make U a
+    half-integer and engines round the .5 differently — the tie
+    correction Σ(t³−t) and rank sums are exact BIGINTs; the z-score is ONE fixed float expression tail (sqrt and
+    division — IEEE-deterministic). A naive rank() over 1e11 rows is a
+    global sort; this is one value-keyed agg + a 50-row window
+    (whitelisted one-task, value-domain bounded). 1-row output."""
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = li.filter(F.col("l_returnflag").isin("R", "A")).select(
+        F.col("l_quantity").cast("decimal(18,4)").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g1"),
+    )
+    v = obs.groupBy("q").agg(
+        F.sum("g1").cast("bigint").alias("n1_v"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("n2_v"),
+        F.count(F.lit(1)).cast("bigint").alias("t_v"),
+    )
+    prior_w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    rk = v.select(
+        "n1_v", "n2_v", "t_v",
+        (
+            2 * F.coalesce(F.sum("t_v").over(prior_w), F.lit(0))
+            + F.col("t_v") + 1
+        ).alias("avg_rank_2x"),
+    )
+    s = rk.agg(
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum("n2_v").cast("bigint").alias("n2"),
+        F.sum(F.col("n1_v") * F.col("avg_rank_2x")).cast("bigint").alias("r1_2x"),
+        F.sum(
+            F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v")
+        ).cast("bigint").alias("tie_sum"),
+    )
+    return s.select(
+        "n1", "n2",
+        F.expr("CAST(r1_2x - n1 * (n1 + 1) AS BIGINT)").alias("u1_2x"),
+        F.expr(
+            "CAST(2 * n1 * n2 - (r1_2x - n1 * (n1 + 1)) AS BIGINT)"
+        ).alias("u2_2x"),
+        F.expr(
+            "CAST(r1_2x - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)"
+            " / (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)"
+            " * ((n1 + n2 + 1) - CAST(tie_sum AS DOUBLE)"
+            " / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))))"
+        ).alias("z_score"),
+    )
+
+
+
+@q(
+    "emb_pca_power",
+    """WITH q AS (
+         SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+         FROM embeddings),
+       ex AS (
+         SELECT vec_id, i, e[i] AS val
+         FROM (SELECT vec_id, unnest(range(1, len(e) + 1)) AS i, e FROM q)),
+       d0 AS (
+         SELECT vec_id, CAST(SUM(val) AS HUGEINT) AS dot0
+         FROM ex GROUP BY vec_id),
+       sv0 AS (
+         SELECT i, SUM(CAST(val AS HUGEINT) * dot0) AS s
+         FROM ex JOIN d0 USING (vec_id) GROUP BY i),
+       m0 AS (SELECT MAX(ABS(s)) AS m FROM sv0),
+       v1 AS (
+         SELECT i, (s * 1000000) // m AS v
+         FROM sv0 CROSS JOIN m0),
+       d1 AS (
+         SELECT vec_id, SUM(CAST(val AS HUGEINT) * v) AS dot1
+         FROM ex JOIN v1 USING (i) GROUP BY vec_id),
+       w AS (
+         SELECT i, SUM(CAST(val AS HUGEINT) * dot1) AS s
+         FROM ex JOIN d1 USING (vec_id) GROUP BY i),
+       mw AS (SELECT MAX(ABS(s)) AS m FROM w),
+       wq AS (
+         SELECT i, CAST((s * 1048576) // m AS BIGINT) AS v
+         FROM w CROSS JOIN mw),
+       nrm AS (SELECT CAST(SUM(v * v) AS BIGINT) AS n2 FROM wq)
+       SELECT CAST(i - 1 AS BIGINT) AS dim,
+              CAST(v AS BIGINT) AS loading_q,
+              CAST(v AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS loading
+       FROM wq CROSS JOIN nrm""",
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ distributed PCA by power iteration: the top principal
+    direction of the embedding second-moment matrix via TWO matrix-free
+    iterations — S·v is never a 64×64 materialization but a per-row
+    fold (dot = e·v, then accumulate e·dot per dimension), the classic
+    trick that makes power iteration one scan per iteration at any
+    row count. Spark evaluates both dots as ARRAY higher-order
+    functions (aggregate/zip_with — JVM codegen, zero extra shuffles;
+    the only shuffles are two 64-key dimension aggregates), while the
+    oracle uses the exploded-join formulation — same integers. Cross-
+    engine exactness: elements are quantized to 1e-6 units (the
+    emb_norm_hist idiom), every accumulation is int128/DECIMAL(38,0),
+    and the INTER-ITERATION RESCALE — v1 = (S·v0)·1e6 // max|S·v0| —
+    keeps magnitudes bounded where raw S²·v0 would overflow any fixed
+    width; signed floor division uses the DIV-remainder parity
+    adjustment on Spark to match DuckDB's flooring //. The final
+    loading is wq/sqrt(Σwq²) with wq ≤ 2^20 — both factors exact
+    integers cast once to double, so even the float tail is
+    bit-identical. Uncentered by design (the dominant direction /
+    anisotropy diagnostic, cf. emb_centroid_shift for the mean);
+    deterministic up to the fixed all-ones start, no RNG."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    D = "DECIMAL(38,0)"
+
+    def fdiv(a: str, b: str) -> str:
+        return (
+            f"((({a}) DIV ({b}))"
+            f" - (CASE WHEN ({a}) % ({b}) != 0 AND ({a}) < 0"
+            f" THEN 1 ELSE 0 END))"
+        )
+
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("e"),
+    )
+    with_dot0 = q.withColumn(
+        "dot0",
+        F.expr(f"aggregate(e, CAST(0 AS {D}), (acc, x) -> acc + x)"),
+    )
+    ex0 = with_dot0.select(
+        "dot0", F.posexplode("e").alias("dim", "val")
+    )
+    sv0 = ex0.groupBy("dim").agg(
+        F.sum(F.expr(f"CAST(val AS {D}) * dot0")).alias("s")
+    )
+    m0 = sv0.agg(F.max(F.abs(F.col("s"))).alias("m"))
+    v1 = sv0.crossJoin(F.broadcast(m0)).select(
+        "dim", F.expr(fdiv("s * 1000000", "m")).alias("v")
+    )
+    varr = v1.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, v))),"
+            " p -> p.v)"
+        ).alias("varr")
+    )
+    with_dot1 = q.crossJoin(F.broadcast(varr)).withColumn(
+        "dot1",
+        F.expr(
+            f"aggregate(zip_with(e, varr, (x, y) -> CAST(x AS {D}) * y),"
+            f" CAST(0 AS {D}), (acc, x) -> acc + x)"
+        ),
+    )
+    ex1 = with_dot1.select("dot1", F.posexplode("e").alias("dim", "val"))
+    w = ex1.groupBy("dim").agg(
+        F.sum(F.expr(f"CAST(val AS {D}) * dot1")).alias("s")
+    )
+    mw = w.agg(F.max(F.abs(F.col("s"))).alias("m"))
+    wq = w.crossJoin(F.broadcast(mw)).select(
+        "dim", F.expr(f"CAST({fdiv('s * 1048576', 'm')} AS BIGINT)").alias("v")
+    )
+    nrm = wq.agg(F.sum(F.col("v") * F.col("v")).cast("bigint").alias("n2"))
+    return wq.crossJoin(F.broadcast(nrm)).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("v").cast("bigint").alias("loading_q"),
+        (
+            F.col("v").cast("double")
+            / F.sqrt(F.col("n2").cast("double"))
+        ).alias("loading"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
