@@ -37,6 +37,8 @@ GLOBAL_ONE_TASK_OK = {
                          # table (calendar-bounded, documented)
     "agg_mannwhitney",   # cumulative-count window over the VALUE-domain
                          # table (~50 distinct quantities, documented)
+    "agg_forecast_mase", # lag windows over the DAY-grain revenue table
+                         # (calendar-bounded, documented)
     "agg_decile_lift",   # NTILE over the customer-dimension spend rollup
                          # (one row per customer) + cum/total windows over
                          # the 10-row decile table — same argument as

@@ -12498,6 +12498,222 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "merge_snapshot_diff",
+    """WITH v1 AS (
+         SELECT o_orderkey AS k,
+                CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  AS price_c
+         FROM orders WHERE o_orderkey % 11 <> 0),
+       v2 AS (
+         SELECT o_orderkey AS k,
+                CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  + CASE WHEN o_orderkey % 7 = 0 THEN 10000 ELSE 0 END
+                  AS price_c
+         FROM orders WHERE o_orderkey % 13 <> 0)
+       SELECT COALESCE(a.k, b.k) AS k,
+              CASE WHEN a.k IS NULL THEN 'I'
+                   WHEN b.k IS NULL THEN 'D'
+                   ELSE 'U' END AS op,
+              a.price_c AS old_price_c,
+              b.price_c AS new_price_c
+       FROM v1 a FULL OUTER JOIN v2 b ON b.k = a.k
+       WHERE a.k IS NULL OR b.k IS NULL OR a.price_c <> b.price_c""",
+)
+def merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ CDC EXTRACTION — the inverse of merge_cdc: diff two table
+    snapshots into a minimal changelog (I/U/D rows; unchanged keys are
+    filtered out, which is the point — a 100 TB snapshot pair usually
+    differs in <1%, and downstream consumers replay only the delta).
+    One full-outer join on the snapshot key: null-left = insert,
+    null-right = delete, both-but-different = update. Prices compare in
+    exact fixed-point cents, never float equality. Snapshots are
+    synthesized deterministically (mod-11 absent from v1 → inserts,
+    mod-13 absent from v2 → deletes, mod-7 repriced → updates). At
+    scale both sides shuffle once on the key — or zero times if the
+    warehouse bucketed both snapshots on it (join_bucketed shows that
+    path); the anti-pattern this replaces is pairwise EXCEPT scans
+    (two full passes per direction)."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    v1 = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"), F.expr(cents).alias("price_c")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            cents + " + CASE WHEN o_orderkey % 7 = 0 THEN 10000 ELSE 0 END"
+        ).alias("price_c"),
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    j = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    return j.filter(
+        F.col("a.k").isNull()
+        | F.col("b.k").isNull()
+        | (F.col("a.price_c") != F.col("b.price_c"))
+    ).select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+        F.when(F.col("a.k").isNull(), "I")
+        .when(F.col("b.k").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("a.price_c").alias("old_price_c"),
+        F.col("b.price_c").alias("new_price_c"),
+    )
+
+
+@q(
+    "sample_importance_ht",
+    """WITH d AS (
+         SELECT doc_id,
+                CASE WHEN n_chars < 200 THEN 'short'
+                     WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS bucket
+         FROM documents),
+       pr AS (
+         SELECT bucket,
+                CASE bucket WHEN 'short' THEN 250000
+                            WHEN 'mid' THEN 500000
+                            ELSE 1000000 END AS p_ppm,
+                CAST(COUNT(*) AS BIGINT) AS n_true
+         FROM d GROUP BY bucket),
+       kept AS (
+         SELECT d.bucket, CAST(COUNT(*) AS BIGINT) AS n_kept
+         FROM d JOIN pr USING (bucket)
+         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000 < pr.p_ppm
+         GROUP BY d.bucket)
+       SELECT p.bucket, p.n_true, p.p_ppm,
+              COALESCE(k.n_kept, 0) AS n_kept,
+              (1000000 * COALESCE(k.n_kept, 0)) // p.p_ppm AS est_n,
+              (1000000 * ABS((1000000 * COALESCE(k.n_kept, 0)) // p.p_ppm
+                             - p.n_true)) // p.n_true AS err_ppm
+       FROM pr p LEFT JOIN kept k ON k.bucket = p.bucket""",
+)
+def sample_importance_ht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K+ importance sampling with a Horvitz-Thompson audit: documents
+    are kept with a per-quality-bucket probability (long docs always,
+    short ones at 25%) via the md5 ppm coin, and the HT estimator
+    n̂_b = kept_b / p_b reconstructs the TRUE bucket counts from the
+    sample — the correction that makes statistics computed on a biased
+    curation sample unbiased again (the step most quality-filtered
+    training mixes skip and then misreport token counts). Output is the
+    per-bucket audit sheet: true count, inclusion probability, kept
+    count, HT estimate, and exact ppm error — deterministic in both
+    engines because the coin, probabilities, and estimator are all
+    integer math (the estimator-audit family: dedup_minhash_recall,
+    sim_lsh_recall). Plan: map-side filter against a 3-row broadcast
+    probability table, one bucket-keyed agg; no shuffle of the kept
+    data itself."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN n_chars < 200 THEN 'short'"
+            " WHEN n_chars < 400 THEN 'mid' ELSE 'long' END"
+        ).alias("bucket"),
+    )
+    pr = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    ).withColumn(
+        "p_ppm",
+        F.expr(
+            "CASE bucket WHEN 'short' THEN 250000"
+            " WHEN 'mid' THEN 500000 ELSE 1000000 END"
+        ),
+    )
+    coin = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1000000"
+    )
+    kept = (
+        d.join(F.broadcast(pr.select("bucket", "p_ppm")), "bucket")
+        .filter(F.expr(coin) < F.col("p_ppm"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        pr.join(kept, "bucket", "left")
+        .select(
+            "bucket", "n_true", "p_ppm",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "(1000000 * COALESCE(n_kept, 0)) DIV p_ppm"
+            ).alias("est_n"),
+            F.expr(
+                "(1000000 * ABS((1000000 * COALESCE(n_kept, 0)) DIV p_ppm"
+                " - n_true)) DIV n_true"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+@q(
+    "agg_forecast_mase",
+    """WITH day AS (
+         SELECT CAST(o_orderdate AS DATE) AS d,
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                              AS BIGINT)) AS BIGINT) AS rev_c
+         FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+       lagd AS (
+         SELECT d, rev_c,
+                LAG(rev_c, 7) OVER (ORDER BY d) AS f7,
+                LAG(rev_c, 1) OVER (ORDER BY d) AS f1
+         FROM day),
+       ev AS (
+         SELECT d, rev_c, f7, f1 FROM lagd
+         WHERE f7 IS NOT NULL AND f1 IS NOT NULL)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+              CAST(SUM(ABS(rev_c - f7)) // COUNT(*) AS BIGINT) AS mae7_c,
+              CAST(SUM(ABS(rev_c - f1)) // COUNT(*) AS BIGINT) AS mae1_c,
+              CAST((1000000 * CAST(SUM(ABS(rev_c - f7)) AS HUGEINT))
+                   // SUM(ABS(rev_c - f1)) AS BIGINT) AS mase_ppm
+       FROM ev""",
+)
+def agg_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ forecast-quality gate: seasonal-naive forecast (ŷ_d = y_{d−7})
+    scored by MASE against the random-walk baseline (y_{d−1}) — the
+    scale-free forecast metric (Hyndman 2006): mase < 1e6 ppm means the
+    weekly pattern genuinely beats "tomorrow = today", the go/no-go for
+    shipping any fancier model. Errors are exact integer cents; MASE is
+    one int128 cross-multiplied ppm floor (no float MAE intermediates,
+    so the gate itself can be asserted bit-exactly in CI). Eval days
+    require BOTH lags (identical NULL window edges in both engines).
+    Plan: order scan → day-grain rollup with map-side partials; lags
+    run on the calendar-bounded day table (one-task whitelisted);
+    1-row output."""
+    o = read_table(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("d")
+    lagd = day.select(
+        "d", "rev_c",
+        F.lag("rev_c", 7).over(w).alias("f7"),
+        F.lag("rev_c", 1).over(w).alias("f1"),
+    )
+    ev = lagd.filter(F.col("f7").isNotNull() & F.col("f1").isNotNull())
+    D = "DECIMAL(38,0)"
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(SUM(ABS(rev_c - f7)) DIV COUNT(*) AS BIGINT)"
+        ).alias("mae7_c"),
+        F.expr(
+            "CAST(SUM(ABS(rev_c - f1)) DIV COUNT(*) AS BIGINT)"
+        ).alias("mae1_c"),
+        F.expr(
+            f"CAST((1000000 * CAST(SUM(ABS(rev_c - f7)) AS {D}))"
+            f" DIV SUM(ABS(rev_c - f1)) AS BIGINT)"
+        ).alias("mase_ppm"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
