@@ -1,0 +1,145 @@
+"""Independent numpy-reference checks for the round-4 statistics family.
+
+The DuckDB oracle proves Spark and DuckDB agree; these tests prove the
+MATH is right — a reference implementation in numpy/plain Python that
+shares no SQL with either engine, so a bug replicated into both twins
+(the shared-text failure mode) still gets caught.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMALL
+from varda_spark.catalog import REGISTRY
+
+
+def run(spark, key, sf=SF_SMALL):
+    return REGISTRY[key].fn(spark, sf).toPandas()
+
+
+def test_mannwhitney_matches_direct_ranking(spark):
+    """u1_2x from the value-domain reformulation == 2*U from literal
+    midrank assignment over the raw rows."""
+    import pandas as pd
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity"
+    ).toPandas()
+    li = li[li.l_returnflag.isin(["R", "A"])]
+    q = li.l_quantity.to_numpy()
+    g1 = (li.l_returnflag == "R").to_numpy()
+    # literal midranks (scipy-free): average rank of each tied block
+    order = np.argsort(q, kind="mergesort")
+    ranks = np.empty(len(q), dtype=float)
+    sq = q[order]
+    i = 0
+    while i < len(sq):
+        j = i
+        while j < len(sq) and sq[j] == sq[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # avg of ranks i+1..j
+        i = j
+    n1 = int(g1.sum())
+    r1 = ranks[g1].sum()
+    u1_2x_ref = int(round(2 * r1)) - 2 * (n1 * (n1 + 1) // 2)
+    out = run(spark, "agg_mannwhitney")
+    assert int(out.u1_2x[0]) == u1_2x_ref
+    assert int(out.u1_2x[0]) + int(out.u2_2x[0]) == 2 * n1 * int(out.n2[0])
+
+
+def test_pca_power_is_unit_and_aligned_with_numpy(spark):
+    """Loadings are unit-norm and match numpy applying the SAME two
+    power iterations to the SAME quantized second-moment matrix
+    (|cos| > 0.999 — the operator's contract is exactly-2-iterations,
+    like the fixed-round LPA keys; the shipped near-isotropic synthetic
+    embeddings have eigen-gap ≈ 1.07, so convergence to the true top
+    eigenvector is a property of the data, not the operator)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").toPandas()
+    X = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype(np.float64) * 1_000_000
+    )
+    S = X.T @ X
+    w = S @ (S @ np.ones(X.shape[1]))
+    w /= np.linalg.norm(w)
+    out = run(spark, "emb_pca_power").sort_values("dim")
+    v = out.loading.to_numpy()
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    assert abs(float(np.dot(v, w))) > 0.999
+
+
+def test_bootstrap_replicates_bracket_true_mean(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").toPandas()
+    mu = li.l_quantity.mean()
+    sd = li.l_quantity.std()
+    n = len(li)
+    out = run(spark, "agg_bootstrap")
+    assert len(out) == 32
+    # each replicate's effective n is Poisson(1)-sized: within 5 sd of n
+    assert (np.abs(out.n_eff - n) < 5 * np.sqrt(n) + 10).all()
+    # replicate means cluster around the true mean
+    se = sd / np.sqrt(n)
+    assert (np.abs(out.mean_qty - mu) < 6 * se).all()
+    # and the spread itself is on the order of the standard error
+    assert 0.2 * se < out.mean_qty.std() < 3 * se
+
+
+def test_survival_conservation_and_monotonicity(spark):
+    out = run(spark, "agg_survival").sort_values("lead_day").reset_index(drop=True)
+    # risk set starts at the order total and strictly shrinks by d each day
+    assert (out.n_risk.to_numpy()[1:]
+            == (out.n_risk - out.n_events).to_numpy()[:-1]).all()
+    assert int(out.n_events.sum()) == int(out.n_risk.iloc[0])
+    assert (out.cum_hazard_ppm.diff().fillna(0) >= 0).all()
+    assert (out.hazard_ppm <= 1_000_000).all()
+
+
+def test_hwe_counts_and_chi2_reference(spark):
+    out = run(spark, "freq_hwe")
+    assert ((out.n_hom_ref + out.n_het + out.n_hom_alt) == out.n).all()
+    # numpy reference chi2 (float) within 2 ppm of the floored-sum value
+    n = out.n.to_numpy(float)
+    orr, ohet, oaa = (
+        out.n_hom_ref.to_numpy(float),
+        out.n_het.to_numpy(float),
+        out.n_hom_alt.to_numpy(float),
+    )
+    p = (2 * orr + ohet) / (2 * n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        e = np.stack([n * p**2, 2 * n * p * (1 - p), n * (1 - p) ** 2])
+        o = np.stack([orr, ohet, oaa])
+        chi2 = ((o - e) ** 2 / e).sum(axis=0)
+    assert (np.abs(out.chi2_ppm / 1e6 - chi2) < 3e-5 * np.maximum(chi2, 1)
+            + 4e-6).all()
+
+
+def test_fst_reference(spark):
+    out = run(spark, "freq_fst")
+    a = out.alleles_pop1.to_numpy(float)
+    b = out.alleles_pop2.to_numpy(float)
+    x1 = out.ref_pop1.to_numpy(float)
+    x2 = out.ref_pop2.to_numpy(float)
+    n = a + b
+    x = x1 + x2
+    hs = (b * x1 * (a - x1) + a * x2 * (b - x2)) * n / (a * b * x * (n - x))
+    fst = 1 - hs
+    assert (np.abs(out.fst_ppm / 1e6 - fst) < 2e-6 + 1e-9 * np.abs(fst)).all()
+    assert (out.fst_ppm <= 1_000_000).all()
+
+
+def test_modularity_bounds_and_totals(spark):
+    out = run(spark, "graph_modularity")
+    assert (out.q_ppm >= -1_000_000).all() and (out.q_ppm <= 1_000_000).all()
+    # degree sums are even and total 2m; e_in bounded by community degree
+    assert int(out.d_tot.sum()) % 2 == 0
+    assert (2 * out.e_in <= out.d_tot).all()
+
+
+def test_tvd_is_half_sum_of_deltas(spark):
+    out = run(spark, "qa_drift_tvd")
+    # per-type deltas ppm-floor-sum to ~2×tvd (each side floored once)
+    assert abs(int(out.delta_ppm.sum()) - 2 * int(out.tvd_ppm.iloc[0])) <= 2 * len(out)
+    assert (out.c1 + out.c2 > 0).all()
+    assert int(out.n1.iloc[0]) == int(out.c1.sum())
+    assert int(out.n2.iloc[0]) == int(out.c2.sum())
