@@ -83,6 +83,8 @@ BNLJ_OK = {
     "graph_modularity",  # 1-row edge-count total joined onto communities
     "text_collocations", # 1-row token-count total (N in the lift)
     "emb_pca_power",     # 1-row rescale maxima + 64-row v1 broadcast
+    "graph_hits",        # 1-row hub/authority rescale maxima
+    "text_burstiness",   # 1-row corpus doc-count scalar (D in the VMR)
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins
     "agg_abc_class",     # 1-row grand-total revenue scalar

@@ -12714,6 +12714,200 @@ def agg_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "graph_hits",
+    """WITH lp AS (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       a1 AS (
+         SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM lp GROUP BY p),
+       h1 AS (
+         SELECT lp.o, CAST(SUM(a1.a) AS BIGINT) AS h
+         FROM lp JOIN a1 USING (p) GROUP BY lp.o),
+       mh AS (SELECT MAX(h) AS m FROM h1),
+       h1q AS (
+         SELECT o, (h * 1000000) // m AS hq FROM h1 CROSS JOIN mh),
+       a2 AS (
+         SELECT lp.p, CAST(SUM(h1q.hq) AS BIGINT) AS a
+         FROM lp JOIN h1q USING (o) GROUP BY lp.p),
+       ma AS (SELECT MAX(a) AS m FROM a2)
+       SELECT a2.p AS part, a1.a AS degree,
+              CAST((a2.a * 1000000) // ma.m AS BIGINT) AS authority_q
+       FROM a2 JOIN a1 USING (p) CROSS JOIN ma
+       ORDER BY authority_q DESC, part LIMIT 100""",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph+ HITS hubs-and-authorities on the bipartite order↔part
+    graph, 1.5 synchronous iterations (a₁ = part degree → hubs h₁ =
+    Σ a₁ over the order's parts → authorities a₂ = Σ h₁ over orders
+    containing the part): a₂ ranks parts by co-occurrence with BROAD
+    baskets, which is a different signal than raw degree (a niche part
+    bought only in huge mixed orders outranks a commodity bought alone)
+    — Kleinberg's algorithm, fixed-round contract like graph_labelprop
+    and emb_pca_power. All-positive integer scores with the 1e6 // max
+    inter-round rescale (no sign parity trap here); deterministic
+    (degree seed, no RNG). Plan: each half-iteration is one
+    data-sized join + keyed agg (map-side partials), the rescale maxima
+    are 1-row broadcasts (BNLJ whitelist); top-100 is a TakeOrdered."""
+    li = read_table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a1 = lp.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    h1 = (
+        lp.join(a1, "p")
+        .groupBy("o")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    mh = h1.agg(F.max("h").alias("m"))
+    h1q = h1.crossJoin(F.broadcast(mh)).select(
+        "o", F.expr("(h * 1000000) DIV m").alias("hq")
+    )
+    a2 = (
+        lp.join(h1q, "o")
+        .groupBy("p")
+        .agg(F.sum("hq").cast("bigint").alias("a2"))
+    )
+    ma = a2.agg(F.max("a2").alias("m"))
+    return (
+        a2.join(a1, "p")
+        .crossJoin(F.broadcast(ma))
+        .select(
+            F.col("p").alias("part"),
+            F.col("a").alias("degree"),
+            F.expr("CAST((a2 * 1000000) DIV m AS BIGINT)").alias(
+                "authority_q"
+            ),
+        )
+        .orderBy(F.col("authority_q").desc(), "part")
+        .limit(100)
+    )
+
+
+@q(
+    "text_burstiness",
+    """WITH norm AS (
+         SELECT doc_id,
+                string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' ') AS w
+         FROM documents),
+       tok AS (
+         SELECT doc_id, w[i] AS t
+         FROM (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM norm)
+         WHERE w[i] <> ''),
+       dw AS (
+         SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+         FROM tok GROUP BY t, doc_id),
+       wstat AS (
+         SELECT t, CAST(SUM(c) AS BIGINT) AS tot,
+                CAST(SUM(c * c) AS BIGINT) AS ss,
+                CAST(COUNT(*) AS BIGINT) AS n_docs_present
+         FROM dw GROUP BY t),
+       dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents)
+       SELECT t AS word, tot, n_docs_present,
+              CAST((1000000 * (CAST(dd.d AS HUGEINT) * ss - CAST(tot AS HUGEINT) * tot))
+                   // (CAST(dd.d AS HUGEINT) * tot) AS BIGINT) AS vmr_ppm
+       FROM wstat CROSS JOIN dd
+       WHERE tot >= 20
+       ORDER BY vmr_ppm DESC, word LIMIT 50""",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ word burstiness: variance-to-mean ratio of per-document
+    counts INCLUDING the zero docs — Katz's burstiness, the signal that
+    separates topical words (appear many times in few docs, VMR >> 1)
+    from function words (spread thin, VMR ≈ 1 Poisson). The zeros never
+    materialize: over D docs, VMR = (D·Σc² − T²)/(D·T) needs only the
+    presence rows (Σc², T) plus the corpus doc count — the sparse
+    identity that makes this one scan at any corpus size. Exact int128
+    cross-multiplied ppm; support floor T ≥ 20; top-50 TakeOrdered.
+    Complements text_collocations (association) and text_zipf
+    (frequency law) as the third corpus-statistics lens."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " ")
+        ).alias("t"),
+    ).filter(F.col("t") != "")
+    dw = tok.groupBy("t", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wstat = dw.groupBy("t").agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_present"),
+    ).filter(F.col("tot") >= 20)
+    dd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    D = "DECIMAL(38,0)"
+    return (
+        wstat.crossJoin(F.broadcast(dd))
+        .select(
+            F.col("t").alias("word"), "tot", "n_docs_present",
+            F.expr(
+                f"CAST((1000000 * (CAST(d AS {D}) * ss"
+                f" - CAST(tot AS {D}) * tot))"
+                f" DIV (CAST(d AS {D}) * tot) AS BIGINT)"
+            ).alias("vmr_ppm"),
+        )
+        .orderBy(F.col("vmr_ppm").desc(), "word")
+        .limit(50)
+    )
+
+
+@q(
+    "agg_target_encode",
+    """WITH t AS (
+         SELECT o_orderkey, o_orderpriority AS cat,
+                CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  AS y_c
+         FROM orders),
+       g AS (
+         SELECT cat, CAST(SUM(y_c) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM t GROUP BY cat)
+       SELECT t.o_orderkey, t.cat, g.n AS n_cat,
+              CAST((g.s - t.y_c) // (g.n - 1) AS BIGINT) AS loo_enc_c
+       FROM t JOIN g USING (cat)
+       WHERE g.n > 1""",
+)
+def agg_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML+ leave-one-out target encoding: each row's category feature
+    becomes the mean target of OTHER rows in its category —
+    (Σy − y_own)/(n−1) — the encoding that avoids the self-leakage of
+    naive mean encoding (a row seeing its own label) while staying a
+    pure two-pass computation: one category aggregate (cardinality-
+    sized, broadcast back) + one map-side subtraction per row. Exact
+    fixed-point cents with floor division (targets non-negative, so
+    DIV == // — the sign trap doesn't arise); singleton categories are
+    excluded (LOO undefined at n=1, the standard fallback is the global
+    prior — documented, not silently imputed). Deterministic row-level
+    output sized like the input, the shape a feature-store write
+    expects."""
+    o = read_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("y_c"),
+    )
+    g = t.groupBy("cat").agg(
+        F.sum("y_c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        t.join(F.broadcast(g), "cat")
+        .filter(F.col("n") > 1)
+        .select(
+            "o_orderkey", "cat",
+            F.col("n").alias("n_cat"),
+            F.expr("CAST((s - y_c) DIV (n - 1) AS BIGINT)").alias(
+                "loo_enc_c"
+            ),
+        )
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
