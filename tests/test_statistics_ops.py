@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
 from varda_spark.catalog import REGISTRY
@@ -143,3 +144,45 @@ def test_tvd_is_half_sum_of_deltas(spark):
     assert (out.c1 + out.c2 > 0).all()
     assert int(out.n1.iloc[0]) == int(out.c1.sum())
     assert int(out.n2.iloc[0]) == int(out.c2.sum())
+
+
+def test_business_day_closed_form_brute_force():
+    """B(n) = 5*((n+4)//7) + min((n+4)%7, 5) counts business days in
+    (s, e] as B(e)-B(s) — brute-forced over 2000 random ranges."""
+    import datetime
+    import random
+
+    def B(n):
+        return 5 * ((n + 4) // 7) + min((n + 4) % 7, 5)
+
+    rng = random.Random(1)
+    epoch = datetime.date(1970, 1, 1)
+    for _ in range(2000):
+        s = rng.randint(0, 20000)
+        e = s + rng.randint(0, 100)
+        brute = sum(
+            1
+            for d in range(s + 1, e + 1)
+            if (epoch + datetime.timedelta(days=d)).weekday() < 5
+        )
+        assert B(e) - B(s) == brute
+
+
+def test_business_days_histogram_totals(spark):
+    out = run(spark, "date_business_days")
+    # denominator is orders WITH lineitems (the testdata has childless
+    # orders — qa_integrity reports them; unshipped orders have no lead)
+    shipped = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+            .select("l_orderkey")
+            .distinct(),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert int(out.n_orders.sum()) == shipped
+    # synthetic shipdates are uncorrelated with orderdates, so negative
+    # leads exist; B(e)-B(s) is sign-correct either way
+    assert (out.n_orders > 0).all()

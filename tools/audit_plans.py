@@ -39,6 +39,9 @@ GLOBAL_ONE_TASK_OK = {
                          # table (~50 distinct quantities, documented)
     "agg_forecast_mase", # lag windows over the DAY-grain revenue table
                          # (calendar-bounded, documented)
+    "win_interpolate",   # IGNORE-NULLS navigation over the DAY-grain
+                         # spine (calendar-bounded; entity grain would
+                         # PARTITION BY key — documented)
     "agg_decile_lift",   # NTILE over the customer-dimension spend rollup
                          # (one row per customer) + cum/total windows over
                          # the 10-row decile table — same argument as

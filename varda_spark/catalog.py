@@ -12908,6 +12908,322 @@ def agg_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "sim_sparse_cosine",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+         FROM documents),
+       vec AS (
+         SELECT doc_id,
+                CAST('0x' || substr(md5(tok), 1, 4) AS INT) % 4096 AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS tf
+         FROM tok GROUP BY doc_id, bucket),
+       nrm AS (
+         SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+         FROM vec GROUP BY doc_id),
+       keep AS (
+         SELECT bucket FROM vec GROUP BY bucket
+         HAVING COUNT(*) <= 64),
+       dots AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+         FROM vec a
+         JOIN keep k ON k.bucket = a.bucket
+         JOIN vec b ON b.bucket = a.bucket AND b.doc_id > a.doc_id
+         GROUP BY a.doc_id, b.doc_id),
+       scored AS (
+         SELECT d.doc_a, d.doc_b, d.dot,
+                CAST((1000000 * CAST(d.dot AS HUGEINT) * d.dot)
+                     // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT)
+                  AS cos2_ppm
+         FROM dots d
+         JOIN nrm na ON na.doc_id = d.doc_a
+         JOIN nrm nb ON nb.doc_id = d.doc_b),
+       ranked AS (
+         SELECT doc_a, doc_b, dot, cos2_ppm,
+                ROW_NUMBER() OVER (PARTITION BY doc_a
+                     ORDER BY cos2_ppm DESC, doc_b) AS rn
+         FROM scored)
+       SELECT doc_a, doc_b, dot, cos2_ppm
+       FROM ranked WHERE rn <= 3""",
+)
+def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ SPARSE-vector similarity: top-3 neighbors per document by
+    hashed-TF cosine via a bucket inverted index — the lexical
+    retrieval path next to the dense-embedding ANN family (sim_lsh /
+    sim_ivf): exact sparse dot products Σ tf_a·tf_b accumulate only
+    over SHARED buckets (never a dense 4096-dim product), candidates
+    come from co-occurrence in the index, and buckets held by >64 docs
+    are dropped as stopword mass — the df cut that bounds the
+    pair fan-out at corpus scale (same cap discipline as
+    dedup_binary_chunks). Ranking and output use cos² in exact
+    cross-multiplied ppm (dot²·1e6 // (|a|²·|b|²)) so ordering never
+    touches a float — engines would round a sqrt'd cosine identically,
+    but ties wouldn't be provably stable; squared form needs no sqrt at
+    all. Plan: token explode → (doc,bucket) agg → bucket-keyed
+    self-join (well-distributed 4096-key shuffle) → per-doc top-3
+    window (PARTITIONED, distributed)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    )
+    vec = tok.groupBy(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT) % 4096"
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    nrm = vec.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    keep = (
+        vec.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 64)
+        .select("bucket")
+    )
+    a = vec.join(keep, "bucket").select(
+        "bucket", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = vec.select(
+        "bucket", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"))
+    )
+    D = "DECIMAL(38,0)"
+    scored = (
+        dots.join(
+            nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a")),
+            "doc_a",
+        )
+        .join(
+            nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "dot",
+            F.expr(
+                f"CAST((1000000 * CAST(dot AS {D}) * dot)"
+                f" DIV (CAST(n2a AS {D}) * n2b) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.col("cos2_ppm").desc(), "doc_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_a", "doc_b", "dot", "cos2_ppm")
+    )
+
+
+@q(
+    "win_interpolate",
+    """WITH day AS (
+         SELECT CAST(o_orderdate AS DATE) AS d,
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                              AS BIGINT)) AS BIGINT) AS rev_c
+         FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+       bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM day),
+       spine AS (
+         SELECT d0 + CAST(i AS INT) AS d
+         FROM bounds,
+              unnest(range(0, date_diff('day', d0, d1) + 1)) AS t(i)),
+       gapped AS (
+         SELECT s.d,
+                CASE WHEN date_diff('day', DATE '1970-01-01', s.d) % 5 = 0
+                     THEN NULL ELSE day.rev_c END AS rev_c
+         FROM spine s LEFT JOIN day ON day.d = s.d),
+       ctx AS (
+         SELECT d, rev_c,
+                last_value(rev_c IGNORE NULLS) OVER
+                  (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS pv,
+                last_value(CASE WHEN rev_c IS NOT NULL THEN d END IGNORE NULLS)
+                  OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pd,
+                first_value(rev_c IGNORE NULLS) OVER
+                  (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                  AS nv,
+                first_value(CASE WHEN rev_c IS NOT NULL THEN d END IGNORE NULLS)
+                  OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING
+                        AND UNBOUNDED FOLLOWING) AS nd
+         FROM gapped)
+       SELECT d AS day, rev_c,
+              CASE WHEN rev_c IS NOT NULL THEN CAST(rev_c AS DOUBLE)
+                   WHEN pv IS NULL OR nv IS NULL THEN NULL
+                   ELSE CAST(pv AS DOUBLE)
+                        + CAST(nv - pv AS DOUBLE)
+                          * date_diff('day', pd, d)
+                          / date_diff('day', pd, nd) END AS interp_c
+       FROM ctx""",
+)
+def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ gap interpolation: densify daily revenue onto the full
+    calendar spine and LINEARLY interpolate missing days between their
+    nearest observed neighbors — the imputation step time-series models
+    need where win_fill_forward's LOCF would flatline through gaps
+    (every 5th epoch-day is nulled deterministically to create them).
+    prev/next value AND date come from IGNORE NULLS frame navigation
+    in one window sort each direction; the interpolated value is a
+    fixed-shape double expression over exact integer cents and
+    day offsets (one multiply, one divide — IEEE-identical across
+    engines; integer floor here would hit the signed-DIV parity trap
+    since gaps can span falling revenue). Spine generation is a 1-row
+    min/max scalar exploded (interval_density idiom). Day-grain table →
+    one-task windows, whitelisted; at entity grain the same windows
+    PARTITION BY key and distribute."""
+    o = read_table(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    bounds = day.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(0, datediff(d1, d0))")
+        ).alias("i"),
+        "d0",
+    ).select(F.expr("date_add(d0, i)").alias("d"))
+    gapped = spine.join(day, "d", "left").select(
+        "d",
+        F.when(
+            F.expr("datediff(d, DATE'1970-01-01') % 5 = 0"), F.lit(None)
+        )
+        .otherwise(F.col("rev_c"))
+        .alias("rev_c"),
+    )
+    back = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    fwd = Window.orderBy("d").rowsBetween(1, Window.unboundedFollowing)
+    ctx = gapped.select(
+        "d", "rev_c",
+        F.last("rev_c", ignorenulls=True).over(back).alias("pv"),
+        F.last(
+            F.when(F.col("rev_c").isNotNull(), F.col("d")), ignorenulls=True
+        ).over(back).alias("pd"),
+        F.first("rev_c", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(
+            F.when(F.col("rev_c").isNotNull(), F.col("d")), ignorenulls=True
+        ).over(fwd).alias("nd"),
+    )
+    return ctx.select(
+        F.col("d").alias("day"), "rev_c",
+        F.expr(
+            "CASE WHEN rev_c IS NOT NULL THEN CAST(rev_c AS DOUBLE)"
+            " WHEN pv IS NULL OR nv IS NULL THEN NULL"
+            " ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)"
+            " * datediff(d, pd) / datediff(nd, pd) END"
+        ).alias("interp_c"),
+    )
+
+
+@q(
+    "stream_wtopk",
+    """WITH w AS (
+         SELECT CAST(date_trunc('day', ts) AS DATE) AS win_day, event_type
+         FROM events),
+       c AS (
+         SELECT win_day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+         FROM w GROUP BY win_day, event_type),
+       r AS (
+         SELECT win_day, event_type, n,
+                ROW_NUMBER() OVER (PARTITION BY win_day
+                     ORDER BY n DESC, event_type) AS rn
+         FROM c)
+       SELECT win_day, event_type, n, CAST(rn AS BIGINT) AS rnk
+       FROM r WHERE rn <= 3""",
+)
+def stream_wtopk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I+ windowed heavy hitters: top-3 event types per tumbling
+    event-time day — the per-window leaderboard every ops dashboard
+    streams (alongside stream_tumbling's plain counts). Batch core
+    shown here (the catalog's streaming-twin discipline: identical
+    logic runs under readStream with a watermark + the same groupBy
+    window — the count aggregation is watermark-compatible and the
+    rank is applied on the emitted window rows downstream, since
+    windows past the watermark are final). Tie-break pinned count
+    DESC, type ASC. Plan: one (day,type)-keyed agg with map-side
+    partials; the top-3 window PARTITIONS per day — distributed, never
+    global."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.col("ts").cast("date").alias("win_day"), "event_type"
+    ).groupBy("win_day", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("win_day").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "win_day", "event_type", "n",
+            F.col("rn").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@q(
+    "date_business_days",
+    """WITH lead AS (
+         SELECT date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+                  AS sn,
+                date_diff('day', DATE '1970-01-01',
+                          CAST(MIN(l.l_shipdate) AS DATE)) AS en
+         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_orderkey, o.o_orderdate),
+       bd AS (
+         SELECT (5 * ((en + 4) // 7) + least((en + 4) % 7, 5))
+                - (5 * ((sn + 4) // 7) + least((sn + 4) % 7, 5)) AS bdays
+         FROM lead)
+       SELECT CAST(bdays AS BIGINT) AS business_days,
+              CAST(COUNT(*) AS BIGINT) AS n_orders
+       FROM bd GROUP BY bdays""",
+)
+def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4+ business-day arithmetic in closed form: the order→first-ship
+    lead time counted in WEEKDAYS — B(e)−B(s) where B(n) =
+    5·((n+4) DIV 7) + LEAST((n+4) mod 7, 5) counts business days from
+    the epoch through day n (the +4 aligns the week so Monday ≡ 0;
+    verified against a 2000-case brute force in tests) — O(1) integer
+    math per row, no calendar-spine explode, no locale-dependent
+    DAYOFWEEK (epoch-day arithmetic is engine-portable; DIV is safe
+    because post-1970 day numbers are non-negative). The SLA
+    counterpart of agg_leadtime's calendar days. Output: lead-time
+    histogram in business days — bounded by the lead-time domain."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    lead = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("ship"))
+        .select(
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+            ).alias("sn"),
+            F.expr(
+                "datediff(CAST(ship AS DATE), DATE'1970-01-01')"
+            ).alias("en"),
+        )
+    )
+    bfun = "(5 * (({n} + 4) DIV 7) + least(({n} + 4) % 7, 5))"
+    bd = lead.select(
+        F.expr(
+            bfun.format(n="en") + " - " + bfun.format(n="sn")
+        ).alias("bdays")
+    )
+    return bd.groupBy(F.col("bdays").cast("bigint").alias("business_days")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
