@@ -37,6 +37,8 @@ GLOBAL_ONE_TASK_OK = {
                          # table (calendar-bounded, documented)
     "agg_mannwhitney",   # cumulative-count window over the VALUE-domain
                          # table (~50 distinct quantities, documented)
+    "agg_auc",           # cumulative window over the whole-dollar price
+                         # VALUE domain (bounded ~100k rows at any sf)
     "agg_forecast_mase", # lag windows over the DAY-grain revenue table
                          # (calendar-bounded, documented)
     "win_interpolate",   # IGNORE-NULLS navigation over the DAY-grain

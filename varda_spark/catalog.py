@@ -13224,6 +13224,216 @@ def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "agg_auc",
+    """WITH obs AS (
+         SELECT CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,4))) AS BIGINT)
+                  AS sd,
+                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+         FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+       v AS (
+         SELECT sd, CAST(SUM(g1) AS BIGINT) AS n1_v,
+                CAST(SUM(1 - g1) AS BIGINT) AS n2_v
+         FROM obs GROUP BY sd),
+       rk AS (
+         SELECT n1_v, n2_v,
+                COALESCE(SUM(n2_v) OVER (ORDER BY sd
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum2
+         FROM v),
+       s AS (
+         SELECT CAST(SUM(n1_v) AS BIGINT) AS n1,
+                CAST(SUM(n2_v) AS BIGINT) AS n2,
+                CAST(SUM(n1_v * (2 * cum2 + n2_v)) AS BIGINT) AS num_2x
+         FROM rk)
+       SELECT n1, n2, num_2x,
+              CAST((1000000 * CAST(num_2x AS HUGEINT))
+                   // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_ppm
+       FROM s""",
+)
+def agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML+ exact ROC AUC: P(score_pos > score_neg) + ½P(tie) for price
+    as a returned-vs-accepted discriminator — THE ranking-model metric,
+    computed WITHOUT a global sort: scores collapse to their
+    whole-dollar VALUE DOMAIN (bounded by the price range at any sf,
+    ~100k rows through one cumulative window — constant work while the
+    data grows), per-value cohort counts are exact, and the
+    Mann-Whitney identity AUC = U/(n1·n2) runs in 2×-scaled integers
+    (ties contribute n2_v/2 each — the 2× keeps half-integers exact,
+    the agg_mannwhitney discipline). auc_ppm is one int128 floor.
+    Plan: one value-keyed agg with map-side partials + a value-domain
+    window (whitelisted) + 1-row output."""
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = li.filter(F.col("l_returnflag").isin("R", "A")).select(
+        F.expr(
+            "CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,4))) AS BIGINT)"
+        ).alias("sd"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g1"),
+    )
+    v = obs.groupBy("sd").agg(
+        F.sum("g1").cast("bigint").alias("n1_v"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("n2_v"),
+    )
+    prior_w = Window.orderBy("sd").rowsBetween(Window.unboundedPreceding, -1)
+    rk = v.select(
+        "n1_v", "n2_v",
+        F.coalesce(F.sum("n2_v").over(prior_w), F.lit(0)).alias("cum2"),
+    )
+    s = rk.agg(
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum("n2_v").cast("bigint").alias("n2"),
+        F.sum(F.col("n1_v") * (2 * F.col("cum2") + F.col("n2_v")))
+        .cast("bigint")
+        .alias("num_2x"),
+    )
+    D = "DECIMAL(38,0)"
+    return s.select(
+        "n1", "n2", "num_2x",
+        F.expr(
+            f"CAST((1000000 * CAST(num_2x AS {D}))"
+            f" DIV (2 * CAST(n1 AS {D}) * n2) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+@q(
+    "agg_calibration_bins",
+    """WITH obs AS (
+         SELECT CAST(CAST(l_discount AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                  AS pred_ppm,
+                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         FROM lineitem WHERE l_returnflag IN ('R', 'A'))
+       SELECT pred_ppm,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(y) AS BIGINT) AS n_pos,
+              CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT) AS obs_ppm,
+              CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT) - pred_ppm
+                AS gap_ppm
+       FROM obs GROUP BY pred_ppm""",
+)
+def agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML+ calibration table: treating the discount as a predicted
+    return probability, each predicted-value bin reports its OBSERVED
+    outcome rate and the calibration gap — the reliability-diagram
+    numbers behind "is this model's 30% actually 30%" (pairs with agg_auc:
+    AUC measures ranking, calibration measures probability truth; a
+    model can ace one and fail the other). Bins are the predictor's
+    exact value domain (11 discount levels — no quantile binning
+    needed); observed rates are exact ppm floors; the gap is a plain
+    integer SUBTRACTION of two already-floored ppms, so signed values
+    never meet a division (the DIV/floor parity trap is structurally
+    avoided). One grouped agg, map-side partials, domain-sized
+    output."""
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = li.filter(F.col("l_returnflag").isin("R", "A")).select(
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        ).alias("pred_ppm"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return obs.groupBy("pred_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.expr("CAST((1000000 * SUM(y)) DIV COUNT(*) AS BIGINT)").alias(
+            "obs_ppm"
+        ),
+        (
+            F.expr("CAST((1000000 * SUM(y)) DIV COUNT(*) AS BIGINT)")
+            - F.col("pred_ppm")
+        ).alias("gap_ppm"),
+    )
+
+
+@q(
+    "agg_winsorized_mean",
+    """WITH obs AS (
+         SELECT l_returnflag AS flag,
+                CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  AS qc
+         FROM lineitem),
+       v AS (
+         SELECT flag, qc, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM obs GROUP BY flag, qc),
+       cum AS (
+         SELECT flag, qc, cnt,
+                SUM(cnt) OVER (PARTITION BY flag ORDER BY qc
+                               ROWS UNBOUNDED PRECEDING) AS cr,
+                SUM(cnt) OVER (PARTITION BY flag) AS n
+         FROM v),
+       lims AS (
+         SELECT flag,
+                MIN(CASE WHEN cr >= (n + 9) // 10 THEN qc END) AS p10,
+                MIN(CASE WHEN cr >= (9 * n + 9) // 10 THEN qc END) AS p90,
+                MIN(n) AS n
+         FROM cum GROUP BY flag)
+       SELECT c.flag, l.n,
+              CAST(MIN(l.p10) AS BIGINT) AS p10_c,
+              CAST(MIN(l.p90) AS BIGINT) AS p90_c,
+              CAST(SUM(least(greatest(c.qc, l.p10), l.p90) * c.cnt)
+                   AS DOUBLE) / l.n / 10000.0 AS winsorized_mean
+       FROM cum c JOIN lims l ON l.flag = c.flag
+       GROUP BY c.flag, l.n""",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ 10% winsorized mean per cohort: clamp the tails to the
+    10th/90th percentile values, then average — the robust-mean
+    sibling of agg_trimmed_mean (trimming DELETES tails and shrinks n;
+    winsorizing CLAMPS them and keeps n — the right choice when the
+    tail rows are real but their magnitudes aren't trusted). Runs on
+    the VALUE DOMAIN like agg_mannwhitney/agg_auc: per-cohort value
+    counts, percentile cut values from cumulative counts at rank
+    ⌈n/10⌉ / ⌈9n/10⌉ (exact integer rank arithmetic, no interpolation
+    ambiguity), clamp applied to the VALUE TABLE weighted by count —
+    the raw data is scanned once and never sorted. Sums are exact
+    fixed-point; the mean is one deterministic double tail. Windows
+    partition per cohort over ≤~50 value rows each."""
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("qc"),
+    )
+    v = obs.groupBy("flag", "qc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cum_w = Window.partitionBy("flag").orderBy("qc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_w = Window.partitionBy("flag")
+    cum = v.select(
+        "flag", "qc", "cnt",
+        F.sum("cnt").over(cum_w).alias("cr"),
+        F.sum("cnt").over(tot_w).alias("n"),
+    )
+    lims = cum.groupBy("flag").agg(
+        F.min(
+            F.when(F.col("cr") >= F.expr("(n + 9) DIV 10"), F.col("qc"))
+        ).alias("p10"),
+        F.min(
+            F.when(F.col("cr") >= F.expr("(9 * n + 9) DIV 10"), F.col("qc"))
+        ).alias("p90"),
+        F.min("n").alias("n"),
+    )
+    return (
+        cum.join(F.broadcast(lims.drop("n")), "flag")
+        .groupBy("flag", "n")
+        .agg(
+            F.min("p10").cast("bigint").alias("p10_c"),
+            F.min("p90").cast("bigint").alias("p90_c"),
+            (
+                F.sum(
+                    F.expr("least(greatest(qc, p10), p90) * cnt")
+                ).cast("double")
+                / F.col("n")
+                / 10000.0
+            ).alias("winsorized_mean"),
+        )
+        .select("flag", "n", "p10_c", "p90_c", "winsorized_mean")
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
