@@ -186,3 +186,40 @@ def test_business_days_histogram_totals(spark):
     # synthetic shipdates are uncorrelated with orderdates, so negative
     # leads exist; B(e)-B(s) is sign-correct either way
     assert (out.n_orders > 0).all()
+
+
+def test_growth_accounting_conservation(spark):
+    out = run(spark, "agg_growth_accounting").sort_values("day").reset_index(
+        drop=True
+    )
+    # active = new + retained + resurrected, row-exactly
+    assert (
+        out.n_active == out.n_new + out.n_retained + out.n_resurrected
+    ).all()
+    # churned(d) = active(d-1) - retained(d) and is never negative
+    assert (out.n_churned >= 0).all()
+    # total news == total distinct users
+    users = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert int(out.n_new.sum()) == users
+
+
+def test_interval_atomize_disjoint_and_conserves_mass(spark):
+    out = run(spark, "interval_atomize").sort_values(
+        ["chromosome", "seg_begin"]
+    )
+    # segments are disjoint and ordered within a chromosome
+    for _, g in out.groupby("chromosome"):
+        b = g.seg_begin.to_numpy()
+        e = g.seg_end.to_numpy()
+        assert (e > b).all()
+        assert (b[1:] >= e[:-1]).all()
+    # conservation: sum depth*len == total interval length
+    total = int((out.depth * (out.seg_end - out.seg_begin)).sum())
+    s = spark.read.parquet(f"{SF_SMALL}/supplier.parquet").toPandas()
+    lens = (200 + (s.s_suppkey % 7) * 500).sum()
+    assert total == int(lens)

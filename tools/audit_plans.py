@@ -41,6 +41,9 @@ GLOBAL_ONE_TASK_OK = {
                          # VALUE domain (bounded ~100k rows at any sf)
     "agg_forecast_mase", # lag windows over the DAY-grain revenue table
                          # (calendar-bounded, documented)
+    "agg_growth_accounting",  # churn lag over the DAY-grain rollup only;
+                         # the per-user classification window is
+                         # partitioned and distributed (documented)
     "win_interpolate",   # IGNORE-NULLS navigation over the DAY-grain
                          # spine (calendar-bounded; entity grain would
                          # PARTITION BY key — documented)
@@ -82,6 +85,7 @@ BNLJ_OK = {
     "text_tfidf",        # 1-row corpus-count scalar (N in the IDF)
     "interval_density",  # 1-row min/max scalar exploded into the bin spine
     "agg_chisq",         # 1-row grand-total N joined onto 6 contingency cells
+    "agg_cramers_v",     # same 1-row margin totals onto the 6 cells
     "agg_benford",       # 1-row digit-count total for exact ppm shares
     "agg_survival",      # 1-row order-count total joined onto the day table
     "qa_drift_tvd",      # 1-row cohort totals + 1-row corpus TVD scalar

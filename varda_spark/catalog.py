@@ -13434,6 +13434,326 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "agg_growth_accounting",
+    """WITH active AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       seq AS (
+         SELECT user_id, d,
+                LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+         FROM active),
+       cls AS (
+         SELECT d,
+                CAST(COUNT(*) AS BIGINT) AS n_active,
+                CAST(SUM(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_new,
+                CAST(SUM(CASE WHEN prev_d = d - 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_retained,
+                CAST(SUM(CASE WHEN prev_d IS NOT NULL AND prev_d < d - 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+         FROM seq GROUP BY d)
+       SELECT d AS day, n_active, n_new, n_retained, n_resurrected,
+              COALESCE(LAG(n_active) OVER (ORDER BY d), 0) - n_retained
+                AS n_churned
+       FROM cls""",
+)
+def agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ growth accounting: every product-analytics deck's DAU
+    decomposition — each active (user, day) is NEW (first ever),
+    RETAINED (also active yesterday) or RESURRECTED (returning after a
+    gap), and churn falls out of the conservation law churned(d) =
+    active(d−1) − retained(d) (no per-user forward scan needed). The
+    identity active(d) = new + retained + resurrected holds row-exactly
+    and is pytest-asserted. Plan: the classification lag PARTITIONS BY
+    USER (fully distributed — the heavy window); only the final
+    churn lag runs on the DAY-grain rollup (calendar-bounded,
+    whitelisted). One distinct + one user-keyed window + one day agg —
+    no self-joins, no expanding windows."""
+    ev = read_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    uw = Window.partitionBy("user_id").orderBy("d")
+    seq = active.withColumn("prev_d", F.lag("d").over(uw))
+    cls = seq.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("prev_d").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_d") == F.date_sub(F.col("d"), 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_d").isNotNull()
+                & (F.col("prev_d") < F.date_sub(F.col("d"), 1)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    dw = Window.orderBy("d")
+    return cls.select(
+        F.col("d").alias("day"), "n_active", "n_new", "n_retained",
+        "n_resurrected",
+        (
+            F.coalesce(F.lag("n_active").over(dw), F.lit(0))
+            - F.col("n_retained")
+        ).alias("n_churned"),
+    )
+
+
+@q(
+    "join_grid_knn",
+    """WITH pts AS (
+         SELECT p_partkey AS pid,
+                (p_partkey * 31) % 1000 AS x, (p_partkey * 57) % 1000 AS y
+         FROM part),
+       qs AS (
+         SELECT s_suppkey AS qid,
+                (s_suppkey * 13) % 1000 AS qx, (s_suppkey * 41) % 1000 AS qy
+         FROM supplier),
+       probes AS (
+         SELECT qid, qx, qy,
+                (qx // 50) + dx AS cx, (qy // 50) + dy AS cy
+         FROM qs, unnest(range(-1, 2)) AS tx(dx), unnest(range(-1, 2)) AS ty(dy)),
+       cand AS (
+         SELECT p.qid, p.qx, p.qy, t.pid,
+                (t.x - p.qx) * (t.x - p.qx) + (t.y - p.qy) * (t.y - p.qy)
+                  AS dist2
+         FROM probes p
+         JOIN pts t ON t.x // 50 = p.cx AND t.y // 50 = p.cy),
+       ranked AS (
+         SELECT qid, pid, dist2,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY dist2, pid) AS rn
+         FROM cand)
+       SELECT qid, pid, CAST(dist2 AS BIGINT) AS dist2
+       FROM ranked WHERE rn = 1""",
+)
+def join_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C+ spatial grid join: nearest 2D point per query via 50-unit
+    grid bucketing — each query probes its own cell plus the 8
+    neighbors (a 9-row map-side fan-out), candidates arrive through an
+    EQUI-join on the cell key, and a per-query window keeps the
+    closest: the standard grid/cell method that turns a quadratic
+    spatial cross-join into a shuffle on a well-distributed cell id
+    (same family as the genomic binned interval join — binning.py —
+    in 2D). Contract: a query whose true nearest neighbor lies beyond
+    the 3×3 ring (farther than one cell width) emits the ring-local
+    nearest or nothing — the documented grid-method trade; shrink the
+    cell or widen the ring to tighten it. Integer coordinates and
+    squared distances, ties by point id — fully deterministic."""
+    pt = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    pts = pt.select(
+        F.col("p_partkey").alias("pid"),
+        ((F.col("p_partkey") * 31) % 1000).alias("x"),
+        ((F.col("p_partkey") * 57) % 1000).alias("y"),
+    ).withColumn("cx", F.expr("x DIV 50")).withColumn("cy", F.expr("y DIV 50"))
+    qs = s.select(
+        F.col("s_suppkey").alias("qid"),
+        ((F.col("s_suppkey") * 13) % 1000).alias("qx"),
+        ((F.col("s_suppkey") * 41) % 1000).alias("qy"),
+    )
+    probes = (
+        qs.select(
+            "qid", "qx", "qy",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "qid", "qx", "qy", "dx",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"),
+        )
+        .select(
+            "qid", "qx", "qy",
+            (F.expr("qx DIV 50") + F.col("dx")).alias("cx"),
+            (F.expr("qy DIV 50") + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = probes.join(pts, ["cx", "cy"]).select(
+        "qid", "pid",
+        (
+            (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+            + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("qid").orderBy("dist2", "pid")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "pid", F.col("dist2").cast("bigint").alias("dist2"))
+    )
+
+
+@q(
+    "agg_cramers_v",
+    """WITH o AS (
+         SELECT l_returnflag AS flag, l_linestatus AS status,
+                CAST(COUNT(*) AS BIGINT) AS obs
+         FROM lineitem GROUP BY flag, status),
+       rt AS (SELECT flag, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY flag),
+       ct AS (SELECT status, CAST(SUM(obs) AS BIGINT) AS c
+              FROM o GROUP BY status),
+       tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+                      CAST(COUNT(DISTINCT flag) AS BIGINT) AS nr,
+                      CAST(COUNT(DISTINCT status) AS BIGINT) AS nc
+               FROM o),
+       cells AS (
+         SELECT o.obs, rt.r, ct.c, tot.n, tot.nr, tot.nc,
+                CAST(o.obs AS HUGEINT) * tot.n
+                  - CAST(rt.r AS HUGEINT) * ct.c AS d
+         FROM o JOIN rt ON o.flag = rt.flag
+                JOIN ct ON o.status = ct.status
+                CROSS JOIN tot),
+       s AS (
+         SELECT MIN(n) AS n, MIN(nr) AS nr, MIN(nc) AS nc,
+                CAST(SUM((1000000 * d * d)
+                         // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
+                  AS chi2_ppm
+         FROM cells)
+       SELECT n, CAST(least(nr, nc) - 1 AS BIGINT) AS df_min,
+              chi2_ppm,
+              sqrt(CAST(chi2_ppm AS DOUBLE) / 1000000.0
+                   / CAST(n AS DOUBLE) / CAST(least(nr, nc) - 1 AS DOUBLE))
+                AS cramers_v
+       FROM s""",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ Cramér's V effect size for the returnflag×linestatus
+    contingency table — the companion number agg_chisq's significance
+    can't give: with 1e11 rows EVERYTHING is significant, and V =
+    √(χ²/(N·min(r−1,c−1))) ∈ [0,1] says whether the association is
+    MATERIAL. χ² here is EXACT (unlike agg_chisq's per-cell double
+    diagnostics): each cell's (obs·n − r·c)²/(n·r·c) is a floored
+    int128 ppm term, summed under the floor-then-sum contract —
+    d = obs·n − r·c stays under 1e38 up to n ≈ 3e9 rows (docstring
+    ceiling; beyond, the double-path agg_chisq is the fallback). The
+    single sqrt is the one float tail. 1-row output; all-broadcast
+    margins."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    rt = o.groupBy("flag").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = o.groupBy("status").agg(F.sum("obs").cast("bigint").alias("c"))
+    tot = o.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.countDistinct("flag").cast("bigint").alias("nr"),
+        F.countDistinct("status").cast("bigint").alias("nc"),
+    )
+    D = "DECIMAL(38,0)"
+    cells = (
+        o.join(F.broadcast(rt), "flag")
+        .join(F.broadcast(ct), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n", "nr", "nc", "r", "c",
+            F.expr(
+                f"CAST(obs AS {D}) * n - CAST(r AS {D}) * c"
+            ).alias("d"),
+        )
+    )
+    s = cells.agg(
+        F.min("n").alias("n"), F.min("nr").alias("nr"), F.min("nc").alias("nc"),
+        F.expr(
+            f"CAST(SUM((1000000 * d * d)"
+            f" DIV (CAST(n AS {D}) * r * c)) AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )
+    return s.select(
+        "n",
+        F.expr("CAST(least(nr, nc) - 1 AS BIGINT)").alias("df_min"),
+        "chi2_ppm",
+        F.expr(
+            "sqrt(CAST(chi2_ppm AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)"
+            " / CAST(least(nr, nc) - 1 AS DOUBLE))"
+        ).alias("cramers_v"),
+    )
+
+
+@q(
+    "interval_atomize",
+    """WITH ivs AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS b,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                     AS BIGINT) AS e
+         FROM supplier),
+       ev AS (
+         SELECT chromosome, b AS pos, 1 AS delta FROM ivs
+         UNION ALL
+         SELECT chromosome, e AS pos, -1 AS delta FROM ivs),
+       bp AS (
+         SELECT chromosome, pos, CAST(SUM(delta) AS BIGINT) AS d
+         FROM ev GROUP BY chromosome, pos),
+       sweep AS (
+         SELECT chromosome, pos,
+                SUM(d) OVER (PARTITION BY chromosome ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS depth,
+                LEAD(pos) OVER (PARTITION BY chromosome ORDER BY pos)
+                  AS next_pos
+         FROM bp)
+       SELECT chromosome, CAST(pos AS BIGINT) AS seg_begin,
+              CAST(next_pos AS BIGINT) AS seg_end,
+              CAST(depth AS BIGINT) AS depth
+       FROM sweep
+       WHERE next_pos IS NOT NULL AND depth > 0""",
+)
+def interval_atomize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ atomic segmentation: flatten an interval set into DISJOINT
+    segments between consecutive breakpoints, each carrying its overlap
+    depth — the reusable sweep-line core that interval_depth_hist
+    histograms and interval_merge collapses; emitted as a table because
+    every downstream interval algebra (per-segment annotation,
+    proportional overlap weights, depth-conditional masks) starts from
+    exactly this shape. ±1 endpoint events, breakpoint pre-aggregation
+    (ties collapse BEFORE the window so the running sum sees one row
+    per position), per-chromosome running depth + LEAD — distributed
+    across chromosomes, linear in breakpoints. Zero-depth gaps are
+    dropped (the complement is interval_complement's job)."""
+    s = read_table(spark, sf_dir, "supplier")
+    ivs = s.select(
+        (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("b"),
+        (
+            (F.col("s_suppkey") * 97) % 100000 + 1 + 200
+            + (F.col("s_suppkey") % 7) * 500
+        ).cast("long").alias("e"),
+    )
+    ev = ivs.select(
+        "chromosome", F.col("b").alias("pos"), F.lit(1).alias("delta")
+    ).unionAll(
+        ivs.select(
+            "chromosome", F.col("e").alias("pos"), F.lit(-1).alias("delta")
+        )
+    )
+    bp = ev.groupBy("chromosome", "pos").agg(
+        F.sum("delta").cast("bigint").alias("d")
+    )
+    sw = Window.partitionBy("chromosome").orderBy("pos")
+    sweep = bp.select(
+        "chromosome", "pos",
+        F.sum("d").over(sw.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "depth"
+        ),
+        F.lead("pos").over(sw).alias("next_pos"),
+    )
+    return sweep.filter(
+        F.col("next_pos").isNotNull() & (F.col("depth") > 0)
+    ).select(
+        "chromosome",
+        F.col("pos").cast("bigint").alias("seg_begin"),
+        F.col("next_pos").cast("bigint").alias("seg_end"),
+        F.col("depth").cast("bigint").alias("depth"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
