@@ -223,3 +223,33 @@ def test_interval_atomize_disjoint_and_conserves_mass(spark):
     s = spark.read.parquet(f"{SF_SMALL}/supplier.parquet").toPandas()
     lens = (200 + (s.s_suppkey % 7) * 500).sum()
     assert total == int(lens)
+
+
+def test_compress_ratio_bounds_and_discrimination(spark):
+    out = run(spark, "text_compress_ratio")
+    # deflate never inflates text beyond a small header on these sizes,
+    # and always keeps SOME bytes
+    assert (out.ratio_ppm > 0).all()
+    assert (out.ratio_ppm < 1_200_000).all()
+    # a repeated string compresses far below typical prose
+    import zlib
+
+    rep = "the same phrase " * 50
+    prose_med = out.ratio_ppm.median()
+    rep_ratio = len(zlib.compress(rep.encode(), 6)) * 1_000_000 // len(rep)
+    assert rep_ratio < prose_med
+
+
+def test_interval_weight_allocations_bounded(spark):
+    out = run(spark, "join_interval_weight")
+    assert (out.overlap_bp > 0).all()
+    assert (out.weight_ppm > 0).all()
+    assert (out.weight_ppm <= 1_000_000).all()
+
+
+def test_fiscal_445_partition_of_orders(spark):
+    out = run(spark, "date_fiscal_445")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    assert int(out.n_orders.sum()) == orders
+    assert set(out.fiscal_quarter.unique()) <= {1, 2, 3, 4}
+    assert set(out.period.unique()) <= {1, 2, 3}

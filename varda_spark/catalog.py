@@ -13754,6 +13754,188 @@ def interval_atomize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q("text_compress_ratio", None)  # zlib inside an Arrow UDF → rows-only
+def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ compression-ratio quality signal: deflate(text)/len(text) —
+    the cheap entropy proxy used by every large corpus cleaner
+    (boilerplate and generated spam compress far below ~0.4; random or
+    encrypted junk sits near 1.0; natural prose ~0.5-0.8). zlib level 6,
+    computed in a VECTORIZED Arrow-batched pandas UDF (the sanctioned
+    Python path — per-batch loop over materialized strings, never a
+    row-at-a-time Python UDF in the plan; audit_plans verifies no
+    BatchEvalPython). No DuckDB twin exists (no deflate in SQL), so this
+    is a rows-only key — invariants (ratio bounds, monotone-ish length
+    relation) are pytest-asserted instead. Output: per-doc ratio_ppm
+    (integer, deterministic: zlib level 6 output length is fully
+    specified by the input bytes) + a corpus histogram-friendly
+    bucket."""
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    def _ratio(batches):
+        import zlib
+
+        for pdf in batches:
+            texts = pdf["text"].astype(str)
+            n = texts.str.len().clip(lower=1)
+            comp = [len(zlib.compress(t.encode("utf-8"), 6)) for t in texts]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": n.astype("int64"),
+                    "ratio_ppm": (
+                        pd.Series(comp, index=pdf.index) * 1_000_000 // n
+                    ).astype("int64"),
+                }
+            )
+            out["bucket"] = (out.ratio_ppm // 100_000).astype("int64")
+            yield out
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _ratio, "doc_id bigint, n_chars bigint, ratio_ppm bigint, bucket bigint"
+    )
+
+
+@q(
+    "join_interval_weight",
+    """WITH regions AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS rb,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                     AS BIGINT) AS re,
+                s_suppkey AS region_id
+         FROM supplier),
+       feats AS (
+         SELECT p_partkey AS feat_id,
+                CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
+                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS fb,
+                CAST((p_partkey * 31) % 100000 + 1 + 100 + (p_partkey % 5) * 50
+                     AS BIGINT) AS fe
+         FROM part)
+       SELECT f.feat_id, r.region_id,
+              CAST(least(f.fe, r.re) - greatest(f.fb, r.rb) AS BIGINT)
+                AS overlap_bp,
+              CAST((1000000 * (least(f.fe, r.re) - greatest(f.fb, r.rb)))
+                   // (f.fe - f.fb) AS BIGINT) AS weight_ppm
+       FROM feats f JOIN regions r
+         ON r.chromosome = f.chromosome AND f.fb < r.re AND f.fe > r.rb""",
+)
+def join_interval_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ proportional overlap allocation: each (feature, region)
+    overlap pair carries the fraction of the FEATURE's length inside
+    the region in exact ppm — the weight matrix behind
+    expression-quantification-style attribution (a read spanning two
+    exons contributes fractionally to each) and any split-by-overlap
+    rollup; downstream, SUM(value · weight_ppm) allocates a feature's
+    measure across regions without double counting. Same overlap join
+    as join_interval_coverage (binned strategy is the genome-scale
+    drop-in); weights are pure integer floor ppm of clipped length over
+    feature length. Pair-level output — the deliberately reusable
+    intermediate (cf. interval_atomize for the segment-level core)."""
+    s = read_table(spark, sf_dir, "supplier")
+    pt = read_table(spark, sf_dir, "part")
+    regions = s.select(
+        (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("rb"),
+        (
+            (F.col("s_suppkey") * 97) % 100000 + 1 + 200
+            + (F.col("s_suppkey") % 7) * 500
+        ).cast("long").alias("re"),
+        F.col("s_suppkey").alias("region_id"),
+    )
+    feats = pt.select(
+        F.col("p_partkey").alias("feat_id"),
+        (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("p_partkey") * 31) % 100000 + 1).cast("long").alias("fb"),
+        (
+            (F.col("p_partkey") * 31) % 100000 + 1 + 100
+            + (F.col("p_partkey") % 5) * 50
+        ).cast("long").alias("fe"),
+    )
+    j = feats.join(
+        regions,
+        (feats.chromosome == regions.chromosome)
+        & (feats.fb < regions.re)
+        & (feats.fe > regions.rb),
+    )
+    return j.select(
+        "feat_id", "region_id",
+        (F.least("fe", "re") - F.greatest("fb", "rb"))
+        .cast("bigint")
+        .alias("overlap_bp"),
+        F.expr(
+            "CAST((1000000 * (least(fe, re) - greatest(fb, rb)))"
+            " DIV (fe - fb) AS BIGINT)"
+        ).alias("weight_ppm"),
+    )
+
+
+@q(
+    "date_fiscal_445",
+    """WITH d AS (
+         SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS n,
+                CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  AS price_c
+         FROM orders),
+       fw AS (
+         SELECT price_c, (n + 3) // 7 AS wk FROM d),
+       cal AS (
+         SELECT price_c, wk,
+                1970 + wk // 52 AS fy,
+                (wk % 52) // 13 + 1 AS fq,
+                CASE WHEN (wk % 13) < 4 THEN 1
+                     WHEN (wk % 13) < 8 THEN 2 ELSE 3 END AS period
+         FROM fw)
+       SELECT CAST(fy AS BIGINT) AS fiscal_year,
+              CAST(fq AS BIGINT) AS fiscal_quarter,
+              CAST(period AS BIGINT) AS period,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(price_c) AS BIGINT) AS rev_c
+       FROM cal GROUP BY fy, fq, period""",
+)
+def date_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4+ retail 4-4-5 fiscal calendar rollup: orders mapped to
+    Monday-aligned fiscal weeks ((n+3) DIV 7 — the same epoch-day
+    alignment as date_business_days), 13-week quarters split into
+    4-, 4- and 5-week periods, 52-week fiscal years — the calendar
+    retail BI actually reports on, where every period has a whole
+    number of weeks so same-period comparisons are day-of-week-fair.
+    The pure 52-week form drifts ~1 day/year against the solar
+    calendar (real deployments insert a 53rd week roughly every 5-6
+    years — a policy choice deliberately NOT hardcoded; the drift is
+    the documented contract here). Closed-form integer mapping, no
+    calendar table join; one grouped agg with map-side partials."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        ).alias("n"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("price_c"),
+    )
+    cal = d.select(
+        "price_c",
+        F.expr("1970 + ((n + 3) DIV 7) DIV 52").alias("fy"),
+        F.expr("(((n + 3) DIV 7) % 52) DIV 13 + 1").alias("fq"),
+        F.expr(
+            "CASE WHEN ((n + 3) DIV 7) % 13 < 4 THEN 1"
+            " WHEN ((n + 3) DIV 7) % 13 < 8 THEN 2 ELSE 3 END"
+        ).alias("period"),
+    )
+    return cal.groupBy(
+        F.col("fy").cast("bigint").alias("fiscal_year"),
+        F.col("fq").cast("bigint").alias("fiscal_quarter"),
+        F.col("period").cast("bigint").alias("period"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price_c").cast("bigint").alias("rev_c"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
