@@ -94,6 +94,10 @@ BNLJ_OK = {
     "emb_pca_power",     # 1-row rescale maxima + 64-row v1 broadcast
     "graph_hits",        # 1-row hub/authority rescale maxima
     "text_burstiness",   # 1-row corpus doc-count scalar (D in the VMR)
+    "graph_markov_stationary",  # type-count-sized vector/rowsum broadcasts
+                         # per power iteration (k ~ 5 event types)
+    "agg_retention_dn",  # 3-row N spine + 1-row horizon broadcasts
+    "stream_watermark_audit",  # 4-row watermark spine broadcast
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins
     "agg_abc_class",     # 1-row grand-total revenue scalar

@@ -13936,6 +13936,270 @@ def date_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "agg_ab_srm",
+    """WITH assign AS (
+         SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                1, 15) AS BIGINT) % 2 = 0
+                     THEN 'A' ELSE 'B' END AS arm
+         FROM (SELECT DISTINCT user_id FROM events)),
+       c AS (
+         SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_a,
+                CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_b
+         FROM assign)
+       SELECT n_a, n_b,
+              CAST((1000000 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b))
+                   // (n_a + n_b) AS BIGINT) AS chi2_ppm,
+              (1000000 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b))
+                // (n_a + n_b) >= 3841459 AS srm_detected
+       FROM c""",
+)
+def agg_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML+ sample-ratio-mismatch gate: the FIRST check every A/B
+    platform runs before reading any metric — with a 50/50 md5
+    assignment, χ²₁ = (n_A−n_B)²/(n_A+n_B) against the 3.84 critical
+    value detects broken randomization (bot filtering, logging loss,
+    redirect asymmetry) that silently invalidates the experiment.
+    (n_A−n_B)² is the signed-value SQUARE — non-negative by
+    construction, so the int128 floor division has no DIV/floor parity
+    trap. The assignment coin is the deterministic md5 idiom
+    (sample_split), so the whole gate is bit-exact and CI-assertable.
+    Plan: distinct users (one shuffle), conditional counts, 1-row
+    output."""
+    ev = read_table(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5(CAST(user_id AS STRING)),"
+            " 1, 15), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+        ).alias("arm")
+    )
+    c = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    D = "DECIMAL(38,0)"
+    chi = (
+        f"(1000000 * CAST(n_a - n_b AS {D}) * (n_a - n_b))"
+        f" DIV (n_a + n_b)"
+    )
+    return c.select(
+        "n_a", "n_b",
+        F.expr(f"CAST({chi} AS BIGINT)").alias("chi2_ppm"),
+        F.expr(f"{chi} >= 3841459").alias("srm_detected"),
+    )
+
+
+@q(
+    "graph_markov_stationary",
+    """WITH seq AS (
+         SELECT user_id, event_type, ts, event_id,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS nxt
+         FROM events),
+       c AS (
+         SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS n
+         FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
+       r AS (SELECT src, CAST(SUM(n) AS BIGINT) AS rt FROM c GROUP BY src),
+       v0 AS (SELECT src AS t, CAST(1000000 AS BIGINT) AS v FROM r),
+       v1 AS (
+         SELECT c.dst AS t,
+                CAST(SUM((v0.v * c.n) // r.rt) AS BIGINT) AS v
+         FROM c JOIN r USING (src) JOIN v0 ON v0.t = c.src
+         GROUP BY c.dst),
+       v2 AS (
+         SELECT c.dst AS t,
+                CAST(SUM((v1.v * c.n) // r.rt) AS BIGINT) AS v
+         FROM c JOIN r USING (src) JOIN v1 ON v1.t = c.src
+         GROUP BY c.dst),
+       tot AS (SELECT CAST(SUM(v) AS BIGINT) AS s FROM v2)
+       SELECT v2.t AS event_type,
+              CAST((1000000 * v2.v) // tot.s AS BIGINT) AS stationary_ppm
+       FROM v2 CROSS JOIN tot""",
+)
+def graph_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph+ stationary distribution of the event-type Markov chain:
+    two power iterations of vᵀP from uniform, renormalized to ppm —
+    where the user base settles if today's transition behavior holds
+    (the long-run forecast graph_markov's one-step matrix implies).
+    Each iteration's entries are (v_src·c_src,dst) DIV rowsum_src,
+    floored per term then summed (floor-then-sum contract; all values
+    non-negative so DIV == //). Fixed-round contract like
+    emb_pca_power — the k-type state space makes every vector table
+    type-count-sized, so iterations are broadcast-joinable at any sf;
+    the heavy step is the ONE transition-count aggregate over the
+    per-user LEAD window (partitioned, distributed — the graph_markov
+    plan)."""
+    ev = read_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lead("event_type").over(uw).alias("nxt"),
+    )
+    c = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    r = c.groupBy("src").agg(F.sum("n").cast("bigint").alias("rt"))
+    v = r.select(F.col("src").alias("t"), F.lit(1000000).cast("bigint").alias("v"))
+    for _ in range(2):
+        v = (
+            c.join(F.broadcast(r), "src")
+            .join(F.broadcast(v.withColumnRenamed("t", "src")), "src")
+            .groupBy(F.col("dst").alias("t"))
+            .agg(
+                F.sum(F.expr("(v * n) DIV rt")).cast("bigint").alias("v")
+            )
+        )
+    tot = v.agg(F.sum("v").cast("bigint").alias("s"))
+    return v.crossJoin(F.broadcast(tot)).select(
+        F.col("t").alias("event_type"),
+        F.expr("CAST((1000000 * v) DIV s AS BIGINT)").alias("stationary_ppm"),
+    )
+
+
+@q(
+    "agg_retention_dn",
+    """WITH active AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       first_day AS (
+         SELECT user_id, MIN(d) AS d0 FROM active GROUP BY user_id),
+       horizon AS (SELECT MAX(d) AS dmax FROM active),
+       ns AS (SELECT unnest([1, 7, 14]) AS nd),
+       cohort AS (
+         SELECT ns.nd, f.user_id, f.d0
+         FROM first_day f CROSS JOIN horizon h CROSS JOIN ns
+         WHERE f.d0 + CAST(ns.nd AS INT) <= h.dmax),
+       ret AS (
+         SELECT c.nd, CAST(COUNT(*) AS BIGINT) AS n_retained
+         FROM cohort c JOIN active a
+           ON a.user_id = c.user_id AND a.d = c.d0 + CAST(c.nd AS INT)
+         GROUP BY c.nd)
+       SELECT CAST(c.nd AS BIGINT) AS day_n,
+              CAST(COUNT(*) AS BIGINT) AS n_cohort,
+              CAST(COALESCE(MIN(r.n_retained), 0) AS BIGINT) AS n_retained,
+              CAST((1000000 * COALESCE(MIN(r.n_retained), 0)) // COUNT(*)
+                   AS BIGINT) AS retention_ppm
+       FROM cohort c LEFT JOIN ret r ON r.nd = c.nd
+       GROUP BY c.nd""",
+)
+def agg_retention_dn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ classic day-N retention (D1/D7/D14): of users whose first
+    touch is at least N days before the data horizon (the
+    right-censoring guard naive retention skips — without it late
+    cohorts dilute the rate), the exact ppm active again exactly N days
+    later. Complements agg_growth_accounting (daily flows) and
+    agg_cohort (matrix): this is the single-number-per-N KPI.
+    Plan: distinct (user, day) once; first-touch agg (user-keyed
+    shuffle); the 3-row N spine and 1-row horizon are broadcast; the
+    retention probe is an equi-join on (user, exact day) — no
+    expanding windows, no per-N rescans of the raw events."""
+    ev = read_table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    first_day = active.groupBy("user_id").agg(F.min("d").alias("d0"))
+    horizon = active.agg(F.max("d").alias("dmax"))
+    ns = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(7), F.lit(14))).alias("nd")
+    )
+    cohort = (
+        first_day.crossJoin(F.broadcast(horizon))
+        .crossJoin(F.broadcast(ns))
+        .filter(F.expr("date_add(d0, nd) <= dmax"))
+        .select("nd", "user_id", "d0")
+    )
+    ret = (
+        cohort.join(
+            active,
+            (cohort.user_id == active.user_id)
+            & (active.d == F.expr("date_add(d0, nd)")),
+        )
+        .groupBy(cohort.nd)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_retained"))
+    )
+    return (
+        cohort.groupBy("nd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cohort"))
+        .join(ret, "nd", "left")
+        .select(
+            F.col("nd").cast("bigint").alias("day_n"),
+            "n_cohort",
+            F.coalesce("n_retained", F.lit(0)).cast("bigint").alias(
+                "n_retained"
+            ),
+            F.expr(
+                "CAST((1000000 * COALESCE(n_retained, 0)) DIV n_cohort"
+                " AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )
+
+
+@q(
+    "stream_watermark_audit",
+    """WITH ev AS (
+         SELECT ts, ts + ((event_id % 7) * (event_id % 11)) * INTERVAL 1 MINUTE
+                  AS proc_ts
+         FROM events),
+       delay AS (
+         SELECT date_diff('minute', ts, proc_ts) AS delay_min FROM ev),
+       wm AS (SELECT unnest([0, 5, 15, 30]) AS w)
+       SELECT CAST(wm.w AS BIGINT) AS watermark_min,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CASE WHEN d.delay_min > wm.w THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_late,
+              CAST((1000000 * SUM(CASE WHEN d.delay_min > wm.w
+                                       THEN 1 ELSE 0 END)) // COUNT(*)
+                   AS BIGINT) AS late_ppm
+       FROM delay d CROSS JOIN wm GROUP BY wm.w""",
+)
+def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I+ watermark sizing audit: for candidate watermark delays, the
+    exact fraction of events whose (synthesized, deterministic)
+    processing-time lag exceeds it — i.e. what each watermark choice
+    would DROP. This is the capacity-planning table you read before
+    setting stream_watermark's delay: completeness (late_ppm → 0) vs
+    state size and latency grow together, and the knee of this curve is
+    the right setting. Arrival skew is event_id-derived ((id%7)·(id%11)
+    minutes — heavy-tailed-ish, identical in both engines); the 4-row
+    watermark spine is a broadcast. One scan, conditional sums, exact
+    ppm. The streaming-runtime counterpart reads
+    observedMetrics/StreamingQueryProgress — same numbers, live."""
+    ev = read_table(spark, sf_dir, "events")
+    delay = ev.select(
+        F.expr(
+            "CAST((unix_timestamp(ts + make_interval(0, 0, 0, 0, 0,"
+            " (event_id % 7) * (event_id % 11), 0))"
+            " - unix_timestamp(ts)) / 60 AS BIGINT)"
+        ).alias("delay_min")
+    )
+    wm = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(0), F.lit(5), F.lit(15), F.lit(30))
+        ).alias("w")
+    )
+    return (
+        delay.crossJoin(F.broadcast(wm))
+        .groupBy(F.col("w").cast("bigint").alias("watermark_min"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("delay_min") > F.col("w"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN delay_min > w THEN 1 ELSE 0"
+                " END)) DIV COUNT(*) AS BIGINT)"
+            ).alias("late_ppm"),
+        )
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
