@@ -618,3 +618,33 @@ def test_stream_countmin_matches_batch(spark, tmp_path):
         (r.row, r.col): r.cnt for r in catalog.agg_countmin(spark, SF).collect()
     }
     assert got == want
+
+
+def test_wtopk_stream_counts_match_batch_leaderboard(spark):
+    """stream_wtopk's count core run under readStream (complete mode)
+    + the rank applied on the sink equals the batch catalog key."""
+    from pyspark.sql import Window, functions as F
+
+    from varda_spark.catalog import REGISTRY
+
+    batch = {
+        tuple(r)
+        for r in REGISTRY["stream_wtopk"].fn(spark, SF).collect()
+    }
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream_src = normalize_events_ts(
+        read_events_stream(spark, _staged_events_dir(), raw_schema)
+    )
+    counts = stream_src.groupBy(
+        F.col("ts").cast("date").alias("win_day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sink = _run_stream_to_memory(spark, counts, "wtopk_t", "complete")
+    w = Window.partitionBy("win_day").orderBy(F.col("n").desc(), "event_type")
+    got = (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "win_day", "event_type", "n", F.col("rn").cast("bigint").alias("rnk")
+        )
+    )
+    assert {tuple(r) for r in got.collect()} == batch

@@ -14200,6 +14200,178 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "agg_ltv_curve",
+    """WITH ev AS (
+         SELECT user_id,
+                (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3)
+                  // 7 AS m,
+                CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_c
+         FROM events),
+       first_m AS (
+         SELECT user_id, MIN(m) AS m0 FROM ev GROUP BY user_id),
+       csize AS (
+         SELECT m0, CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM first_m GROUP BY m0),
+       rev AS (
+         SELECT f.m0, e.m - f.m0 AS age,
+                CAST(SUM(e.v_c) AS BIGINT) AS rev_c
+         FROM ev e JOIN first_m f ON f.user_id = e.user_id
+         GROUP BY f.m0, e.m - f.m0),
+       cum AS (
+         SELECT r.m0, r.age, r.rev_c, c.n_users,
+                SUM(r.rev_c) OVER (PARTITION BY r.m0 ORDER BY r.age
+                                   ROWS UNBOUNDED PRECEDING) AS cum_c
+         FROM rev r JOIN csize c ON c.m0 = r.m0)
+       SELECT CAST(m0 AS BIGINT) AS cohort_week,
+              CAST(age AS BIGINT) AS age_weeks,
+              CAST(n_users AS BIGINT) AS n_users,
+              CAST(rev_c AS BIGINT) AS rev_c,
+              CAST(cum_c // n_users AS BIGINT) AS ltv_c
+       FROM cum""",
+)
+def agg_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ cohort LTV curves: users grouped by first-touch WEEK
+    (Monday-aligned epoch weeks — the shipped corpus spans ~a month, so
+    weekly cohorts keep the curve non-degenerate; at production spans
+    swap the key for year·12+month), their cumulative value per user
+    tracked by account age — the lifetime-value table behind every
+    payback-period decision (read a row: "the week-N cohort is worth
+    ltv_c cents/user by age 3 weeks"). No months_between — engines
+    disagree on fractional months; integer epoch arithmetic only. Exact fixed-point value
+    cents; cum per cohort over the MONTHS-SQUARED-sized (cohort, age)
+    table — the window partitions by cohort and is calendar-bounded at
+    any sf. Heavy steps: one user-keyed first-touch agg + one
+    (cohort, age) revenue agg, both map-side-partial shuffles;
+    per-user LTV is floor cents (values non-negative)."""
+    ev_t = read_table(spark, sf_dir, "events")
+    ev = ev_t.select(
+        "user_id",
+        F.expr(
+            "(datediff(CAST(ts AS DATE), DATE'1970-01-01') + 3) DIV 7"
+        ).alias("m"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias(
+            "v_c"
+        ),
+    )
+    first_m = ev.groupBy("user_id").agg(F.min("m").alias("m0"))
+    csize = first_m.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        ev.join(first_m, "user_id")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("age"))
+        .agg(F.sum("v_c").cast("bigint").alias("rev_c"))
+    )
+    cw = Window.partitionBy("m0").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.join(F.broadcast(csize), "m0").select(
+        "m0", "age", "rev_c", "n_users",
+        F.sum("rev_c").over(cw).alias("cum_c"),
+    )
+    return cum.select(
+        F.col("m0").cast("bigint").alias("cohort_week"),
+        F.col("age").cast("bigint").alias("age_weeks"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("rev_c").cast("bigint").alias("rev_c"),
+        F.expr("CAST(cum_c DIV n_users AS BIGINT)").alias("ltv_c"),
+    )
+
+
+@q(
+    "agg_price_index",
+    """WITH li AS (
+         SELECT l_partkey AS pk,
+                CASE WHEN EXTRACT(year FROM l_shipdate) < 1995 THEN 0 ELSE 1
+                  END AS period,
+                CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT) AS q,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  AS e_c
+         FROM lineitem),
+       pp AS (
+         SELECT pk, period, CAST(SUM(q) AS BIGINT) AS qt,
+                CAST(SUM(e_c) AS BIGINT) AS et
+         FROM li GROUP BY pk, period),
+       up AS (
+         SELECT pk, period, qt, et // qt AS p_c
+         FROM pp WHERE qt > 0),
+       paired AS (
+         SELECT a.pk, a.qt AS q0, a.p_c AS p0, b.qt AS q1, b.p_c AS p1
+         FROM up a JOIN up b ON b.pk = a.pk AND a.period = 0 AND b.period = 1),
+       s AS (
+         SELECT CAST(SUM(CAST(p1 AS HUGEINT) * q0) AS HUGEINT) AS l_num,
+                CAST(SUM(CAST(p0 AS HUGEINT) * q0) AS HUGEINT) AS l_den,
+                CAST(SUM(CAST(p1 AS HUGEINT) * q1) AS HUGEINT) AS p_num,
+                CAST(SUM(CAST(p0 AS HUGEINT) * q1) AS HUGEINT) AS p_den,
+                CAST(COUNT(*) AS BIGINT) AS n_parts
+         FROM paired)
+       SELECT n_parts,
+              CAST((1000000 * l_num) // l_den AS BIGINT) AS laspeyres_ppm,
+              CAST((1000000 * p_num) // p_den AS BIGINT) AS paasche_ppm,
+              sqrt((CAST((1000000 * l_num) // l_den AS DOUBLE) / 1000000.0)
+                   * (CAST((1000000 * p_num) // p_den AS DOUBLE) / 1000000.0))
+                AS fisher_index
+       FROM s""",
+)
+def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ price indices between two periods (pre/post-1995 shipments):
+    Laspeyres (base-period basket), Paasche (current basket), and their
+    geometric-mean Fisher ideal — the inflation/pricing-power readout
+    over the part catalog. Unit prices are per-part period aggregates
+    floored to exact cents (Σext/Σqty — the deliberate one-cent
+    quantization that keeps every downstream number integer;
+    documented contract), index ratios are int128 cross-multiplied ppm
+    floors over parts present in BOTH periods, and the single sqrt for
+    Fisher is the one float tail. Plan: one (part, period) agg with
+    map-side partials, a part-keyed self-join, 1-row output."""
+    li_t = read_table(spark, sf_dir, "lineitem")
+    li = li_t.select(
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            "CASE WHEN year(l_shipdate) < 1995 THEN 0 ELSE 1 END"
+        ).alias("period"),
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT)").alias("q"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("e_c"),
+    )
+    pp = li.groupBy("pk", "period").agg(
+        F.sum("q").cast("bigint").alias("qt"),
+        F.sum("e_c").cast("bigint").alias("et"),
+    )
+    up = pp.filter(F.col("qt") > 0).withColumn("p_c", F.expr("et DIV qt"))
+    a = up.filter(F.col("period") == 0).select(
+        "pk", F.col("qt").alias("q0"), F.col("p_c").alias("p0")
+    )
+    b = up.filter(F.col("period") == 1).select(
+        "pk", F.col("qt").alias("q1"), F.col("p_c").alias("p1")
+    )
+    both = a.join(b, "pk")
+    D = "DECIMAL(38,0)"
+    s = both.agg(
+        F.sum(F.expr(f"CAST(p1 AS {D}) * q0")).alias("l_num"),
+        F.sum(F.expr(f"CAST(p0 AS {D}) * q0")).alias("l_den"),
+        F.sum(F.expr(f"CAST(p1 AS {D}) * q1")).alias("p_num"),
+        F.sum(F.expr(f"CAST(p0 AS {D}) * q1")).alias("p_den"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    return s.select(
+        "n_parts",
+        F.expr("CAST((1000000 * l_num) DIV l_den AS BIGINT)").alias(
+            "laspeyres_ppm"
+        ),
+        F.expr("CAST((1000000 * p_num) DIV p_den AS BIGINT)").alias(
+            "paasche_ppm"
+        ),
+        F.expr(
+            "sqrt((CAST((1000000 * l_num) DIV l_den AS DOUBLE) / 1000000.0)"
+            " * (CAST((1000000 * p_num) DIV p_den AS DOUBLE) / 1000000.0))"
+        ).alias("fisher_index"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
