@@ -14372,6 +14372,173 @@ def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "agg_power_analysis",
+    """WITH base AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN value > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_conv
+         FROM events GROUP BY event_type),
+       rate AS (
+         SELECT event_type, n, n_conv,
+                CAST((1000000 * n_conv) // n AS BIGINT) AS p_ppm
+         FROM base WHERE n_conv > 0 AND n_conv < n)
+       SELECT event_type, n, n_conv, p_ppm,
+              CAST(CEIL(
+                (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                * 2.0 * (CAST(p_ppm AS DOUBLE) / 1000000.0)
+                * (1.0 - CAST(p_ppm AS DOUBLE) / 1000000.0)
+                / ((0.1 * CAST(p_ppm AS DOUBLE) / 1000000.0)
+                   * (0.1 * CAST(p_ppm AS DOUBLE) / 1000000.0))
+              ) AS BIGINT) AS n_per_arm_10pct
+       FROM rate""",
+)
+def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML+ experiment sizing: per event type, the observed conversion
+    rate (value > 1 as the conversion proxy) and the REQUIRED
+    per-arm sample size to detect a +10% relative lift at α=5%
+    (two-sided) and 80% power — n = (z_{α/2}+z_β)²·2p(1−p)/δ² — the
+    number that decides whether an A/B test is even worth launching
+    (pairs with agg_ab_srm's validity gate and agg_welch_ttest's
+    readout). The baseline rate is an exact ppm floor; the sizing
+    formula is ONE fixed-shape float expression with the z constants
+    pinned to 6 decimals (1.959964, 0.841621 — literals, not a stats
+    library call, so both engines evaluate identical IEEE ops) and
+    CEIL to whole subjects. Degenerate rates (0 or 1) are excluded.
+    One grouped agg, type-count-sized output."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_conv"),
+    )
+    rate = base.filter(
+        (F.col("n_conv") > 0) & (F.col("n_conv") < F.col("n"))
+    ).withColumn("p_ppm", F.expr("CAST((1000000 * n_conv) DIV n AS BIGINT)"))
+    return rate.select(
+        "event_type", "n", "n_conv", "p_ppm",
+        F.expr(
+            "CAST(CEIL((1.959964 + 0.841621) * (1.959964 + 0.841621)"
+            " * 2.0 * (CAST(p_ppm AS DOUBLE) / 1000000.0)"
+            " * (1.0 - CAST(p_ppm AS DOUBLE) / 1000000.0)"
+            " / ((0.1 * CAST(p_ppm AS DOUBLE) / 1000000.0)"
+            " * (0.1 * CAST(p_ppm AS DOUBLE) / 1000000.0))) AS BIGINT)"
+        ).alias("n_per_arm_10pct"),
+    )
+
+
+@q(
+    "emb_prefix_recall",
+    """WITH q AS (
+         SELECT vec_id, label,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+         FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS qid, a.label, b.vec_id AS nid,
+                CAST(list_sum(list_transform(list_zip(a.e[1:16], b.e[1:16]),
+                                             s -> s[1] * s[2])) AS BIGINT)
+                  AS dot16,
+                CAST(list_sum(list_transform(list_zip(a.e, b.e),
+                                             s -> s[1] * s[2])) AS BIGINT)
+                  AS dot_full
+         FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       top16 AS (
+         SELECT qid, label, nid FROM (
+           SELECT qid, label, nid,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY dot16 DESC, nid) AS rn
+           FROM pairs) WHERE rn = 1),
+       topf AS (
+         SELECT qid, nid FROM (
+           SELECT qid, nid,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY dot_full DESC, nid) AS rn
+           FROM pairs) WHERE rn = 1)
+       SELECT t.label,
+              CAST(COUNT(*) AS BIGINT) AS n_queries,
+              CAST(SUM(CASE WHEN t.nid = f.nid THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_agree,
+              CAST((1000000 * SUM(CASE WHEN t.nid = f.nid THEN 1 ELSE 0 END))
+                   // COUNT(*) AS BIGINT) AS recall_ppm
+       FROM top16 t JOIN topf f ON f.qid = t.qid
+       GROUP BY t.label""",
+)
+def emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ Matryoshka/prefix-dimension retrieval audit: does the FIRST
+    16 dimensions' top-1 neighbor agree with the full-vector top-1?
+    recall@1 per label block in exact ppm — the decision table for
+    truncating MRL-style embeddings (serve 16-dim at ¼ the memory and
+    flops if recall holds; the modern ANN cost lever next to
+    emb_quantize's scalar quantization and sim_lsh's hashing). Both
+    rankings run on the SAME quantized integer dots (sim_topk idiom —
+    exact, tie-stable), full-dim length is data-derived (no hardcoded
+    64 — the emb_pair_dist_hist lesson). Label-blocked pair join like
+    sim_topk; per-query argmax windows partition by query. The recall
+    of PREFIX dims is the audit the estimator-audit family
+    (lsh/minhash recall) runs for subspace truncation."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+        ).alias("e"),
+    )
+    a = q.select(
+        F.col("vec_id").alias("qid"), "label", F.col("e").alias("ea")
+    )
+    b = q.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("lb"),
+        F.col("e").alias("eb"),
+    )
+    pairs = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("qid") != F.col("nid")))
+        .select(
+            "qid", "label", "nid",
+            F.expr(
+                "aggregate(zip_with(slice(ea, 1, least(16, size(ea))),"
+                " slice(eb, 1, least(16, size(eb))), (x, y) -> x * y),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("dot16"),
+            F.expr(
+                "aggregate(zip_with(ea, eb, (x, y) -> x * y),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("dot_full"),
+        )
+    )
+    w16 = Window.partitionBy("qid").orderBy(F.col("dot16").desc(), "nid")
+    wf = Window.partitionBy("qid").orderBy(F.col("dot_full").desc(), "nid")
+    top16 = (
+        pairs.withColumn("rn", F.row_number().over(w16))
+        .filter(F.col("rn") == 1)
+        .select("qid", "label", F.col("nid").alias("nid16"))
+    )
+    topf = (
+        pairs.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("nid").alias("nidf"))
+    )
+    return (
+        top16.join(topf, "qid")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(F.when(F.col("nid16") == F.col("nidf"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_agree"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN nid16 = nidf THEN 1 ELSE 0"
+                " END)) DIV COUNT(*) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
