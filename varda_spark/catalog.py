@@ -14539,6 +14539,113 @@ def emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "graph_paths3",
+    """WITH seq AS (
+         SELECT user_id, event_type, ts, event_id,
+                LEAD(event_type, 1) OVER w AS e2,
+                LEAD(event_type, 2) OVER w AS e3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       tri AS (
+         SELECT event_type AS e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+         FROM seq WHERE e3 IS NOT NULL
+         GROUP BY event_type, e2, e3),
+       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM tri)
+       SELECT e1, e2, e3, n,
+              CAST((1000000 * n) // tot.t AS BIGINT) AS share_ppm
+       FROM tri CROSS JOIN tot
+       ORDER BY n DESC, e1, e2, e3 LIMIT 25""",
+)
+def graph_paths3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph+ 3-step path mining: the top event-type TRIGRAMS across
+    user journeys — the funnel-path table behind "what do users
+    actually do in sequence" (one step beyond graph_markov's pair
+    transitions and the input to any path-drop-off analysis; win_funnel
+    checks ONE prescribed path, this discovers the empirical ones).
+    Two LEADs share a single per-user window sort (partitioned,
+    distributed), trigram counts aggregate with map-side partials, the
+    1-row total is broadcast, shares are exact ppm, top-25 is a
+    TakeOrdered with fully pinned tie order."""
+    ev = read_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(uw).alias("e2"),
+        F.lead("event_type", 2).over(uw).alias("e3"),
+    )
+    tri = (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = tri.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        tri.crossJoin(F.broadcast(tot))
+        .select(
+            "e1", "e2", "e3", "n",
+            F.expr("CAST((1000000 * n) DIV t AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(25)
+    )
+
+
+@q(
+    "agg_standardize",
+    """WITH obs AS (
+         SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+                CAST(l_quantity AS DECIMAL(18,4)) AS q
+         FROM lineitem),
+       st AS (
+         SELECT flag,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(q) AS DECIMAL(38,4)) AS s,
+                CAST(SUM(q * q) AS DECIMAL(38,8)) AS ss
+         FROM obs GROUP BY flag)
+       SELECT o.l_orderkey, o.l_linenumber, o.flag,
+              CAST(o.q AS DOUBLE) AS qty,
+              (CAST(o.q AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+                / sqrt((CAST(st.ss AS DOUBLE)
+                        - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
+                       / (st.n - 1)) AS z
+       FROM obs o JOIN st ON st.flag = o.flag""",
+)
+def agg_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML+ per-group z-score standardization: (x − μ_g)/σ_g as a
+    ROW-LEVEL feature transform — the other half of feature prep next
+    to win_minmax_scale (z-scores preserve outlier magnitude where
+    min-max clamps the range; models disagree about which they want,
+    so the engine ships both). Sufficient statistics per group
+    accumulate EXACTLY in decimal (the agg_welch_ttest discipline —
+    shuffle order cannot perturb them), broadcast back, and each row's
+    z is one fixed-shape float expression (sub, div, sqrt — IEEE-
+    identical across engines). Group stats are a tiny broadcast; the
+    transform is map-side; output is input-sized, the feature-store
+    shape (cf. agg_target_encode)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("q"),
+    )
+    st = obs.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("decimal(38,4)").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("decimal(38,8)").alias("ss"),
+    )
+    return obs.join(F.broadcast(st), "flag").select(
+        "l_orderkey", "l_linenumber", "flag",
+        F.col("q").cast("double").alias("qty"),
+        F.expr(
+            "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) / n)"
+            " / sqrt((CAST(ss AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))"
+        ).alias("z"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
