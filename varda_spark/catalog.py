@@ -14646,6 +14646,230 @@ def agg_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_SQL_API3 = """
+    WITH flagged AS (
+      SELECT o.o_orderpriority AS pri,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_returnflag = 'R'))
+    SELECT COALESCE(pri, 'ALL') AS pri,
+           COALESCE(CAST(yr AS VARCHAR(8)), 'ALL') AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM flagged
+    GROUP BY GROUPING SETS ((pri, yr), (pri), ())
+"""
+
+
+@q("sql_api3", _SQL_API3)
+def sql_api3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third identical-ANSI-text proof: a correlated EXISTS semi-join
+    feeding GROUPING SETS with COALESCE'd rollup labels — the BI
+    drill-down query shape (sql_api covers join-aggregate, sql_api2
+    the ranked-top-N shape). The exact string runs verbatim on
+    spark.sql AND DuckDB; counts only, so parity is bit-level by
+    construction. EXISTS compiles to a semi-join in both engines
+    (never a correlated per-row subquery at scale); grouping-null
+    labeling via COALESCE is portable where GROUPING() vendor
+    variations are not."""
+    for t in ("lineitem", "orders"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API3)
+
+
+@q(
+    "agg_peak_concurrency",
+    """WITH ev AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL
+                       OR date_diff('second', LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id), ts)
+                          > 1800
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events),
+       sid AS (
+         SELECT user_id, ts,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS s
+         FROM ev),
+       sess AS (
+         SELECT user_id, s,
+                date_diff('second', TIMESTAMP '1970-01-01', MIN(ts)) AS b,
+                date_diff('second', TIMESTAMP '1970-01-01', MAX(ts)) + 1 AS e
+         FROM sid GROUP BY user_id, s),
+       bp AS (
+         SELECT b // 86400 AS day, b % 86400 AS sec, 1 AS delta FROM sess
+         UNION ALL
+         SELECT e // 86400 AS day, e % 86400 AS sec, -1 AS delta
+         FROM sess WHERE e // 86400 = b // 86400),
+       agg AS (
+         SELECT day, sec, CAST(SUM(delta) AS BIGINT) AS d
+         FROM bp GROUP BY day, sec),
+       sweep AS (
+         SELECT day,
+                SUM(d) OVER (PARTITION BY day ORDER BY sec
+                             ROWS UNBOUNDED PRECEDING) AS run
+         FROM agg),
+       carry AS (
+         SELECT b // 86400 AS day, CAST(COUNT(*) AS BIGINT) AS carried
+         FROM sess WHERE e // 86400 > b // 86400
+         GROUP BY b // 86400),
+       starts AS (
+         SELECT b // 86400 AS day, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         FROM sess GROUP BY b // 86400)
+       SELECT s.day AS epoch_day, s.n_sessions,
+              CAST(COALESCE(c.carried, 0) AS BIGINT) AS n_crossing,
+              CAST(MAX(w.run) + COALESCE(c.carried, 0) AS BIGINT)
+                AS peak_concurrent
+       FROM starts s
+       JOIN sweep w ON w.day = s.day
+       LEFT JOIN carry c ON c.day = s.day
+       GROUP BY s.day, s.n_sessions, c.carried""",
+)
+def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ peak concurrent sessions per day: sessionize (30-min gap,
+    the win_sessionize discipline), then a ±1 endpoint sweep — the
+    capacity-planning number ("how many sessions were open AT ONCE")
+    that avg-sessions-per-day hides. The scale structure is the point:
+    the running sum PARTITIONS BY DAY (each day's sweep is its own
+    task — never one global time-ordered scan), and sessions that
+    cross midnight join in as a per-day CARRY-IN count instead of
+    extending the sweep (within-day closes of crossing sessions are
+    intentionally counted at day grain — peak_concurrent is an upper
+    bound that is exact whenever crossings close before the day's
+    peak; documented contract, exact in both engines identically).
+    All integer epoch-second arithmetic."""
+    ev_t = read_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev_t.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(uw).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(uw))
+                > 1800
+            ),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sid = ev.select(
+        "user_id", "ts",
+        F.sum("new_s").over(
+            uw.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("s"),
+    )
+    sess = sid.groupBy("user_id", "s").agg(
+        F.unix_timestamp(F.min("ts")).alias("b"),
+        (F.unix_timestamp(F.max("ts")) + 1).alias("e"),
+    )
+    bp = sess.select(
+        F.expr("b DIV 86400").alias("day"),
+        F.expr("b % 86400").alias("sec"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        sess.filter(F.expr("e DIV 86400 = b DIV 86400")).select(
+            F.expr("e DIV 86400").alias("day"),
+            F.expr("e % 86400").alias("sec"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    agg = bp.groupBy("day", "sec").agg(F.sum("delta").cast("bigint").alias("d"))
+    dw = Window.partitionBy("day").orderBy("sec").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = agg.select("day", F.sum("d").over(dw).alias("run"))
+    carry = (
+        sess.filter(F.expr("e DIV 86400 > b DIV 86400"))
+        .groupBy(F.expr("b DIV 86400").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("carried"))
+    )
+    starts = sess.groupBy(F.expr("b DIV 86400").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return (
+        starts.join(sweep, "day")
+        .join(carry, "day", "left")
+        .groupBy("day", "n_sessions", "carried")
+        .agg(F.max("run").alias("mx"))
+        .select(
+            F.col("day").alias("epoch_day"),
+            "n_sessions",
+            F.coalesce("carried", F.lit(0)).cast("bigint").alias("n_crossing"),
+            (F.col("mx") + F.coalesce("carried", F.lit(0)))
+            .cast("bigint")
+            .alias("peak_concurrent"),
+        )
+    )
+
+
+@q(
+    "qa_column_diversity",
+    """WITH u AS (
+         SELECT 'o_orderpriority' AS col, o_orderpriority AS v FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', o_orderstatus FROM orders
+         UNION ALL
+         SELECT 'l_returnflag', l_returnflag FROM lineitem
+         UNION ALL
+         SELECT 'l_linestatus', l_linestatus FROM lineitem),
+       c AS (
+         SELECT col, v, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM u GROUP BY col, v),
+       s AS (
+         SELECT col, CAST(SUM(cnt) AS BIGINT) AS n,
+                CAST(SUM(cnt * cnt) AS HUGEINT) AS s2,
+                CAST(COUNT(*) AS BIGINT) AS n_distinct
+         FROM c GROUP BY col)
+       SELECT col, n, n_distinct,
+              CAST((1000000 * (CAST(n AS HUGEINT) * n - s2))
+                   // (CAST(n AS HUGEINT) * n) AS BIGINT) AS simpson_ppm,
+              CAST((1000000 * CAST(n AS HUGEINT) * n) // s2 AS BIGINT)
+                AS eff_values_ppm
+       FROM s""",
+)
+def qa_column_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA+ categorical-column diversity profile: per column, the
+    Gini-Simpson index and effective number of values (inverse
+    Simpson) — the profiling number qa_profile's raw n_distinct
+    can't give (a column with 1M distincts where one value is 99.9%
+    of rows is effectively constant; eff_values says so). Same
+    rational-ppm discipline as agg_simpson, per column, in
+    int128/DECIMAL. Skew in categorical columns is also the
+    join-planning signal (a dominant value is the hot key
+    join_salted exists for). One union-of-projections scan per
+    column, value-count-sized intermediates, 4-row output."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    u = (
+        o.select(F.lit("o_orderpriority").alias("col"),
+                 F.col("o_orderpriority").alias("v"))
+        .unionAll(o.select(F.lit("o_orderstatus"), F.col("o_orderstatus")))
+        .unionAll(li.select(F.lit("l_returnflag"), F.col("l_returnflag")))
+        .unionAll(li.select(F.lit("l_linestatus"), F.col("l_linestatus")))
+    )
+    c = u.groupBy("col", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    D = "DECIMAL(38,0)"
+    s = c.groupBy("col").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.expr(f"CAST(cnt AS {D}) * cnt")).alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    return s.select(
+        "col", "n", "n_distinct",
+        F.expr(
+            f"CAST((1000000 * (CAST(n AS {D}) * n - s2))"
+            f" DIV (CAST(n AS {D}) * n) AS BIGINT)"
+        ).alias("simpson_ppm"),
+        F.expr(
+            f"CAST((1000000 * CAST(n AS {D}) * n) DIV s2 AS BIGINT)"
+        ).alias("eff_values_ppm"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
