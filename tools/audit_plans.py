@@ -47,6 +47,8 @@ GLOBAL_ONE_TASK_OK = {
     "win_interpolate",   # IGNORE-NULLS navigation over the DAY-grain
                          # spine (calendar-bounded; entity grain would
                          # PARTITION BY key — documented)
+    "win_rolling_slope", # five frame sums over the DAY-grain revenue
+                         # table (calendar-bounded, documented)
     "agg_decile_lift",   # NTILE over the customer-dimension spend rollup
                          # (one row per customer) + cum/total windows over
                          # the 10-row decile table — same argument as

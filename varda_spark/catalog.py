@@ -14870,6 +14870,204 @@ def qa_column_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "join_pit_scd2",
+    """WITH o AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+         FROM events),
+       chg AS (
+         SELECT user_id, ts, event_id, event_type
+         FROM o WHERE prev IS NULL OR prev <> event_type),
+       dim AS (
+         SELECT user_id, event_type AS state, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS valid_to
+         FROM chg),
+       probes AS (
+         SELECT user_id, ts AS at_ts, event_id
+         FROM events WHERE event_id % 17 = 0)
+       SELECT p.user_id, p.event_id, d.state
+       FROM probes p JOIN dim d
+         ON d.user_id = p.user_id
+        AND d.valid_from <= p.at_ts
+        AND (d.valid_to IS NULL OR p.at_ts < d.valid_to)""",
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/C+ point-in-time dimension lookup: the standard CONSUMER of
+    merge_scd2's type-2 dimension — "what was this user's state at
+    time T" resolved by joining each probe into its validity window
+    (valid_from ≤ T < valid_to, NULL = open-ended current row). This is
+    THE feature-store correctness join: training examples must see
+    attribute values as-of the label time, and the half-open window
+    predicate is exactly what prevents the future-leakage bug a naive
+    latest-value join commits. Plan: the window predicate rides on a
+    USER-keyed equi-join (co-partitioned with the dimension — never a
+    broadcast-nested-loop, because the equality on user_id drives the
+    join), and each probe matches exactly ONE version row by
+    construction (windows partition time). Probes are a deterministic
+    1-in-17 sample of events. The global COUNT window is over the
+    already-joined result for a self-describing row count — removed at
+    scale or partitioned in production (one-task whitelist)."""
+    ev = read_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(uw).alias("prev"),
+    )
+    chg = o.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    dim = chg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(uw).alias("valid_to"),
+    )
+    probes = ev.filter(F.col("event_id") % 17 == 0).select(
+        "user_id", F.col("ts").alias("at_ts"), "event_id"
+    )
+    return probes.join(
+        dim,
+        (probes.user_id == dim.user_id)
+        & (dim.valid_from <= probes.at_ts)
+        & (dim.valid_to.isNull() | (probes.at_ts < dim.valid_to)),
+    ).select(probes.user_id, "event_id", "state")
+
+
+@q(
+    "text_boilerplate_strip",
+    """WITH lines AS (
+         SELECT doc_id, trim(l) AS line
+         FROM (SELECT doc_id, unnest(string_split(text, '.')) AS l
+               FROM documents)
+         WHERE trim(l) <> ''),
+       df AS (
+         SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM lines GROUP BY line),
+       flagged AS (
+         SELECT l.doc_id, l.line, df.n_docs >= 20 AS is_boiler
+         FROM lines l JOIN df ON df.line = l.line)
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_boiler,
+              CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE length(line) END)
+                   AS BIGINT) AS kept_chars,
+              CAST((1000000 * SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END))
+                   // COUNT(*) AS BIGINT) AS boiler_ppm
+       FROM flagged GROUP BY doc_id""",
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ boilerplate line stripping: sentences (dot-split, the
+    corpus's line proxy) that recur across ≥20 documents are navigation/
+    footer/template mass, not content — the frequency-based cleaner
+    every web-scale corpus runs BEFORE dedup (template text inflates
+    near-dup scores and poisons n-gram stats; cf. the same df-cap idea
+    in sim_sparse_cosine and dedup_binary_chunks). Output per doc: line
+    counts, boilerplate fraction in exact ppm, and the character mass
+    that survives stripping — the downstream pipeline reads kept_chars
+    as the true content size. Plan: line explode → line-keyed df agg
+    (the only data-wide shuffle, well-distributed) → broadcast-scale
+    flag join back → per-doc rollup."""
+    docs = read_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "\\.")).alias("l"),
+    ).select("doc_id", F.trim(F.col("l")).alias("line")).filter(
+        F.col("line") != ""
+    )
+    df = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    flagged = lines.join(df, "line").select(
+        "doc_id", "line", (F.col("n_docs") >= 20).alias("is_boiler")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler"),
+        F.sum(
+            F.when(F.col("is_boiler"), 0).otherwise(F.length("line"))
+        )
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END))"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("boiler_ppm"),
+    )
+
+
+@q(
+    "win_rolling_slope",
+    """WITH day AS (
+         SELECT CAST(o_orderdate AS DATE) AS d,
+                date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS x,
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                              AS BIGINT)) AS BIGINT) AS y
+         FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+       f AS (
+         SELECT d, y,
+                CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                CAST(SUM(CAST(x AS HUGEINT)) OVER w AS HUGEINT) AS sx,
+                CAST(SUM(CAST(y AS HUGEINT)) OVER w AS HUGEINT) AS sy,
+                CAST(SUM(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS sxx,
+                CAST(SUM(CAST(x AS HUGEINT) * y) OVER w AS HUGEINT) AS sxy
+         FROM day
+         WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       SELECT d AS day, y AS rev_c,
+              CASE WHEN n = 20 THEN
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_c_per_day
+       FROM f""",
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ rolling 20-day OLS trend: the least-squares slope of daily
+    revenue against the day index over a sliding window — the trend
+    detector that answers "is revenue RISING" with a rate (cents/day),
+    where win_dod_growth gives one noisy step and agg_regression fits
+    one global line. All five sufficient sums share ONE window sort
+    (the win_rolling_corr discipline) and accumulate exactly in
+    int128/DECIMAL; the slope is a single double division of two exact
+    integers (IEEE-identical), emitted only for full 20-day windows.
+    Day-grain window — one-task whitelisted; per-entity trends
+    PARTITION BY key and distribute."""
+    o = read_table(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).withColumn("x", F.expr("datediff(d, DATE'1970-01-01')"))
+    D = "DECIMAL(38,0)"
+    w = Window.orderBy("d").rowsBetween(-19, 0)
+    f = day.select(
+        "d", "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.expr(f"CAST(x AS {D})")).over(w).alias("sx"),
+        F.sum(F.expr(f"CAST(y AS {D})")).over(w).alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {D}) * x")).over(w).alias("sxx"),
+        F.sum(F.expr(f"CAST(x AS {D}) * y")).over(w).alias("sxy"),
+    )
+    return f.select(
+        F.col("d").alias("day"),
+        F.col("y").alias("rev_c"),
+        F.when(
+            F.col("n") == 20,
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / CAST(n * sxx - sx * sx AS DOUBLE)"
+            ),
+        ).alias("slope_c_per_day"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
