@@ -253,3 +253,32 @@ def test_fiscal_445_partition_of_orders(spark):
     assert int(out.n_orders.sum()) == orders
     assert set(out.fiscal_quarter.unique()) <= {1, 2, 3, 4}
     assert set(out.period.unique()) <= {1, 2, 3}
+
+
+def test_liftover_fragment_accounting(spark):
+    out = run(spark, "interval_liftover")
+    # fragments preserve length: dst span == mapped bp
+    assert ((out.dst_end - out.dst_begin) == out.mapped_bp).all()
+    assert (out.mapped_bp > 0).all()
+    assert (out.mapped_ppm <= 1_000_000).all()
+    # per interval, total mapped bp never exceeds the source length
+    per = out.groupby("iv_id").agg(
+        mapped=("mapped_bp", "sum"),
+        src=("src_end", "first"),
+        b=("src_begin", "first"),
+    )
+    assert (per.mapped <= per.src - per.b).all()
+
+
+def test_popmax_dominates_pooled_af(spark):
+    """popmax >= pooled AF for every site — the reason popmax exists."""
+    import pandas as pd
+
+    out = run(spark, "freq_popmax").set_index("site_id")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").toPandas()
+    li["site"] = li.l_partkey
+    li["alt"] = 2 - (li.l_orderkey % 3).map({0: 2, 1: 1, 2: 0})
+    pooled = li.groupby("site").agg(alt=("alt", "sum"), n=("alt", "size"))
+    pooled_ppm = (1_000_000 * pooled.alt) // (2 * pooled.n)
+    joined = out.join(pooled_ppm.rename("pooled_ppm"), how="inner")
+    assert (joined.popmax_ppm >= joined.pooled_ppm).all()

@@ -15068,6 +15068,184 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "interval_liftover",
+    """WITH ivs AS (
+         SELECT s_suppkey AS iv_id,
+                CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS b,
+                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                     AS BIGINT) AS e
+         FROM supplier),
+       chain AS (
+         SELECT CAST(c AS VARCHAR) AS chromosome,
+                CAST(k * 10000 AS BIGINT) AS src_s,
+                CAST((k + 1) * 10000 AS BIGINT) AS src_e,
+                CAST(500000 + c * 200000 + k * 10000
+                     + (k * 977 + c * 131) % 5000 AS BIGINT) AS dst_s
+         FROM unnest(range(0, 5)) AS tc(c), unnest(range(0, 11)) AS tk(k)
+         WHERE k <> 7),
+       mapped AS (
+         SELECT i.iv_id, i.chromosome, i.b, i.e,
+                greatest(i.b, c.src_s) AS cb, least(i.e, c.src_e) AS ce,
+                c.dst_s + greatest(i.b, c.src_s) - c.src_s AS db,
+                c.dst_s + least(i.e, c.src_e) - c.src_s AS de
+         FROM ivs i JOIN chain c
+           ON c.chromosome = i.chromosome
+          AND i.b < c.src_e AND i.e > c.src_s)
+       SELECT iv_id, chromosome, CAST(b AS BIGINT) AS src_begin,
+              CAST(e AS BIGINT) AS src_end,
+              CAST(db AS BIGINT) AS dst_begin, CAST(de AS BIGINT) AS dst_end,
+              CAST(ce - cb AS BIGINT) AS mapped_bp,
+              CAST((1000000 * (ce - cb)) // (e - b) AS BIGINT)
+                AS mapped_ppm
+       FROM mapped""",
+)
+def interval_liftover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/C1+ coordinate liftover: remap intervals between genome
+    assemblies through a chain of (src block → dst offset) alignment
+    blocks — the UCSC liftOver operation every cross-build variant
+    database needs (varda-core: GRCh37 coordinates arriving into a
+    GRCh38 warehouse). Each interval joins its overlapping chain
+    blocks (chromosome-keyed equi-join + overlap predicate, binned
+    strategy at genome scale), is CLIPPED to each block, and emits one
+    remapped fragment per block — intervals spanning a chain gap (the
+    synthetic chain drops block k=7, like real assembly gaps) lose
+    that slice, and mapped_ppm reports exactly how much survived (the
+    partial-mapping accounting real liftOver prints as warnings).
+    Deterministic synthetic chain in both engines; integer coordinate
+    arithmetic throughout."""
+    s = read_table(spark, sf_dir, "supplier")
+    ivs = s.select(
+        F.col("s_suppkey").alias("iv_id"),
+        (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("b"),
+        (
+            (F.col("s_suppkey") * 97) % 100000 + 1 + 200
+            + (F.col("s_suppkey") % 7) * 500
+        ).cast("long").alias("e"),
+    )
+    chain = (
+        spark.range(5)
+        .select(F.col("id").alias("c"))
+        .select(
+            "c", F.explode(F.sequence(F.lit(0), F.lit(10))).alias("k")
+        )
+        .filter(F.col("k") != 7)
+        .select(
+            F.col("c").cast("string").alias("chromosome"),
+            (F.col("k") * 10000).cast("long").alias("src_s"),
+            ((F.col("k") + 1) * 10000).cast("long").alias("src_e"),
+            (
+                F.lit(500000)
+                + F.col("c") * 200000
+                + F.col("k") * 10000
+                + (F.col("k") * 977 + F.col("c") * 131) % 5000
+            ).cast("long").alias("dst_s"),
+        )
+    )
+    m = ivs.join(
+        F.broadcast(chain),
+        (ivs.chromosome == chain.chromosome)
+        & (ivs.b < chain.src_e)
+        & (ivs.e > chain.src_s),
+    ).select(
+        "iv_id", ivs.chromosome, "b", "e",
+        F.greatest("b", "src_s").alias("cb"),
+        F.least("e", "src_e").alias("ce"),
+        (F.col("dst_s") + F.greatest("b", "src_s") - F.col("src_s")).alias(
+            "db"
+        ),
+        (F.col("dst_s") + F.least("e", "src_e") - F.col("src_s")).alias("de"),
+    )
+    return m.select(
+        "iv_id", "chromosome",
+        F.col("b").cast("bigint").alias("src_begin"),
+        F.col("e").cast("bigint").alias("src_end"),
+        F.col("db").cast("bigint").alias("dst_begin"),
+        F.col("de").cast("bigint").alias("dst_end"),
+        (F.col("ce") - F.col("cb")).cast("bigint").alias("mapped_bp"),
+        F.expr(
+            "CAST((1000000 * (ce - cb)) DIV (e - b) AS BIGINT)"
+        ).alias("mapped_ppm"),
+    )
+
+
+@q(
+    "freq_popmax",
+    """WITH gt AS (
+         SELECT l_partkey AS site_id, l_suppkey % 3 AS pop,
+                CASE WHEN l_orderkey % 3 = 0 THEN 2
+                     WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END AS n_ref
+         FROM lineitem),
+       af AS (
+         SELECT site_id, pop,
+                CAST(SUM(2 - n_ref) AS BIGINT) AS alt_c,
+                CAST(2 * COUNT(*) AS BIGINT) AS an
+         FROM gt GROUP BY site_id, pop),
+       ppm AS (
+         SELECT site_id, pop,
+                CAST((1000000 * alt_c) // an AS BIGINT) AS af_ppm
+         FROM af WHERE an > 0),
+       px AS (
+         SELECT site_id, MAX(af_ppm) AS popmax_ppm FROM ppm GROUP BY site_id)
+       SELECT p.site_id, p.popmax_ppm,
+              CAST(MIN(m.pop) AS BIGINT) AS popmax_pop,
+              CAST(COUNT(*) AS BIGINT) AS n_pops_at_max
+       FROM px p JOIN ppm m
+         ON m.site_id = p.site_id AND m.af_ppm = p.popmax_ppm
+       GROUP BY p.site_id, p.popmax_ppm""",
+)
+def freq_popmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core popmax allele frequency: per site, the MAXIMUM
+    alternate-allele frequency across populations and which population
+    attains it — the gnomAD-style number clinical filtering keys on
+    (a variant common in ANY population is unlikely pathogenic, even
+    if rare in the pooled cohort — pooled AF systematically
+    understates; that's the whole point of popmax). Per-population AFs
+    are exact ppm floors; the argmax resolves ties to the smallest
+    population id and reports the tie width. Three populations from
+    suppkey%3, genotypes the freq_hwe synthesis. Plan: one
+    (site, pop)-keyed agg, one site-keyed max + argmax join — both
+    map-side-partial shuffles, site-sized output."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = li.select(
+        F.col("l_partkey").alias("site_id"),
+        (F.col("l_suppkey") % 3).alias("pop"),
+        F.expr(
+            "CASE WHEN l_orderkey % 3 = 0 THEN 2"
+            " WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END"
+        ).alias("n_ref"),
+    )
+    af = gt.groupBy("site_id", "pop").agg(
+        F.sum(2 - F.col("n_ref")).cast("bigint").alias("alt_c"),
+        (2 * F.count(F.lit(1))).cast("bigint").alias("an"),
+    )
+    ppm = af.filter(F.col("an") > 0).select(
+        "site_id", "pop",
+        F.expr("CAST((1000000 * alt_c) DIV an AS BIGINT)").alias("af_ppm"),
+    )
+    px = ppm.groupBy("site_id").agg(F.max("af_ppm").alias("popmax_ppm"))
+    m = ppm.select(
+        F.col("site_id").alias("m_site"), "pop",
+        F.col("af_ppm").alias("m_ppm"),
+    )
+    return (
+        px.join(
+            m,
+            (F.col("m_site") == px.site_id)
+            & (F.col("m_ppm") == px.popmax_ppm),
+        )
+        .groupBy("site_id", "popmax_ppm")
+        .agg(
+            F.min("pop").cast("bigint").alias("popmax_pop"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pops_at_max"),
+        )
+        .select("site_id", "popmax_ppm", "popmax_pop", "n_pops_at_max")
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
