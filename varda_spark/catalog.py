@@ -15246,6 +15246,123 @@ def freq_popmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "freq_split_multiallelic",
+    """WITH rec AS (
+         SELECT p_partkey AS site_id,
+                CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
+                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                1 + p_partkey % 3 AS n_alts,
+                CAST(100 + p_partkey % 50 AS BIGINT) AS an
+         FROM part),
+       split AS (
+         SELECT site_id, chromosome, position, n_alts, an,
+                CAST(a AS BIGINT) AS allele_idx,
+                CAST((site_id * 7 + a * 13) % (an // 2) AS BIGINT) AS ac
+         FROM rec, unnest(range(1, n_alts + 1)) AS t(a))
+       SELECT site_id, chromosome, position, allele_idx,
+              CAST(n_alts AS BIGINT) AS n_alts, ac, an,
+              CAST((1000000 * ac) // an AS BIGINT) AS af_ppm,
+              n_alts > 1 AS was_multiallelic
+       FROM split""",
+)
+def freq_split_multiallelic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/H2+ multiallelic decomposition: records carrying several ALT
+    alleles explode into ONE ROW PER ALLELE with per-allele AC and the
+    shared AN — bcftools norm -m- semantics, the normalization step
+    every variant warehouse runs before keys are comparable (a biallelic
+    row for G>A must match whether it arrived alone or inside a
+    G>A,T record; varda's variant-key normalization assumes it —
+    cf. str_trim_alleles for the complementary allele-trim step).
+    Synthetic records: 1-3 alts from partkey, deterministic per-allele
+    counts bounded by AN/2 in both engines. Plan: map-side explode
+    (fan-out ≤ 3), no shuffle at all — the whole operator is a
+    projection; af_ppm exact floors."""
+    pt = read_table(spark, sf_dir, "part")
+    rec = pt.select(
+        F.col("p_partkey").alias("site_id"),
+        (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
+        ((F.col("p_partkey") * 31) % 100000 + 1).cast("long").alias(
+            "position"
+        ),
+        (1 + F.col("p_partkey") % 3).alias("n_alts"),
+        (100 + F.col("p_partkey") % 50).cast("long").alias("an"),
+    )
+    split = rec.select(
+        "site_id", "chromosome", "position", "n_alts", "an",
+        F.explode(F.expr("sequence(1, CAST(n_alts AS INT))")).alias(
+            "allele_idx"
+        ),
+    ).withColumn(
+        "ac",
+        F.expr(
+            "CAST((site_id * 7 + allele_idx * 13) % (an DIV 2) AS BIGINT)"
+        ),
+    )
+    return split.select(
+        "site_id", "chromosome", "position",
+        F.col("allele_idx").cast("bigint").alias("allele_idx"),
+        F.col("n_alts").cast("bigint").alias("n_alts"),
+        "ac", "an",
+        F.expr("CAST((1000000 * ac) DIV an AS BIGINT)").alias("af_ppm"),
+        (F.col("n_alts") > 1).alias("was_multiallelic"),
+    )
+
+
+@q(
+    "agg_rate_wilson",
+    """WITH base AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN value > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS k
+         FROM events GROUP BY event_type)
+       SELECT event_type, n, k,
+              CAST((1000000 * k) // n AS BIGINT) AS rate_ppm,
+              (CAST(k AS DOUBLE) / n + 1.959964 * 1.959964 / (2.0 * n)
+               - 1.959964 * sqrt((CAST(k AS DOUBLE) / n)
+                                 * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                 + 1.959964 * 1.959964 / (4.0 * n * n)))
+                / (1.0 + 1.959964 * 1.959964 / n) AS wilson_lo,
+              (CAST(k AS DOUBLE) / n + 1.959964 * 1.959964 / (2.0 * n)
+               + 1.959964 * sqrt((CAST(k AS DOUBLE) / n)
+                                 * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                 + 1.959964 * 1.959964 / (4.0 * n * n)))
+                / (1.0 + 1.959964 * 1.959964 / n) AS wilson_hi
+       FROM base""",
+)
+def agg_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ rate with Wilson 95% score interval per event type — the
+    uncertainty band every dashboard rate should carry (Wilson beats
+    the naive ±1.96·se Wald interval near 0/1 and at small n, where
+    Wald's bounds escape [0,1]). The point rate is an exact ppm floor;
+    the interval is one fixed-shape float expression with the z
+    constant pinned as a literal (the agg_power_analysis discipline) —
+    sub/mul/div/sqrt only, IEEE-identical across engines. One grouped
+    agg, type-count-sized output; pairs with agg_calibration_bins
+    (is the rate RIGHT) and agg_ab_srm (is the denominator right)."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    z2 = "1.959964 * 1.959964"
+    core = (
+        f"(CAST(k AS DOUBLE) / n + {z2} / (2.0 * n) {{sign}} 1.959964"
+        f" * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)"
+        f" / n + {z2} / (4.0 * n * n))) / (1.0 + {z2} / n)"
+    )
+    return base.select(
+        "event_type", "n", "k",
+        F.expr("CAST((1000000 * k) DIV n AS BIGINT)").alias("rate_ppm"),
+        F.expr(core.format(sign="-")).alias("wilson_lo"),
+        F.expr(core.format(sign="+")).alias("wilson_hi"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
