@@ -78,3 +78,67 @@ def test_dsl_rejects_garbage(spark):
             assert False, f"accepted {bad!r}"
         except ExpressionError:
             pass
+
+
+# ---- interval-algebra properties (SURVEY §5: bedtools semantics) ----
+
+from pyspark.sql import functions as F  # noqa: E402
+
+iv_list = st.lists(
+    st.tuples(st.integers(0, 150), st.integers(1, 40)).map(
+        lambda t: (t[0], t[0] + t[1])
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _union_mass(ivs):
+    pts = set()
+    for b, e in ivs:
+        pts.update(range(b, e))
+    return len(pts)
+
+
+@given(ivs=iv_list)
+@settings(max_examples=15, deadline=None)
+def test_merge_intervals_disjoint_and_mass_preserving(spark, ivs):
+    from varda_spark.operators.interval import merge_intervals
+
+    df = spark.createDataFrame(
+        [("c", b, e) for b, e in ivs], "chromosome string, begin long, end long"
+    )
+    out = sorted(
+        (r.begin, r.end) for r in merge_intervals(df).collect()
+    )
+    # disjoint and ordered (touching intervals merge)
+    for (b1, e1), (b2, e2) in zip(out, out[1:]):
+        assert b2 > e1
+    # union mass preserved
+    assert sum(e - b for b, e in out) == _union_mass(ivs)
+
+
+@given(ivs=iv_list)
+@settings(max_examples=15, deadline=None)
+def test_complement_covers_exactly_the_gaps(spark, ivs):
+    """complement uses the module's CLOSED-interval (VCF 1-based)
+    convention: gaps are [end+1, next_begin-1] between merged runs —
+    compare point sets against a brute-force closed-coverage model."""
+    from varda_spark.operators.interval import complement_intervals
+
+    df = spark.createDataFrame(
+        [("c", b, e) for b, e in ivs], "chromosome string, begin long, end long"
+    )
+    comp = sorted(
+        (r.begin, r.end) for r in complement_intervals(df).collect()
+    )
+    covered = set()
+    for b, e in ivs:
+        covered.update(range(b, e + 1))  # closed
+    lo, hi = min(covered), max(covered)
+    expected_gap_points = set(range(lo, hi + 1)) - covered
+    got_points = set()
+    for b, e in comp:
+        assert b <= e
+        got_points.update(range(b, e + 1))
+    assert got_points == expected_gap_points
