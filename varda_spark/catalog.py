@@ -15363,6 +15363,139 @@ def agg_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "graph_butterflies",
+    """WITH lp AS (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       pairs AS (
+         SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS co
+         FROM lp a JOIN lp b ON b.o = a.o AND b.p > a.p
+         GROUP BY a.p, b.p),
+       bf AS (
+         SELECT CAST(SUM(co * (co - 1) / 2) AS BIGINT) AS butterflies,
+                CAST(SUM(CASE WHEN co >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pairs_ge2,
+                CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(co) AS BIGINT) AS wedges
+         FROM pairs)
+       SELECT butterflies, n_pairs_ge2, n_pairs, wedges,
+              CAST((1000000 * CAST(butterflies AS HUGEINT))
+                   // greatest(wedges, 1) AS BIGINT) AS closure_ppm
+       FROM bf""",
+)
+def graph_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph+ butterfly counting: the number of complete 2×2 bicliques
+    (two orders sharing the same two parts) in the bipartite
+    order-part graph — the bipartite analog of the triangle count, and
+    the base of bipartite clustering coefficients (closure_ppm =
+    butterflies / co-purchase wedges — how often a shared-part pair
+    repeats across baskets; recommender datasets live on this number).
+    Counting identity: Σ over part pairs of C(co-occurrence, 2) —
+    candidate pairs fan out PER BASKET (the graph_jaccard lesson:
+    per-order pair generation is bounded by basket width ≤ 7, never by
+    part popularity), co-counts aggregate with map-side partials, and
+    the final row is four exact integers + one int128 ppm. co·(co−1)/2
+    is always even product — integer division exact in both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("b.p") > F.col("a.p")),
+        )
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    )
+    D = "DECIMAL(38,0)"
+    bf = pairs.agg(
+        F.sum(F.expr("co * (co - 1) DIV 2")).cast("bigint").alias(
+            "butterflies"
+        ),
+        F.sum(F.when(F.col("co") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs_ge2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("co").cast("bigint").alias("wedges"),
+    )
+    return bf.select(
+        "butterflies", "n_pairs_ge2", "n_pairs", "wedges",
+        F.expr(
+            f"CAST((1000000 * CAST(butterflies AS {D}))"
+            f" DIV greatest(wedges, 1) AS BIGINT)"
+        ).alias("closure_ppm"),
+    )
+
+
+@q(
+    "text_chunk_rag",
+    """WITH words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       chunks AS (
+         SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+                1 + 20 * k AS tok_begin,
+                least(1 + 20 * k + 39, len(w)) AS tok_end, w
+         FROM (SELECT doc_id, w,
+                      unnest(range(0, greatest((len(w) - 20 + 19) // 20, 1)))
+                        AS k
+               FROM words))
+       SELECT doc_id, chunk_idx,
+              CAST(tok_begin AS BIGINT) AS tok_begin,
+              CAST(tok_end AS BIGINT) AS tok_end,
+              CAST(tok_end - tok_begin + 1 AS BIGINT) AS n_tokens,
+              md5(array_to_string(w[tok_begin:tok_end], ' ')) AS chunk_md5
+       FROM chunks WHERE tok_begin <= len(w)""",
+)
+def text_chunk_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ retrieval-ingestion chunking: 40-token windows with stride
+    20 (50% overlap) per document (sized to the shipped ~40-90-token
+    docs; production RAG uses 100/50 — same integer machinery), each chunk carrying its token span
+    and a content digest — the exact shape a RAG indexing pipeline
+    feeds to the embedder (overlap so no answer straddles a boundary;
+    spans so citations can highlight; digests so re-ingestion skips
+    unchanged chunks — the dedup_exact guard at chunk grain). Chunk
+    count is ⌈(len−20)/20⌉ with a 1-chunk floor for short docs (both
+    engines compute the identical ceiling in integers). Map-side
+    explode with fan-out len/50 — no shuffle; the digest is md5 of the
+    space-joined token slice, bit-identical across engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("w")
+    )
+    chunks = words.select(
+        "doc_id", "w",
+        F.explode(
+            F.expr(
+                "sequence(0, CAST(greatest((size(w) - 20 + 19) DIV 20, 1)"
+                " AS INT) - 1)"
+            )
+        ).alias("k"),
+    ).select(
+        "doc_id",
+        F.col("k").cast("bigint").alias("chunk_idx"),
+        (1 + 20 * F.col("k")).alias("tok_begin"),
+        F.expr("least(1 + 20 * k + 39, size(w))").alias("tok_end"),
+        "w",
+    ).filter(F.expr("tok_begin <= size(w)"))
+    return chunks.select(
+        "doc_id", "chunk_idx",
+        F.col("tok_begin").cast("bigint").alias("tok_begin"),
+        F.col("tok_end").cast("bigint").alias("tok_end"),
+        (F.col("tok_end") - F.col("tok_begin") + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(
+            F.expr(
+                "CAST(array_join(slice(w, CAST(tok_begin AS INT),"
+                " CAST(tok_end - tok_begin + 1 AS INT)), ' ') AS BINARY)"
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
