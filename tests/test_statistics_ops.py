@@ -282,3 +282,42 @@ def test_popmax_dominates_pooled_af(spark):
     pooled_ppm = (1_000_000 * pooled.alt) // (2 * pooled.n)
     joined = out.join(pooled_ppm.rename("pooled_ppm"), how="inner")
     assert (joined.popmax_ppm >= joined.pooled_ppm).all()
+
+
+def test_skyline_is_exactly_the_pareto_frontier(spark):
+    """Prefix-min skyline == brute-force dominance filter."""
+    out = run(spark, "agg_skyline")
+    # rebuild the point set the operator saw
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    pts = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+        .agg(F.min("l_shipdate").alias("ship"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+            ).alias("price_c"),
+            F.expr(
+                "datediff(CAST(ship AS DATE), CAST(o_orderdate AS DATE))"
+            ).alias("lead_d"),
+        )
+        .distinct()
+        .toPandas()
+    )
+    for grp, g in pts.groupby("grp"):
+        p = list(zip(g.price_c, g.lead_d))
+        brute = {
+            (x, y)
+            for x, y in p
+            if not any(
+                (qx <= x and qy <= y and (qx < x or qy < y)) for qx, qy in p
+            )
+        }
+        got = {
+            (r.price_c, r.lead_d)
+            for r in out[out.grp == grp].itertuples()
+        }
+        # operator keeps one representative per (x,y); brute keeps all
+        assert got == brute

@@ -15496,6 +15496,71 @@ def text_chunk_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "agg_skyline",
+    """WITH pts AS (
+         SELECT DISTINCT o.o_orderpriority AS grp,
+                CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  AS price_c,
+                date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(MIN(l.l_shipdate) AS DATE)) AS lead_d
+         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate,
+                  o.o_totalprice),
+       rm AS (
+         SELECT grp, price_c, lead_d,
+                MIN(lead_d) OVER (PARTITION BY grp
+                     ORDER BY price_c, lead_d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS rmin
+         FROM pts)
+       SELECT grp, price_c, CAST(lead_d AS BIGINT) AS lead_d
+       FROM rm WHERE rmin IS NULL OR lead_d < rmin""",
+)
+def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ skyline / Pareto frontier (Börzsönyi et al. 2001): per
+    priority class, the orders not DOMINATED on (price, lead time) —
+    no other order is both cheaper and faster — the multi-criteria
+    shortlist operator of the OLAP literature. The formulation is the
+    scale story: the textbook dominance test is a quadratic non-equi
+    self-join, but in 2D the skyline is exactly the prefix-minimum
+    chain — sort by (price asc, lead asc), keep a point iff its lead
+    beats the running MIN over all strictly-preceding rows — one
+    PARTITIONED window per group, O(n log n), distributed (the
+    block-nested-loop skyline this replaces cannot survive 100×).
+    DISTINCT (price, lead) first: coincident points tie (dominance
+    needs one strict inequality), and the prefix-min form keeps
+    exactly one representative — the documented convention. Exact
+    fixed-point cents and integer days."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pts = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+        .agg(F.min("l_shipdate").alias("ship"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+            ).alias("price_c"),
+            F.expr(
+                "datediff(CAST(ship AS DATE), CAST(o_orderdate AS DATE))"
+            ).alias("lead_d"),
+        )
+        .distinct()
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("price_c", "lead_d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rm = pts.withColumn("rmin", F.min("lead_d").over(w))
+    return rm.filter(
+        F.col("rmin").isNull() | (F.col("lead_d") < F.col("rmin"))
+    ).select("grp", "price_c", F.col("lead_d").cast("bigint").alias("lead_d"))
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
