@@ -15561,6 +15561,207 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "agg_cuped",
+    """WITH u AS (
+         SELECT user_id,
+                CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                1, 15) AS BIGINT) % 2 = 0
+                     THEN 'A' ELSE 'B' END AS arm,
+                CAST(SUM(CASE WHEN event_id % 2 = 0
+                              THEN CAST(value AS DECIMAL(18,4)) END)
+                     AS DECIMAL(38,4)) AS x,
+                CAST(SUM(CASE WHEN event_id % 2 = 1
+                              THEN CAST(value AS DECIMAL(18,4)) END)
+                     AS DECIMAL(38,4)) AS y
+         FROM events GROUP BY user_id),
+       f AS (
+         SELECT arm, x, y FROM u WHERE x IS NOT NULL AND y IS NOT NULL),
+       g AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                CAST(SUM(x * y) AS DOUBLE) AS sxy
+         FROM f),
+       arm_stats AS (
+         SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+                CAST(SUM(x) AS DOUBLE) AS sx_a,
+                CAST(SUM(y) AS DOUBLE) AS sy_a
+         FROM f GROUP BY arm)
+       SELECT a.arm, a.n_arm,
+              a.sy_a / a.n_arm AS raw_mean,
+              a.sy_a / a.n_arm
+                - ((g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx))
+                  * (a.sx_a / a.n_arm - g.sx / g.n) AS cuped_mean,
+              (g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx)
+                AS theta
+       FROM arm_stats a CROSS JOIN g""",
+)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML+ CUPED variance reduction (Deng et al. 2013): adjust each
+    arm's metric by the pre-experiment covariate, Ŷ = Ȳ −
+    θ(X̄_arm − X̄), θ = cov(X,Y)/var(X) — the standard trick that cuts
+    experiment runtime ~30-50% when a correlated pre-period metric
+    exists (here: even-id events as pre-period X, odd-id as in-period
+    Y, per user). The ALGEBRAIC form is the exactness trick: the
+    per-row adjustment collapses to group-level sufficient statistics,
+    so no order-dependent sum of adjusted doubles exists — decimal-
+    exact sums take ONE deterministic cast and feed a fixed-shape
+    float expression (the agg_welch_ttest discipline). Completes the
+    experimentation suite: agg_ab_srm (validity) → agg_power_analysis
+    (sizing) → CUPED (efficiency) → welch/mannwhitney (readout).
+    1-user-keyed agg + arm rollup + 1-row broadcast."""
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.col("value").cast("decimal(18,4)"),
+            )
+        ).cast("decimal(38,4)").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_id") % 2 == 1,
+                F.col("value").cast("decimal(18,4)"),
+            )
+        ).cast("decimal(38,4)").alias("y"),
+    ).withColumn(
+        "arm",
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5(CAST(user_id AS STRING)),"
+            " 1, 15), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+        ),
+    )
+    f = u.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    g = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    arm_stats = f.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arm"),
+        F.sum("x").cast("double").alias("sx_a"),
+        F.sum("y").cast("double").alias("sy_a"),
+    )
+    return arm_stats.crossJoin(F.broadcast(g)).select(
+        "arm", "n_arm",
+        F.expr("sy_a / n_arm").alias("raw_mean"),
+        F.expr(
+            "sy_a / n_arm - ((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+            " * (sx_a / n_arm - sx / n)"
+        ).alias("cuped_mean"),
+        F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)").alias("theta"),
+    )
+
+
+@q(
+    "agg_chainladder",
+    """WITH ev AS (
+         SELECT user_id,
+                (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3)
+                  // 7 AS wk,
+                CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_c
+         FROM events),
+       fw AS (SELECT user_id, MIN(wk) AS w0 FROM ev GROUP BY user_id),
+       tri AS (
+         SELECT f.w0 AS cohort, e.wk - f.w0 AS age,
+                CAST(SUM(e.v_c) AS BIGINT) AS inc_c
+         FROM ev e JOIN fw f ON f.user_id = e.user_id
+         GROUP BY f.w0, e.wk - f.w0),
+       cum AS (
+         SELECT cohort, age,
+                CAST(SUM(inc_c) OVER (PARTITION BY cohort ORDER BY age
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+         FROM tri),
+       pairs AS (
+         SELECT a.age AS from_age,
+                CAST(SUM(b.cum_c) AS BIGINT) AS next_sum,
+                CAST(SUM(a.cum_c) AS BIGINT) AS base_sum,
+                CAST(COUNT(*) AS BIGINT) AS n_cohorts
+         FROM cum a JOIN cum b
+           ON b.cohort = a.cohort AND b.age = a.age + 1
+         GROUP BY a.age)
+       SELECT CAST(from_age AS BIGINT) AS from_age, n_cohorts,
+              base_sum AS base_cum_c, next_sum AS next_cum_c,
+              CAST((1000000 * CAST(next_sum AS HUGEINT)) // base_sum
+                   AS BIGINT) AS factor_ppm
+       FROM pairs""",
+)
+def agg_chainladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ chain-ladder development factors: the cohort×age cumulative
+    triangle's age-to-age ratios f_a = Σ_c cum_{c,a+1} / Σ_c cum_{c,a}
+    (volume-weighted over every cohort observed at both ages) — the
+    actuarial/SaaS forecasting tool that answers "given what week-k
+    cohorts did by age 2, what will the newest cohort reach": multiply
+    the latest diagonal through the remaining factors. Factors are
+    exact int128 ppm; the triangle itself reuses the agg_ltv_curve
+    cumulative machinery (weekly cohorts, calendar-bounded windows).
+    Emitting FACTORS (not the chained forecast) keeps every number
+    exact — chaining multiplies ppm ratios, which the reader applies
+    in their tolerance; the triangle-completion product is one line
+    downstream. Heavy steps: first-touch agg + (cohort, age) agg —
+    both map-side-partial shuffles."""
+    ev_t = read_table(spark, sf_dir, "events")
+    ev = ev_t.select(
+        "user_id",
+        F.expr(
+            "(datediff(CAST(ts AS DATE), DATE'1970-01-01') + 3) DIV 7"
+        ).alias("wk"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias(
+            "v_c"
+        ),
+    )
+    fw = ev.groupBy("user_id").agg(F.min("wk").alias("w0"))
+    tri = (
+        ev.join(fw, "user_id")
+        .groupBy(
+            F.col("w0").alias("cohort"),
+            (F.col("wk") - F.col("w0")).alias("age"),
+        )
+        .agg(F.sum("v_c").cast("bigint").alias("inc_c"))
+    )
+    cw = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = tri.select(
+        "cohort", "age", F.sum("inc_c").over(cw).cast("bigint").alias("cum_c")
+    )
+    a = cum.select(
+        F.col("cohort").alias("ca"), F.col("age").alias("from_age"),
+        F.col("cum_c").alias("base_c"),
+    )
+    b = cum.select(
+        F.col("cohort").alias("cb"), F.col("age").alias("age_b"),
+        F.col("cum_c").alias("next_c"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cb") == F.col("ca"))
+            & (F.col("age_b") == F.col("from_age") + 1),
+        )
+        .groupBy("from_age")
+        .agg(
+            F.sum("next_c").cast("bigint").alias("next_sum"),
+            F.sum("base_c").cast("bigint").alias("base_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cohorts"),
+        )
+    )
+    D = "DECIMAL(38,0)"
+    return pairs.select(
+        F.col("from_age").cast("bigint").alias("from_age"),
+        "n_cohorts",
+        F.col("base_sum").alias("base_cum_c"),
+        F.col("next_sum").alias("next_cum_c"),
+        F.expr(
+            f"CAST((1000000 * CAST(next_sum AS {D})) DIV base_sum AS BIGINT)"
+        ).alias("factor_ppm"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
