@@ -101,6 +101,7 @@ BNLJ_OK = {
     "agg_retention_dn",  # 3-row N spine + 1-row horizon broadcasts
     "stream_watermark_audit",  # 4-row watermark spine broadcast
     "agg_cuped",         # 1-row pooled sufficient-stats scalar (theta)
+    "agg_recency_score", # 1-row max-order-date scalar (age anchor)
     "graph_paths3",      # 1-row trigram total scalar (ppm denominator)
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins

@@ -15762,6 +15762,58 @@ def agg_chainladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "agg_recency_score",
+    """WITH mx AS (
+         SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+       w AS (
+         SELECT o_custkey,
+                CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  AS price_c,
+                least(date_diff('day', CAST(o_orderdate AS DATE), mx.dmax)
+                      // 28, 19) AS k
+         FROM orders CROSS JOIN mx)
+       SELECT o_custkey AS custkey,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(price_c) AS BIGINT) AS total_c,
+              CAST(SUM(price_c * (1048576 >> k)) // 1048576 AS BIGINT)
+                AS recency_score_c
+       FROM w GROUP BY o_custkey""",
+)
+def agg_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ recency-decayed customer value: each order's cents are
+    weighted by 2^-(age/28d) — a 4-week half-life — and the trick is
+    that restricting the half-life to WHOLE periods makes exponential
+    decay EXACT integer math: weight = (2^20 >> k)/2^20, a bit shift,
+    no pow()/exp() float (which engines round differently — the same
+    ban as log; cf. agg_pow2_hist's exact log2). Ages cap at k=19 so
+    the shift never zeroes int64 semantics differently. This is the
+    CRM "hot customer" score that total spend (agg_rfm's M) misses —
+    a churned whale decays, a rising regular compounds. One scan +
+    customer-keyed agg with map-side partials; the 1-row max-date
+    scalar broadcasts (BNLJ whitelist)."""
+    o = read_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    w = o.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("price_c"),
+        F.expr(
+            "least(datediff(dmax, CAST(o_orderdate AS DATE)) DIV 28, 19)"
+        ).alias("k"),
+    )
+    return w.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price_c").cast("bigint").alias("total_c"),
+        F.expr(
+            "CAST(SUM(price_c * shiftright(1048576, CAST(k AS INT)))"
+            " DIV 1048576 AS BIGINT)"
+        ).alias("recency_score_c"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
