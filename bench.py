@@ -78,6 +78,8 @@ HEADLINE = LEGACY20 + [
     "graph_triangles_approx",  # DOULION edge-sampled triangle estimate
     "agg_bootstrap",    # 32-replicate Poissonized bootstrap (B× fan-out)
     "dedup_binary_chunks",  # chunk-level binary dedup inverted-index join
+    "emb_pca_power",    # matrix-free power-iteration PCA (array folds)
+    "sim_sparse_cosine",  # hashed-TF inverted-index sparse retrieval
 ]
 
 
