@@ -15814,6 +15814,137 @@ def agg_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "join_absence_sla",
+    """WITH met AS (
+         SELECT DISTINCT o.o_orderkey
+         FROM orders o JOIN lineitem l
+           ON l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE)
+                <= CAST(o.o_orderdate AS DATE) + 30
+          AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE))
+       SELECT o.o_orderkey, o.o_orderpriority,
+              CAST(o.o_orderdate AS DATE) AS orderdate
+       FROM orders o LEFT JOIN met m ON m.o_orderkey = o.o_orderkey
+       WHERE m.o_orderkey IS NULL""",
+)
+def join_absence_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C+ ABSENCE detection: orders with NO shipment inside the 30-day
+    SLA window — the negative-space query ("which entities did NOT do
+    X within T") that trips up naive writers into per-row correlated
+    NOT EXISTS scans. Formulated as: one equi-join restricted by the
+    window predicate builds the MET set (semi-join semantics,
+    key-partitioned, the range rides along on the equi key), then one
+    anti-join subtracts it — two shuffles on the same key, AQE-mergeable,
+    never a nested-loop. Complements agg_leadtime (how long) and
+    agg_survival (hazard over time): this is the breach LIST a
+    follow-up action consumes. Both-side date casts pin identical
+    day-granular comparison."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    met = (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (
+                li.l_shipdate.cast("date")
+                <= F.date_add(o.o_orderdate.cast("date"), 30)
+            )
+            & (li.l_shipdate.cast("date") >= o.o_orderdate.cast("date")),
+        )
+        .select(o.o_orderkey)
+        .distinct()
+    )
+    return o.join(met, "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+    )
+
+
+@q(
+    "emb_label_outliers",
+    """WITH q AS (
+         SELECT vec_id, label,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+         FROM embeddings),
+       cen AS (
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                i AS dim, CAST(SUM(val) AS BIGINT) AS s
+         FROM (SELECT vec_id, label, unnest(range(1, len(e) + 1)) AS i, e
+               FROM q) t, LATERAL (SELECT e[i] AS val) v
+         GROUP BY label, i),
+       d AS (
+         SELECT x.vec_id, x.label,
+                CAST(SUM((CAST(c.n AS HUGEINT) * x.e[c.dim] - c.s)
+                         * (CAST(c.n AS HUGEINT) * x.e[c.dim] - c.s))
+                     AS HUGEINT) AS dist2_n2,
+                MIN(c.n) AS n
+         FROM q x JOIN cen c ON c.label = x.label
+         GROUP BY x.vec_id, x.label),
+       rk AS (
+         SELECT vec_id, label,
+                CAST(dist2_n2 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+                  AS dist2_q,
+                ROW_NUMBER() OVER (PARTITION BY label
+                     ORDER BY dist2_n2 DESC, vec_id) AS rn
+         FROM d)
+       SELECT label, vec_id, dist2_q, CAST(rn AS BIGINT) AS outlier_rank
+       FROM rk WHERE rn <= 5""",
+)
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ mislabel detection: per label, the 5 vectors FARTHEST from
+    their own label centroid — the confident-learning-style screen that
+    surfaces annotation errors and contamination before training
+    (embedding-space outliers against their class are the classic
+    mislabel signature; pairs with emb_centroid_shift's drift view).
+    Exactness: the centroid is kept RATIONAL (mean = s/n never
+    materializes) — distance² ranks by Σ_d (n·x_d − s_d)², an exact
+    int128 integer per vector, so the per-label ordering is bit-stable;
+    the reported dist2_q de-scales by n² with one floor. Plan: per-
+    (label, dim) centroid sums (map-side partials over the exploded
+    rows), broadcast back as a (label, dim)-keyed join, per-label
+    top-5 window — all distributed by label."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+        ).alias("e"),
+    )
+    ex = q.select("vec_id", "label", F.posexplode("e").alias("dim0", "val"))
+    cen = ex.groupBy("label", "dim0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("val").cast("bigint").alias("s"),
+    )
+    D = "DECIMAL(38,0)"
+    d = (
+        ex.join(cen, ["label", "dim0"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"(CAST(n AS {D}) * val - s) * (CAST(n AS {D}) * val - s)"
+                )
+            ).alias("dist2_n2"),
+            F.min("n").alias("n"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2_n2").desc(), "vec_id"
+    )
+    rk = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return rk.select(
+        "label", "vec_id",
+        F.expr(
+            f"CAST(dist2_n2 DIV (CAST(n AS {D}) * n) AS BIGINT)"
+        ).alias("dist2_q"),
+        F.col("rn").cast("bigint").alias("outlier_rank"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
