@@ -102,6 +102,10 @@ BNLJ_OK = {
     "stream_watermark_audit",  # 4-row watermark spine broadcast
     "agg_cuped",         # 1-row pooled sufficient-stats scalar (theta)
     "agg_recency_score", # 1-row max-order-date scalar (age anchor)
+    "graph_degree_ccdf", # <=64-row bucket table triangular self-join
+                         # + 1-row total (bucket-count-sized, documented)
+    "agg_session_gap_sensitivity",  # 3-row threshold spine + 1-row
+                         # user-count broadcasts
     "graph_paths3",      # 1-row trigram total scalar (ppm denominator)
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins

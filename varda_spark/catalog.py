@@ -15945,6 +15945,136 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "graph_degree_ccdf",
+    f"""WITH {_COORDER_EDGES_SQL},
+       deg AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+           SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+         GROUP BY node),
+       b AS (
+         SELECT CAST(length(bin(degree)) AS BIGINT) AS pow2_bucket,
+                CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM deg GROUP BY length(bin(degree))),
+       t AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS total FROM b)
+       SELECT b.pow2_bucket, b.n_nodes,
+              CAST(SUM(b2.n_nodes) AS BIGINT) AS n_ge,
+              CAST((1000000 * SUM(b2.n_nodes)) // t.total AS BIGINT)
+                AS ccdf_ppm
+       FROM b JOIN b b2 ON b2.pow2_bucket >= b.pow2_bucket
+       CROSS JOIN t
+       GROUP BY b.pow2_bucket, b.n_nodes, t.total""",
+)
+def graph_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph+ degree-distribution CCDF in power-of-two buckets: the
+    scale-free / heavy-tail check (a straight CCDF line on log-log
+    axes ⇒ power law ⇒ hub-aware plans like join_salted and the
+    degree-ordered triangle orientation are mandatory; a bent one ⇒
+    near-regular, like the shipped co-purchase graph — which is WHY
+    graph_triangles costs what it does, cf. BASELINE notes). Buckets
+    use the exact-log2 bin-length trick (agg_pow2_hist — no float
+    log); the CCDF accumulates over the ≤64-row bucket table with a
+    tiny triangular self-join (bucket-count-sized, not data-sized).
+    Degree agg is the one data shuffle."""
+    e = _coorder_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    b = deg.groupBy(
+        F.expr("CAST(length(bin(degree)) AS BIGINT)").alias("pow2_bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    t = b.agg(F.sum("n_nodes").cast("bigint").alias("total"))
+    b2 = b.select(
+        F.col("pow2_bucket").alias("pb2"), F.col("n_nodes").alias("nn2")
+    )
+    return (
+        b.join(F.broadcast(b2), F.col("pb2") >= F.col("pow2_bucket"))
+        .crossJoin(F.broadcast(t))
+        .groupBy("pow2_bucket", "n_nodes", "total")
+        .agg(F.sum("nn2").cast("bigint").alias("n_ge"))
+        .select(
+            "pow2_bucket", "n_nodes", "n_ge",
+            F.expr("CAST((1000000 * n_ge) DIV total AS BIGINT)").alias(
+                "ccdf_ppm"
+            ),
+        )
+    )
+
+
+@q(
+    "agg_session_gap_sensitivity",
+    """WITH seq AS (
+         SELECT user_id,
+                date_diff('second',
+                          LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                          ts) AS gap_s
+         FROM events),
+       gaps AS (SELECT gap_s FROM seq WHERE gap_s IS NOT NULL),
+       u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             FROM events),
+       thr AS (SELECT unnest([900, 1800, 3600]) AS t)
+       SELECT CAST(thr.t AS BIGINT) AS gap_threshold_s,
+              u.n_users,
+              CAST(u.n_users + SUM(CASE WHEN g.gap_s > thr.t THEN 1 ELSE 0
+                                   END) AS BIGINT) AS n_sessions,
+              CAST((1000000 * SUM(CASE WHEN g.gap_s > thr.t THEN 1 ELSE 0
+                                  END)) // COUNT(*) AS BIGINT)
+                AS break_ppm
+       FROM gaps g CROSS JOIN thr CROSS JOIN u
+       GROUP BY thr.t, u.n_users""",
+)
+def agg_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I+ sessionization-parameter calibration: total session counts
+    under candidate inactivity gaps (15/30/60 min) from ONE pass — the
+    identity sessions(T) = users + #(inter-event gaps > T) means the
+    sensitivity table needs only the gap distribution, not a re-
+    sessionization per threshold (the watermark-audit trick applied to
+    the session gap; pick the knee where counts stabilize). Gaps come
+    from the per-user LAG window (partitioned, distributed); the
+    3-row threshold spine and 1-row user count broadcast; counts and
+    break fractions are exact."""
+    ev = read_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(uw))
+        ).alias("gap_s")
+    )
+    gaps = seq.filter(F.col("gap_s").isNotNull())
+    u = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(900), F.lit(1800), F.lit(3600))
+        ).alias("t")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(u))
+        .groupBy(
+            F.col("t").cast("bigint").alias("gap_threshold_s"), "n_users"
+        )
+        .agg(
+            (
+                F.first("n_users")
+                + F.sum(F.when(F.col("gap_s") > F.col("t"), 1).otherwise(0))
+            )
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN gap_s > t THEN 1 ELSE 0 END))"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("break_ppm"),
+        )
+        .select("gap_threshold_s", "n_users", "n_sessions", "break_ppm")
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
