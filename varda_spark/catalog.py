@@ -16075,6 +16075,77 @@ def agg_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "text_sft_pack",
+    """WITH ranked AS (
+         SELECT doc_id, source, text,
+                ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS rn
+         FROM documents),
+       pairs AS (
+         SELECT a.source, a.doc_id AS prompt_id, b.doc_id AS response_id,
+                '### User:\n' || a.text || '\n### Assistant:\n' || b.text
+                  AS rendered
+         FROM ranked a JOIN ranked b
+           ON b.source = a.source AND b.rn = a.rn + 1
+         WHERE a.rn % 2 = 1)
+       SELECT source, prompt_id, response_id,
+              CAST(length(rendered) AS BIGINT) AS n_chars,
+              CAST(len(string_split(rendered, ' ')) AS BIGINT) AS n_tokens_ws,
+              md5(rendered) AS sample_md5
+       FROM pairs""",
+)
+def text_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ SFT sample rendering: pair consecutive documents per source
+    into (prompt, response) turns under a fixed chat template and emit
+    the training-sample manifest — rendered length, whitespace token
+    count, and a content digest (the idempotency key: re-rendering an
+    unchanged pair hashes identically, so incremental SFT-data builds
+    skip it — the dedup_exact guard at sample grain). Pairing is a
+    deterministic per-source ROW_NUMBER chain (odd rank = prompt, its
+    successor = response) — PARTITIONED windows, and the pair join is
+    co-partitioned on (source, rank). The template is a literal string
+    concat; both engines produce byte-identical renders, hence
+    identical md5s. Complements pack_sequences (token packing) and
+    text_chunk_rag (retrieval chunks) as the third training-data
+    shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id", "source", "text", F.row_number().over(w).alias("rn")
+    )
+    a = ranked.filter(F.col("rn") % 2 == 1).select(
+        "source",
+        F.col("doc_id").alias("prompt_id"),
+        F.col("text").alias("pt"),
+        F.col("rn").alias("ra"),
+    )
+    b = ranked.select(
+        F.col("source").alias("sb"),
+        F.col("doc_id").alias("response_id"),
+        F.col("text").alias("rt"),
+        (F.col("rn") - 1).alias("ra"),
+    )
+    pairs = a.join(
+        b, (F.col("sb") == F.col("source")) & (b.ra == a.ra)
+    ).select(
+        "source", "prompt_id", "response_id",
+        F.concat(
+            F.lit("### User:\n"), F.col("pt"),
+            F.lit("\n### Assistant:\n"), F.col("rt"),
+        ).alias("rendered"),
+    )
+    return pairs.select(
+        "source", "prompt_id", "response_id",
+        F.length("rendered").cast("bigint").alias("n_chars"),
+        F.expr("CAST(size(split(rendered, ' ')) AS BIGINT)").alias(
+            "n_tokens_ws"
+        ),
+        F.md5(F.col("rendered").cast("binary")).alias("sample_md5"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
