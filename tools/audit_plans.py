@@ -106,6 +106,7 @@ BNLJ_OK = {
                          # + 1-row total (bucket-count-sized, documented)
     "agg_session_gap_sensitivity",  # 3-row threshold spine + 1-row
                          # user-count broadcasts
+    "qa_freshness",      # 1-row anchor-date scalar onto the 3-row board
     "graph_paths3",      # 1-row trigram total scalar (ppm denominator)
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins

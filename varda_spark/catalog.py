@@ -16146,6 +16146,59 @@ def text_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@q(
+    "qa_freshness",
+    """WITH per AS (
+         SELECT 'orders' AS tbl, MAX(CAST(o_orderdate AS DATE)) AS max_d
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem', MAX(CAST(l_shipdate AS DATE)) FROM lineitem
+         UNION ALL
+         SELECT 'events', MAX(CAST(ts AS DATE)) FROM events),
+       anchor AS (SELECT MAX(max_d) AS a FROM per)
+       SELECT per.tbl, per.max_d AS max_date,
+              CAST(date_diff('day', per.max_d, anchor.a) AS BIGINT)
+                AS staleness_days,
+              date_diff('day', per.max_d, anchor.a) > 30 AS stale_flag
+       FROM per CROSS JOIN anchor""",
+)
+def qa_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA+ freshness board: each fact table's latest event date and its
+    staleness against the NEWEST date across all tables — the
+    data-ops first-look that catches a stalled ingest (one table's max
+    frozen while siblings advance). The anchor is data-derived (max
+    over all tables), NOT wall-clock — wall-clock freshness is
+    non-reproducible and would break oracle parity; production swaps
+    the anchor for the scheduler's logical date. Three MAX scans
+    (metadata-cheap under parquet statistics), a 1-row anchor
+    broadcast, 3-row output with a >30-day breach flag."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ev = read_table(spark, sf_dir, "events")
+    per = (
+        o.agg(F.max(F.col("o_orderdate").cast("date")).alias("max_d"))
+        .select(F.lit("orders").alias("tbl"), "max_d")
+        .unionAll(
+            li.agg(
+                F.max(F.col("l_shipdate").cast("date")).alias("max_d")
+            ).select(F.lit("lineitem").alias("tbl"), "max_d")
+        )
+        .unionAll(
+            ev.agg(F.max(F.col("ts").cast("date")).alias("max_d")).select(
+                F.lit("events").alias("tbl"), "max_d"
+            )
+        )
+    )
+    anchor = per.agg(F.max("max_d").alias("a"))
+    return per.crossJoin(F.broadcast(anchor)).select(
+        "tbl",
+        F.col("max_d").alias("max_date"),
+        F.expr("CAST(datediff(a, max_d) AS BIGINT)").alias("staleness_days"),
+        F.expr("datediff(a, max_d) > 30").alias("stale_flag"),
+    )
+
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
