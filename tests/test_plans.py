@@ -42,3 +42,24 @@ def test_join_interval_is_equi_join(spark):
     plan = plan_of(spark, "join_interval")
     assert "BroadcastNestedLoopJoin" not in plan  # binned rewrite, not theta
     assert "CartesianProduct" not in plan
+
+
+def test_array_output_guard_trips(spark):
+    """tools/check_oracle.py must reject array/map-typed output columns in
+    oracle-twinned keys — the driver's canonicalizer cannot sort such
+    cells (the four CORRECTNESS_r04 errs). A deliberately array-returning
+    result must trip the guard; a scalar-only one must not."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import array_output_cols
+
+    bad = spark.sql(
+        "SELECT 1 AS k, array(1, 2, 3) AS arr, map('a', 1) AS m"
+    ).toPandas()
+    assert set(array_output_cols(bad)) == {"arr", "m"}
+
+    ok = spark.sql(
+        "SELECT 1 AS k, array_join(array('a', 'b'), ',') AS joined"
+    ).toPandas()
+    assert array_output_cols(ok) == []

@@ -468,12 +468,23 @@ def test_ewma_stream_state_survives_restart(spark, tmp_path):
 def test_transform_with_state_type_counts_matches_batch(spark, tmp_path):
     """The transformWithStateInPandas MapState operator converges to the
     batch per-(user, type) counts once all files are processed. The new
-    API speaks protobuf to the Python state server; skip where the
-    container ships no usable google.protobuf (operator stays importable
-    — same gating pattern as the multimodal codec paths)."""
-    import pytest
+    API speaks protobuf to the Python state server; where the container
+    ships no usable google.protobuf, this test instead ASSERTS the fence:
+    the operator must be importable, must NOT be in the driver-facing
+    catalog REGISTRY, and must carry the EXPERIMENTAL marker in its
+    docstring — so the never-executed protocol path can't be mistaken
+    for covered. (The handler logic itself runs protobuf-free in
+    test_type_counts_processor_logic below.)"""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        from varda_spark.catalog import REGISTRY
+        from varda_spark.streaming.windows import type_counts_stream_tws
 
-    pytest.importorskip("google.protobuf.descriptor")
+        assert callable(type_counts_stream_tws)
+        assert "type_counts_stream_tws" not in REGISTRY
+        assert "EXPERIMENTAL" in type_counts_stream_tws.__doc__
+        return
     from pyspark.sql import functions as F
 
     from varda_spark.streaming.windows import type_counts_stream_tws

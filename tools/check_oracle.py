@@ -34,6 +34,29 @@ def duck_con() -> duckdb.DuckDBPyConnection:
     return con
 
 
+def array_output_cols(df: pd.DataFrame) -> list[str]:
+    """Columns holding array/map/set-shaped cells.
+
+    The DRIVER's canonicalizer calls pandas ``sort_values`` on raw
+    columns, which raises ``TypeError: unhashable type`` on such cells
+    (proved by the 4 CORRECTNESS_r04 errs), so oracle-twinned keys must
+    emit scalar-only output columns — ``array_join``/``to_json`` the
+    structure instead. This guard makes the local gate reject what the
+    driver cannot canonicalize.
+    """
+    bad = []
+    for c in df.columns:
+        if df[c].dtype != object:
+            continue
+        for v in df[c]:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            if isinstance(v, (list, tuple, set, dict, np.ndarray)):
+                bad.append(c)
+            break
+    return bad
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -94,6 +117,11 @@ def main() -> None:
             continue
         if name not in oracles:
             print(f"{name:24s} rows-only   rows={len(sdf)}  ({time.time()-t0:.1f}s)")
+            continue
+        bad = array_output_cols(sdf)
+        if bad:
+            print(f"{name:24s} FAIL ARRAY-OUTPUT cols={bad} (driver cannot canonicalize)")
+            failed.append(name)
             continue
         try:
             ddf = con.sql(oracles[name]).df()

@@ -20,12 +20,21 @@ from varda_spark.catalog import REGISTRY  # noqa: E402
 
 
 def sampled_union() -> set[str]:
+    """Keys CERTIFIED by a prior driver round.
+
+    A key that ERR'd at the driver (e.g. the four r4 array-output keys)
+    is NOT certified — it stays eligible for the next window so it can
+    be re-proved after the fix.
+    """
     keys: set[str] = set()
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         data = json.load(open(path))
         results = data.get("results", data)
         if isinstance(results, dict):
-            keys |= set(results.keys())
+            for k, row in results.items():
+                if isinstance(row, dict) and row.get("err"):
+                    continue
+                keys.add(k)
         else:
             keys |= {row["key"] for row in results}
     return keys

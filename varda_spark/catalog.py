@@ -2854,7 +2854,8 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
               list_sort(q)[1] AS q_min,
               list_max(q) AS q_max,
               CAST(list_position(q, list_max(q)) AS BIGINT) AS argmax_1based,
-              list_slice(list_reverse(q), 1, 3) AS last3_reversed,
+              array_to_string(list_slice(list_reverse(q), 1, 3), ',')
+                  AS last3_reversed,
               CAST(len(list_filter(q, x -> x > 0)) AS BIGINT) AS n_positive,
               CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS q_sum
        FROM e""",
@@ -2862,7 +2863,11 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def arr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H6 array breadth: sort/max/position/slice/reverse/filter/reduce
     over quantized embeddings — the Column-level toolkit for vector and
-    list-shaped feature columns."""
+    list-shaped feature columns.
+
+    Output columns are scalar-only (r4 driver lesson): the array result
+    is emitted as a ','-joined string so the driver's canonicalizer can
+    sort it."""
     e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     q_ = F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT))")
     d = e.select("vec_id", q_.alias("q"))
@@ -2871,7 +2876,9 @@ def arr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.sort_array("q"), 1).alias("q_min"),
         F.array_max("q").alias("q_max"),
         F.array_position("q", F.array_max("q")).cast("bigint").alias("argmax_1based"),
-        F.slice(F.reverse("q"), 1, 3).alias("last3_reversed"),
+        F.array_join(
+            F.transform(F.slice(F.reverse("q"), 1, 3), lambda x: x.cast("string")), ","
+        ).alias("last3_reversed"),
         F.size(F.filter("q", lambda x: x > 0)).cast("bigint").alias("n_positive"),
         F.aggregate("q", F.lit(0).cast("bigint"), lambda a, b: a + b).alias("q_sum"),
     )
@@ -2969,19 +2976,22 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "agg_collect",
     """SELECT n_nationkey,
-              list(s_name ORDER BY s_acctbal DESC, s_name)[1:3] AS top3_suppliers
+              array_to_string(list(s_name ORDER BY s_acctbal DESC, s_name)[1:3], ',')
+                  AS top3_suppliers
        FROM nation JOIN supplier ON n_nationkey = s_nationkey
        GROUP BY n_nationkey""",
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D: ordered collect (top-3 names per nation as an array column) —
-    sort_array over collected structs gives deterministic order."""
+    """D: ordered collect (top-3 names per nation) — sort_array over
+    collected structs gives deterministic order; the top-3 list is
+    emitted as a ','-joined string (scalar-only outputs, r4 driver
+    lesson)."""
     n = read_table(spark, sf_dir, "nation")
     s = read_table(spark, sf_dir, "supplier")
     j = n.join(s, n.n_nationkey == s.s_nationkey)
     collected = F.expr(
-        "slice(transform(array_sort(collect_list(struct(-s_acctbal AS neg, s_name AS name))), "
-        "x -> x.name), 1, 3)"
+        "array_join(slice(transform(array_sort(collect_list(struct(-s_acctbal AS neg, s_name AS name))), "
+        "x -> x.name), 1, 3), ',')"
     )
     return j.groupBy("n_nationkey").agg(collected.alias("top3_suppliers"))
 
@@ -4041,7 +4051,9 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w[greatest(len(w) // 2, 1) + 1 : len(w)] AS b
          FROM t)
        SELECT doc_id,
-              list_sort(list_distinct(list_intersect(a, b))) AS common,
+              COALESCE(array_to_string(
+                  list_sort(list_distinct(list_intersect(a, b))), ','), '')
+                  AS common,
               CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union,
               CAST(len(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
                    AS BIGINT) AS n_only_first,
@@ -4066,7 +4078,9 @@ def arr_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.select(
         "doc_id",
-        F.array_sort(F.array_distinct(F.array_intersect("a", "b"))).alias("common"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_intersect("a", "b"))), ","
+        ).alias("common"),
         F.size(F.array_distinct(F.concat("a", "b"))).cast("bigint").alias("n_union"),
         F.size(F.array_distinct(F.array_except("a", "b"))).cast("bigint").alias("n_only_first"),
         F.arrays_overlap("a", "b").alias("overlaps"),
@@ -4076,19 +4090,20 @@ def arr_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "regex_extract_all",
     """SELECT doc_id,
-              regexp_extract_all(text, '[a-z]{6,}') AS long_words,
+              COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), ' '), '')
+                  AS long_words,
               CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT) AS n_long
        FROM documents WHERE doc_id < 200""",
 )
 def regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H8+ regexp_extract_all: every ≥6-letter run per doc, duplicates and
-    order preserved (the tokenizer-adjacent primitive json/str families
-    lacked)."""
+    order preserved, emitted as a space-joined string (scalar-only
+    outputs, r4 driver lesson)."""
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     all_matches = F.expr("regexp_extract_all(text, '[a-z]{6,}', 0)")
     return d.select(
         "doc_id",
-        all_matches.alias("long_words"),
+        F.array_join(all_matches, " ").alias("long_words"),
         F.size(all_matches).cast("bigint").alias("n_long"),
     )
 
@@ -9672,16 +9687,23 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)").alias("tp")
     )
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # Scratch tables are session-scoped: a fixed name races when two
+    # sessions run this key concurrently (one overwrites the files the
+    # other's cached file listing still points at → FAILED_READ_FILE).
+    # The suffix changes the PHYSICAL name only — the data, bucket
+    # layout, and result are byte-identical run to run.
+    tag = "".join(ch if ch.isalnum() else "_" for ch in spark.sparkContext.applicationId)
+    t_o, t_c = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
     wh = "/root/repo/spark-warehouse"
-    write_bucketed(o, "r4_bkt_orders", "o_custkey", n_buckets=16, path=f"{wh}/r4_bkt_orders")
-    write_bucketed(c, "r4_bkt_customer", "c_custkey", n_buckets=16, path=f"{wh}/r4_bkt_customer")
-    j = spark.table("r4_bkt_orders").join(
+    write_bucketed(o, t_o, "o_custkey", n_buckets=16, path=f"{wh}/{t_o}")
+    write_bucketed(c, t_c, "c_custkey", n_buckets=16, path=f"{wh}/{t_c}")
+    j = spark.table(t_o).join(
         # merge hint: at test sf the dim fits a broadcast, which would
         # bypass the bucket layout entirely — force the SMJ this key
         # demonstrates (at 100 TB neither side broadcasts and SMJ is
         # what Catalyst picks unaided; the buckets then kill both
         # exchanges, which test_plans asserts)
-        spark.table("r4_bkt_customer").hint("merge"),
+        spark.table(t_c).hint("merge"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
     return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
@@ -10985,67 +11007,64 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-visible ordering
 # =====================================================================
 # The correctness driver oracle-checks only the FIRST 50 registered keys
-# (insertion order; CORRECTNESS_r01..r03 are each exactly
-# list(REGISTRY)[:50]). Rounds 1-3 green-lit 118 distinct keys, so round
-# 4 ROTATES the window again: these 50 slots are oracle-twinned keys the
+# (insertion order; CORRECTNESS_r01..r04 are each exactly
+# list(REGISTRY)[:50]). Rounds 1-4 green-lit 164 distinct keys, so round
+# 5 ROTATES the window again: 46 slots are oracle-twinned keys the
 # driver has NEVER sampled (rows-only keys stay out so every driver row
-# is a full hash check). With r01-r03 this takes the driver-verified
-# union to 168 distinct keys; the remaining ~51 twinned never-sampled
-# keys (staged in _DRIVER_PRIORITY_R5 below) rotate in next round.
+# is a full hash check), plus the 4 keys that ERR'd in r4 (array-typed
+# outputs, reshaped to scalars this round) for re-certification.
 # Everything else keeps its relative order after slot 50 and is still
 # verified by tools/check_oracle.py (all keys, every round).
 # tools/check_rotation.py asserts the window has zero overlap with the
-# union of prior CORRECTNESS files.
+# union of prior CORRECTNESS PASSES (erred rows don't count as
+# certified).
 
 _DRIVER_PRIORITY = [
-    # varda frequency surface
-    "freq_annotate", "freq_trio_mendel",
-    # dedup / text-pipeline long tail
-    "dedup_stars", "text_langid", "text_tokens_bpe", "text_pii_scrub",
-    "text_containment", "text_domain_mix", "text_tfidf",
-    # SQL API + sampling
-    "sql_api", "sample_hash", "sample_per_group", "sample_stratified",
-    # multimodal plumbing
-    "multimodal_frames", "multimodal_audio", "multimodal_shard",
-    # scalar-function breadth (r2 adds, only locally certified until now)
-    "str_editdist", "str_regex", "str_funcs2", "null_funcs", "date_arith",
-    "date_spine", "arr_funcs", "arr_set_ops", "bit_funcs",
-    "regex_extract_all",
-    # join breadth
-    "join_full", "join_cross", "join_nullsafe", "join_fuzzy",
-    # aggregation breadth
-    "agg_collect", "agg_cohort", "agg_weighted_median", "agg_unpivot",
-    "agg_corr", "agg_bitagg", "agg_moments", "agg_rfm",
-    # warehouse maintenance
-    "merge_scd2", "merge_cdc", "sort_zorder",
-    # graph family
-    "graph_degree", "graph_triangles", "graph_pagerank",
-    # window breadth
-    "win_funnel", "win_pctrank", "win_time_weighted", "win_streak",
-    "win_attribution",
-    # interval breadth
-    "interval_complement",
+    # The 4 keys that ERR'd at the driver in r4 (array-typed outputs),
+    # now reshaped to scalar-only columns — re-certification is the
+    # round's top task (VERDICT r4 item 1).
+    "arr_funcs", "arr_set_ops", "regex_extract_all", "agg_collect",
+    # Statistics family (VERDICT r4 item 4)
+    "agg_gini", "agg_welch_ttest", "agg_mannwhitney", "agg_ks",
+    "agg_chisq",
+    # Graph family
+    "graph_jaccard", "graph_kcore", "graph_labelprop",
+    "graph_triangles_approx",
+    # Interval breadth
+    "interval_cluster", "interval_subtract", "interval_depth_hist",
+    # r4 LLM-data-QA adds
+    "dedup_minhash_recall", "sim_lsh_recall", "emb_pca_power",
+    "sim_sparse_cosine", "dedup_binary_chunks",
+    # Highest-traffic remainder of the staged r5 list
+    "stream_enrich", "qa_integrity", "win_outlier", "agg_hhi",
+    "sample_weighted", "emb_norm_hist", "qa_profile", "interval_density",
+    "graph_markov", "interval_jaccard", "win_drawdown", "agg_mad",
+    "agg_benford", "emb_quantize", "win_ewma", "text_readability",
+    "sample_temperature", "text_span_mask", "agg_kmv", "win_cusum",
+    "join_bloom", "agg_autocorr", "win_bollinger", "sample_split",
+    "text_paragraph_dedup", "win_rolling_median", "join_interval_knn",
+    "agg_leadtime", "agg_trimmed_mean",
 ]
 
-# Staged round-5 window: the remaining twinned never-driver-sampled keys
-# (plus any keys added in round 4, which are never-sampled by
-# construction). Promote this list to _DRIVER_PRIORITY at round-5 open.
-_DRIVER_PRIORITY_R5 = [
-    "stream_enrich",
-    "qa_integrity", "win_outlier", "agg_hhi", "sample_weighted",
-    "emb_norm_hist", "qa_profile", "interval_density", "graph_markov",
-    "agg_gini", "interval_jaccard", "win_drawdown", "agg_mad", "agg_ks",
-    "agg_chisq", "agg_benford", "graph_jaccard", "emb_quantize",
-    "win_ewma", "text_readability", "sample_temperature", "text_span_mask",
-    "agg_kmv", "win_cusum", "join_bloom", "agg_autocorr", "win_bollinger",
-    "sample_split", "text_paragraph_dedup", "win_rolling_median",
-    "join_interval_knn", "agg_leadtime", "agg_trimmed_mean",
+# Staged round-6 window: next 50 twinned never-driver-sampled keys.
+# Promote to _DRIVER_PRIORITY at round-6 open (and refresh with any
+# round-5 additions at round close — see tools/check_rotation.py).
+_DRIVER_PRIORITY_R6 = [
     "agg_quartile_skew", "sql_api2", "win_dod_growth", "agg_runs_test",
     "win_minmax_scale", "text_ngram_novelty", "agg_seasonality",
     "win_peak_detect", "interval_tile", "agg_interarrival",
     "agg_abc_class", "win_vwap", "join_basket_lift", "emb_pair_dist_hist",
     "text_code_detect", "agg_dup_factor", "agg_regression",
-    "text_upsample_plan",
+    "text_upsample_plan", "text_repetition", "text_c4_filters",
+    "join_salted", "win_rolling_corr", "emb_centroid_shift",
+    "agg_pow2_hist", "join_bucketed", "text_hashing_tf", "agg_countmin",
+    "agg_topn_share", "agg_countmin_query", "freq_sample_qc",
+    "graph_assortativity", "win_rsi", "win_stochastic", "text_zipf",
+    "agg_simpson", "graph_bfs", "win_macd", "agg_decile_lift",
+    "text_winnowing", "agg_survival", "qa_drift_tvd", "text_rake",
+    "agg_bootstrap", "freq_hwe", "graph_modularity",
+    "win_seasonal_decompose", "agg_distinct_growth",
+    "join_interval_coverage", "freq_fst", "text_collocations",
 ]
 
 
@@ -16197,6 +16216,415 @@ def qa_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("datediff(a, max_d) > 30").alias("stale_flag"),
     )
 
+
+
+# =====================================================================
+# Round-5 composites — operator fusion and pipeline chaining over keys
+# that are already individually oracle-certified (VERDICT r4 item 8).
+# =====================================================================
+
+@q(
+    "freq_gnomad_style",
+    """WITH gt AS (
+         SELECT l_partkey AS site_id, l_suppkey % 3 AS pop,
+                CASE WHEN l_orderkey % 3 = 0 THEN 2
+                     WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END AS n_ref
+         FROM lineitem),
+       cnt AS (
+         SELECT site_id,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN n_ref = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_ref,
+                CAST(SUM(CASE WHEN n_ref = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+                CAST(SUM(CASE WHEN n_ref = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_alt,
+                CAST(SUM(CASE WHEN pop = 0 THEN 2 - n_ref ELSE 0 END) AS BIGINT) AS alt0,
+                CAST(2 * SUM(CASE WHEN pop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS an0,
+                CAST(SUM(CASE WHEN pop = 1 THEN 2 - n_ref ELSE 0 END) AS BIGINT) AS alt1,
+                CAST(2 * SUM(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS an1,
+                CAST(SUM(CASE WHEN pop = 2 THEN 2 - n_ref ELSE 0 END) AS BIGINT) AS alt2,
+                CAST(2 * SUM(CASE WHEN pop = 2 THEN 1 ELSE 0 END) AS BIGINT) AS an2
+         FROM gt GROUP BY site_id),
+       x_ AS (
+         SELECT *, 2 * n_hom_ref + n_het AS x,
+                CASE WHEN an0 > 0 THEN (1000000 * alt0) // an0 ELSE -1 END AS af0,
+                CASE WHEN an1 > 0 THEN (1000000 * alt1) // an1 ELSE -1 END AS af1,
+                CASE WHEN an2 > 0 THEN (1000000 * alt2) // an2 ELSE -1 END AS af2
+         FROM cnt),
+       mx AS (
+         SELECT *, GREATEST(af0, af1, af2) AS pm FROM x_)
+       SELECT site_id,
+              CAST(2 * n AS BIGINT) AS an,
+              CAST(2 * n - x AS BIGINT) AS ac,
+              CAST((1000000 * (2 * n - x)) // (2 * n) AS BIGINT) AS af_ppm,
+              CAST(CASE WHEN pm >= 0 THEN pm END AS BIGINT) AS popmax_ppm,
+              CAST(CASE WHEN pm < 0 THEN NULL
+                        WHEN af0 = pm THEN 0
+                        WHEN af1 = pm THEN 1 ELSE 2 END AS BIGINT) AS popmax_pop,
+              n_het,
+              CAST(CASE WHEN x > 0 AND x < 2 * n THEN
+                (1000000 * (4 * CAST(n AS HUGEINT) * n_hom_ref
+                            - CAST(x AS HUGEINT) * x)
+                         * (4 * CAST(n AS HUGEINT) * n_hom_ref
+                            - CAST(x AS HUGEINT) * x))
+                  // (4 * CAST(n AS HUGEINT) * x * x)
+                + (1000000 * (2 * CAST(n AS HUGEINT) * n_het
+                              - CAST(x AS HUGEINT) * (2 * n - x))
+                           * (2 * CAST(n AS HUGEINT) * n_het
+                              - CAST(x AS HUGEINT) * (2 * n - x)))
+                  // (2 * CAST(n AS HUGEINT) * x * (2 * n - x))
+                + (1000000 * (4 * CAST(n AS HUGEINT) * n_hom_alt
+                              - CAST(2 * n - x AS HUGEINT) * (2 * n - x))
+                           * (4 * CAST(n AS HUGEINT) * n_hom_alt
+                              - CAST(2 * n - x AS HUGEINT) * (2 * n - x)))
+                  // (4 * CAST(n AS HUGEINT) * (2 * n - x) * (2 * n - x))
+              END AS BIGINT) AS chi2_ppm
+       FROM mx""",
+)
+def freq_gnomad_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused gnomAD-style per-site summary — popmax + pooled AF + HWE in
+    ONE shared scan and ONE site-keyed shuffle (operator fusion over
+    freq_popmax + freq_hwe, each individually oracle-certified).
+
+    Why fusion matters at 100 TB: freq_popmax and freq_hwe each scan the
+    full call matrix and shuffle on site_id; a user running the standard
+    site-QC board pays that twice. Here the (site, pop) conditional
+    aggregates (3 fixed pops → 6 extra agg columns, NOT an extra
+    grouping key) and the HWE genotype counts ride the SAME groupBy —
+    per-site math afterwards is pure projection. Exactness: identical
+    integer identities as the parents (ppm floors on non-negative
+    counts, cross-multiplied chi² in int128/DECIMAL(38,0)); popmax ties
+    resolve to the smallest population id; monomorphic sites emit NULL
+    chi² (HWE undefined) but keep their AF row — the composite must not
+    drop sites the popmax parent reports."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = li.select(
+        F.col("l_partkey").alias("site_id"),
+        (F.col("l_suppkey") % 3).alias("pop"),
+        F.expr(
+            "CASE WHEN l_orderkey % 3 = 0 THEN 2"
+            " WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END"
+        ).alias("n_ref"),
+    )
+    pop_aggs = []
+    for p in range(3):
+        pop_aggs.append(
+            F.sum(F.when(F.col("pop") == p, 2 - F.col("n_ref")).otherwise(0))
+            .cast("bigint").alias(f"alt{p}")
+        )
+        pop_aggs.append(
+            (2 * F.sum(F.when(F.col("pop") == p, 1).otherwise(0)))
+            .cast("bigint").alias(f"an{p}")
+        )
+    cnt = gt.groupBy("site_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("n_ref") == 2, 1).otherwise(0)).cast("bigint").alias("n_hom_ref"),
+        F.sum(F.when(F.col("n_ref") == 1, 1).otherwise(0)).cast("bigint").alias("n_het"),
+        F.sum(F.when(F.col("n_ref") == 0, 1).otherwise(0)).cast("bigint").alias("n_hom_alt"),
+        *pop_aggs,
+    )
+    x_ = cnt.withColumn("x", F.expr("2 * n_hom_ref + n_het"))
+    for p in range(3):
+        x_ = x_.withColumn(
+            f"af{p}",
+            F.expr(
+                f"CASE WHEN an{p} > 0 THEN (1000000 * alt{p}) DIV an{p} ELSE -1 END"
+            ),
+        )
+    mx = x_.withColumn("pm", F.greatest("af0", "af1", "af2"))
+    D = "DECIMAL(38,0)"
+    t1 = (
+        f"(1000000 * (4 * CAST(n AS {D}) * n_hom_ref - CAST(x AS {D}) * x)"
+        f" * (4 * CAST(n AS {D}) * n_hom_ref - CAST(x AS {D}) * x))"
+        f" DIV (4 * CAST(n AS {D}) * x * x)"
+    )
+    t2 = (
+        f"(1000000 * (2 * CAST(n AS {D}) * n_het"
+        f" - CAST(x AS {D}) * (2 * n - x))"
+        f" * (2 * CAST(n AS {D}) * n_het - CAST(x AS {D}) * (2 * n - x)))"
+        f" DIV (2 * CAST(n AS {D}) * x * (2 * n - x))"
+    )
+    t3 = (
+        f"(1000000 * (4 * CAST(n AS {D}) * n_hom_alt"
+        f" - CAST(2 * n - x AS {D}) * (2 * n - x))"
+        f" * (4 * CAST(n AS {D}) * n_hom_alt"
+        f" - CAST(2 * n - x AS {D}) * (2 * n - x)))"
+        f" DIV (4 * CAST(n AS {D}) * (2 * n - x) * (2 * n - x))"
+    )
+    return mx.select(
+        "site_id",
+        F.expr("CAST(2 * n AS BIGINT)").alias("an"),
+        F.expr("CAST(2 * n - x AS BIGINT)").alias("ac"),
+        F.expr("CAST((1000000 * (2 * n - x)) DIV (2 * n) AS BIGINT)").alias("af_ppm"),
+        F.expr("CAST(CASE WHEN pm >= 0 THEN pm END AS BIGINT)").alias("popmax_ppm"),
+        F.expr(
+            "CAST(CASE WHEN pm < 0 THEN NULL WHEN af0 = pm THEN 0"
+            " WHEN af1 = pm THEN 1 ELSE 2 END AS BIGINT)"
+        ).alias("popmax_pop"),
+        "n_het",
+        F.expr(
+            f"CAST(CASE WHEN x > 0 AND x < 2 * n THEN {t1} + {t2} + {t3} END AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )
+
+
+@q(
+    "dedup_pipeline_v2",
+    """WITH RECURSIVE hashed AS (
+         SELECT doc_id, text,
+                ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                   ORDER BY doc_id) AS rn
+         FROM documents),
+       d1 AS (SELECT doc_id, text FROM hashed WHERE rn = 1),
+       words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM d1),
+       sh AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+         FROM words),
+       sigs AS (
+         SELECT doc_id,
+                MIN(md5('0|' || shingle)) AS sig_0, MIN(md5('1|' || shingle)) AS sig_1,
+                MIN(md5('2|' || shingle)) AS sig_2, MIN(md5('3|' || shingle)) AS sig_3,
+                MIN(md5('4|' || shingle)) AS sig_4, MIN(md5('5|' || shingle)) AS sig_5,
+                MIN(md5('6|' || shingle)) AS sig_6, MIN(md5('7|' || shingle)) AS sig_7
+         FROM sh GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, band FROM (
+           SELECT doc_id,
+                  ['0|' || sig_0 || '|' || sig_1, '1|' || sig_2 || '|' || sig_3,
+                   '2|' || sig_4 || '|' || sig_5, '3|' || sig_6 || '|' || sig_7] AS bands
+           FROM sigs), UNNEST(bands) AS u(band)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+       dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+       inter AS (
+         SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+         FROM pairs p JOIN dsh a ON a.doc_id = p.doc_a
+                      JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         GROUP BY p.doc_a, p.doc_b),
+       ver AS (
+         SELECT i.doc_a, i.doc_b
+         FROM inter i JOIN sizes xa ON xa.doc_id = i.doc_a
+                      JOIN sizes xb ON xb.doc_id = i.doc_b
+         WHERE (100 * i.n_inter) // (xa.n_sh + xb.n_sh - i.n_inter) >= 50),
+       cedges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM ver
+         UNION SELECT doc_b AS src, doc_a AS dst FROM ver),
+       verts AS (SELECT DISTINCT src AS id FROM cedges),
+       walk(id, comp) AS (
+         SELECT id, id FROM verts
+         UNION
+         SELECT e.dst, w.comp FROM walk w JOIN cedges e ON e.src = w.id),
+       comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM walk GROUP BY id),
+       allc AS (
+         SELECT d1.doc_id, COALESCE(comp.component, d1.doc_id) AS component
+         FROM d1 LEFT JOIN comp USING (doc_id)),
+       cs AS (
+         SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         FROM allc GROUP BY component)
+       SELECT a.doc_id, a.component, c.cluster_size,
+              a.doc_id = a.component AS survivor
+       FROM allc a JOIN cs c USING (component)""",
+)
+def dedup_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K2 corpus dedup v2 — candidate → VERIFY → cluster, the shape a
+    production pipeline actually ships: exact dedup (content-hash
+    keep-first) → MinHash LSH candidate pairs → exact-Jaccard
+    verification of every candidate (distinct 3-shingle sets, integer
+    percent floor, threshold 50) → large-star/small-star connected
+    components over only the VERIFIED edges → per-doc cluster assignment
+    with cluster size and canonical (survivor) flag.
+
+    v1 (dedup_pipeline) trusts the LSH bands; v2 inserts the gate that
+    dedup_minhash_recall calibrates: estimated-Jaccard candidates are
+    re-scored EXACTLY before any edge reaches clustering, so band
+    false-positives cannot glue unrelated clusters together (the classic
+    LSH failure at corpus scale — one bad mega-component). Cost shape at
+    100 TB: the verify join touches only candidate pairs (LSH-bounded,
+    never all-pairs) keyed on (doc, shingle); cc_stars is the
+    degree-skew-safe CC. Every stage composes an individually
+    oracle-certified operator."""
+    from varda_spark.operators.dedup import (
+        cc_stars,
+        dedup_exact,
+        minhash_candidates,
+        shingles,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    s1 = dedup_exact(d).localCheckpoint()
+    cand = minhash_candidates(s1, num_hashes=8, bands=4, shingle_n=3)
+    dsh = shingles(s1, n=3).select("doc_id", "shingle").distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = dsh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = dsh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("b_doc")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ver = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .filter(F.expr("(100 * n_inter) DIV (na + nb - n_inter) >= 50"))
+        .select("doc_a", "doc_b")
+    )
+    cc = cc_stars(ver, "doc_a", "doc_b")
+    allc = (
+        s1.select("doc_id")
+        .join(cc, s1.doc_id == cc.id, "left")
+        .select("doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("component"))
+    )
+    cs = allc.groupBy("component").agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    return allc.join(cs, "component").select(
+        "doc_id", "component", "cluster_size",
+        (F.col("doc_id") == F.col("component")).alias("survivor"),
+    )
+
+
+@q(
+    "text_quality_pipeline",
+    """WITH t AS (
+         SELECT doc_id, source, text, string_split(trim(text), ' ') AS w
+         FROM documents),
+       flags AS (
+         SELECT doc_id, source,
+                (text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?'
+                 OR text LIKE '%"')
+                AND len(w) >= 5
+                AND NOT (instr(text, '{') > 0 OR instr(text, '}') > 0
+                         OR instr(lower(text), 'javascript') > 0)
+                AND NOT (instr(lower(text), 'lorem ipsum') > 0
+                         OR instr(lower(text), 'cookie') > 0
+                         OR instr(lower(text), 'terms of use') > 0) AS c4_pass,
+                len(w) >= 3 AND len(w) <= 10000
+                AND CAST(floor(list_sum(list_transform(w, x -> length(x))) * 100.0
+                     / greatest(len(w), 1)) AS BIGINT) BETWEEN 150 AND 1000
+                AND CAST(floor(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 100.0
+                     / greatest(len(w), 1)) AS BIGINT) >= 80
+                AND CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+                     ['the','be','to','of','and','that','have','with'])) AS BIGINT) >= 2
+                AND CAST(floor((length(text) - length(replace(text, '#', ''))) * 100.0
+                     / greatest(length(text), 1)) AS BIGINT) <= 10 AS gopher_pass
+         FROM t),
+       bg AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, len(w)),
+                       i -> w[i] || ' ' || w[i + 1])) AS bigram
+         FROM t WHERE len(w) >= 2),
+       m AS (
+         SELECT doc_id, bigram, COUNT(*) AS m FROM bg GROUP BY doc_id, bigram),
+       rep AS (
+         SELECT doc_id,
+                FLOOR((SUM(m) - COUNT(*)) * 1000000.0 / SUM(m)) <= 300000
+                AND FLOOR(MAX(m) * 1000000.0 / SUM(m)) <= 100000 AS rep_pass
+         FROM m GROUP BY doc_id),
+       j AS (
+         SELECT f.source, f.c4_pass, f.gopher_pass,
+                COALESCE(r.rep_pass, TRUE) AS rep_pass
+         FROM flags f LEFT JOIN rep r USING (doc_id))
+       SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN c4_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_c4,
+              CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+              CAST(SUM(CASE WHEN rep_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+              CAST(SUM(CASE WHEN c4_pass AND gopher_pass AND rep_pass
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
+              CAST((1000000 * SUM(CASE WHEN c4_pass AND gopher_pass AND rep_pass
+                       THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS retention_ppm
+       FROM j GROUP BY source""",
+)
+def text_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 fused quality funnel — the C4 + Gopher + repetition stack
+    (text_c4_filters, text_gopher, text_repetition — each individually
+    oracle-certified) evaluated in ONE pass, reported as a per-source
+    retention funnel: docs in, per-family pass counts, all-pass count,
+    retention ppm.
+
+    Fusion story at 100 TB: run as three separate jobs this is three
+    full corpus scans; fused, the c4 + gopher flags are codegen'd into
+    ONE map-side scan, and only the repetition family (intrinsically an
+    explode + keyed agg — deliberately not a quadratic per-row fold)
+    adds a shuffle, joined back doc-keyed. The funnel agg itself is a
+    map-side partial count per source. Repetition thresholds: duplicate
+    bigram mass ≤ 30% AND top-bigram share ≤ 10% (docs with <2 words
+    have no bigrams → vacuous rep pass, then fail Gopher's word band)."""
+    from varda_spark.operators.dedup import shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    n = F.size(w)
+    g1 = F.greatest(n, F.lit(1))
+    mwl = F.floor(
+        F.expr(
+            "aggregate(transform(split(trim(text), ' '), x -> CAST(length(x) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ) * 100.0 / g1
+    ).cast("bigint")
+    alpha = F.floor(
+        F.size(F.expr("filter(split(trim(text), ' '), x -> x rlike '[A-Za-z]')")) * 100.0 / g1
+    ).cast("bigint")
+    stops = F.array(*[F.lit(s) for s in ["the", "be", "to", "of", "and", "that", "have", "with"]])
+    n_stop = F.size(
+        F.array_intersect(F.expr("transform(split(trim(text), ' '), x -> lower(x))"), stops)
+    ).cast("bigint")
+    tl = F.length("text")
+    hash_pct = F.floor(
+        (tl - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))) * 100.0
+        / F.greatest(tl, F.lit(1))
+    ).cast("bigint")
+    c4_pass = (
+        F.expr(
+            "text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?' OR text LIKE '%\"'"
+        )
+        & (n >= 5)
+        & ~F.expr(
+            "instr(text, '{') > 0 OR instr(text, '}') > 0"
+            " OR instr(lower(text), 'javascript') > 0"
+        )
+        & ~F.expr(
+            "instr(lower(text), 'lorem ipsum') > 0"
+            " OR instr(lower(text), 'cookie') > 0"
+            " OR instr(lower(text), 'terms of use') > 0"
+        )
+    )
+    gopher_pass = (
+        (n >= 3) & (n <= 10000)
+        & mwl.between(150, 1000)
+        & (alpha >= 80) & (n_stop >= 2) & (hash_pct <= 10)
+    )
+    flags = d.select(
+        "doc_id", "source", c4_pass.alias("c4_pass"), gopher_pass.alias("gopher_pass")
+    )
+    bg = shingles(d.select("doc_id", "text"), n=2, out="bigram")
+    m = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("m"))
+    rep = m.groupBy("doc_id").agg(
+        (
+            (F.floor((F.sum("m") - F.count(F.lit(1))) * 1000000.0 / F.sum("m")) <= 300000)
+            & (F.floor(F.max("m") * 1000000.0 / F.sum("m")) <= 100000)
+        ).alias("rep_pass")
+    )
+    j = flags.join(rep, "doc_id", "left").select(
+        "source", "c4_pass", "gopher_pass",
+        F.coalesce(F.col("rep_pass"), F.lit(True)).alias("rep_pass"),
+    )
+    all_pass = F.when(
+        F.col("c4_pass") & F.col("gopher_pass") & F.col("rep_pass"), 1
+    ).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("c4_pass"), 1).otherwise(0)).cast("bigint").alias("n_c4"),
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).cast("bigint").alias("n_gopher"),
+        F.sum(F.when(F.col("rep_pass"), 1).otherwise(0)).cast("bigint").alias("n_rep"),
+        F.sum(all_pass).cast("bigint").alias("n_all"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN c4_pass AND gopher_pass AND rep_pass"
+            " THEN 1 ELSE 0 END)) DIV COUNT(*) AS BIGINT)"
+        ).alias("retention_ppm"),
+    )
 
 
 def _reorder_registry() -> None:
