@@ -114,6 +114,8 @@ BNLJ_OK = {
     "join_basket_lift",  # 1-row basket-count scalar (N in the lift)
     "text_upsample_plan",  # 1-row max-language token scalar
     "text_zipf",         # 1-row rank-1-count scalar (ppm denominator)
+    "agg_kmv_union",     # 1-row sketch-estimate/exact-count scalars
+                         # composed into the single output row
 }
 
 

@@ -16627,6 +16627,539 @@ def text_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "freq_titv",
+    """WITH gt AS (
+         SELECT l_partkey AS site_id, l_suppkey % 3 AS pop,
+                CASE WHEN l_orderkey % 3 = 0 THEN 2
+                     WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END AS n_ref
+         FROM lineitem),
+       seen AS (
+         SELECT site_id, pop
+         FROM gt GROUP BY site_id, pop
+         HAVING SUM(2 - n_ref) > 0),
+       ann AS (
+         SELECT site_id, pop,
+                substr('ACGT', CAST(site_id % 4 AS INT) + 1, 1) AS ref,
+                substr('ACGT',
+                       CAST((site_id % 4 + 1 + (site_id // 4) % 3) % 4 AS INT) + 1,
+                       1) AS alt
+         FROM seen),
+       fl AS (
+         SELECT pop,
+                CASE WHEN (ref = 'A' AND alt = 'G') OR (ref = 'G' AND alt = 'A')
+                       OR (ref = 'C' AND alt = 'T') OR (ref = 'T' AND alt = 'C')
+                     THEN 1 ELSE 0 END AS is_ti
+         FROM ann)
+       SELECT CAST(pop AS BIGINT) AS pop,
+              CAST(SUM(is_ti) AS BIGINT) AS n_ti,
+              CAST(SUM(1 - is_ti) AS BIGINT) AS n_tv,
+              CAST((1000000 * SUM(is_ti)) // SUM(1 - is_ti) AS BIGINT) AS titv_ppm
+       FROM fl GROUP BY pop""",
+)
+def freq_titv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core transition/transversion ratio per population — THE
+    sequencing-QC headline number (genome-wide Ti/Tv ≈ 2.0-2.1 for real
+    human variation; a ratio drifting toward 0.5, the random-error
+    expectation, means the callset is contaminated with artifacts).
+    A site counts for a population when that population carries ≥1 alt
+    allele there. REF/ALT bases are pure functions of site_id (both
+    engines identically), so the annotation is a PROJECTION after the
+    (site, pop) aggregate — no dimension join at all; the whole operator
+    is one grouped agg + one 3-row reduction. titv_ppm is an exact
+    integer floor (Ti and Tv are disjoint so no rational cancellation
+    issues)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = li.select(
+        F.col("l_partkey").alias("site_id"),
+        (F.col("l_suppkey") % 3).alias("pop"),
+        F.expr(
+            "CASE WHEN l_orderkey % 3 = 0 THEN 2"
+            " WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END"
+        ).alias("n_ref"),
+    )
+    seen = (
+        gt.groupBy("site_id", "pop")
+        .agg(F.sum(2 - F.col("n_ref")).alias("alt_c"))
+        .filter(F.col("alt_c") > 0)
+    )
+    ann = seen.select(
+        "pop",
+        F.expr("substr('ACGT', CAST(site_id % 4 AS INT) + 1, 1)").alias("ref"),
+        F.expr(
+            "substr('ACGT', CAST((site_id % 4 + 1 + (site_id DIV 4) % 3) % 4 AS INT) + 1, 1)"
+        ).alias("alt"),
+    )
+    is_ti = F.expr(
+        "CASE WHEN (ref = 'A' AND alt = 'G') OR (ref = 'G' AND alt = 'A')"
+        " OR (ref = 'C' AND alt = 'T') OR (ref = 'T' AND alt = 'C')"
+        " THEN 1 ELSE 0 END"
+    )
+    return (
+        ann.select(F.col("pop"), is_ti.alias("is_ti"))
+        .groupBy(F.col("pop").cast("bigint").alias("pop"))
+        .agg(
+            F.sum("is_ti").cast("bigint").alias("n_ti"),
+            F.sum(1 - F.col("is_ti")).cast("bigint").alias("n_tv"),
+            F.expr(
+                "CAST((1000000 * SUM(is_ti)) DIV SUM(1 - is_ti) AS BIGINT)"
+            ).alias("titv_ppm"),
+        )
+    )
+
+
+@q(
+    "freq_maf_spectrum",
+    """WITH gt AS (
+         SELECT l_partkey AS site_id,
+                CASE WHEN l_orderkey % 3 = 0 THEN 2
+                     WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END AS n_ref
+         FROM lineitem),
+       cnt AS (
+         SELECT site_id,
+                CAST(2 * COUNT(*) AS BIGINT) AS an,
+                CAST(SUM(2 - n_ref) AS BIGINT) AS ac
+         FROM gt GROUP BY site_id),
+       maf AS (
+         SELECT site_id,
+                LEAST((1000000 * ac) // an,
+                      1000000 - (1000000 * ac) // an) AS maf_ppm
+         FROM cnt WHERE ac > 0 AND ac < an)
+       SELECT CAST(maf_ppm // 25000 AS BIGINT) AS bin,
+              CAST((maf_ppm // 25000) * 25000 AS BIGINT) AS lo_ppm,
+              CAST(COUNT(*) AS BIGINT) AS n_sites
+       FROM maf GROUP BY 1, 2""",
+)
+def freq_maf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core site-frequency spectrum: histogram of minor-allele
+    frequency across polymorphic sites in 2.5%-wide bins — the shape
+    population geneticists read selection and demography from, and the
+    QC plot that exposes batch effects as spikes (an excess of
+    singleton-like bins = calling artifacts). MAF folds AF at 50%
+    (LEAST of floor and complement — both already-floored ppms, so the
+    fold is exact integer math per the subtraction-of-floors rule).
+    Monomorphic sites are excluded (MAF undefined). One site-keyed agg
+    + one 20-row histogram agg, both map-side partial."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = li.select(
+        F.col("l_partkey").alias("site_id"),
+        F.expr(
+            "CASE WHEN l_orderkey % 3 = 0 THEN 2"
+            " WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END"
+        ).alias("n_ref"),
+    )
+    cnt = gt.groupBy("site_id").agg(
+        (2 * F.count(F.lit(1))).cast("bigint").alias("an"),
+        F.sum(2 - F.col("n_ref")).cast("bigint").alias("ac"),
+    )
+    maf = cnt.filter((F.col("ac") > 0) & (F.col("ac") < F.col("an"))).select(
+        F.expr(
+            "LEAST((1000000 * ac) DIV an, 1000000 - (1000000 * ac) DIV an)"
+        ).alias("maf_ppm")
+    )
+    return (
+        maf.groupBy(
+            F.expr("CAST(maf_ppm DIV 25000 AS BIGINT)").alias("bin"),
+            F.expr("CAST((maf_ppm DIV 25000) * 25000 AS BIGINT)").alias("lo_ppm"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sites"))
+    )
+
+
+@q(
+    "freq_ld_pairs",
+    """WITH sites AS (
+         SELECT DISTINCT l_partkey AS site_id FROM lineitem),
+       loc AS (
+         SELECT site_id,
+                CAST(site_id % 5 AS VARCHAR) AS chromosome,
+                CAST((site_id * 31) % 100000 + 1 AS BIGINT) AS position
+         FROM sites),
+       pairs AS (
+         SELECT a.site_id AS site_a, b.site_id AS site_b
+         FROM loc a JOIN loc b
+           ON a.chromosome = b.chromosome
+          AND a.position // 500 = b.position // 500
+          AND a.site_id < b.site_id),
+       gt AS (
+         SELECT l_partkey AS site_id, l_suppkey AS sample_id,
+                CAST(MIN((l_partkey * 31 + l_suppkey * 17) % 2) AS BIGINT) AS allele
+         FROM lineitem GROUP BY l_partkey, l_suppkey),
+       joint AS (
+         SELECT p.site_a, p.site_b,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(ga.allele * gb.allele) AS BIGINT) AS n11,
+                CAST(SUM(ga.allele) AS BIGINT) AS n1,
+                CAST(SUM(gb.allele) AS BIGINT) AS n2
+         FROM pairs p
+         JOIN gt ga ON ga.site_id = p.site_a
+         JOIN gt gb ON gb.site_id = p.site_b AND gb.sample_id = ga.sample_id
+         GROUP BY p.site_a, p.site_b)
+       SELECT site_a, site_b, n, n11, n1, n2,
+              CAST((1000000 * (CAST(n AS HUGEINT) * n11 - CAST(n1 AS HUGEINT) * n2)
+                            * (CAST(n AS HUGEINT) * n11 - CAST(n1 AS HUGEINT) * n2))
+                   // (CAST(n1 AS HUGEINT) * (n - n1) * n2 * (n - n2))
+                   AS BIGINT) AS r2_ppm
+       FROM joint
+       WHERE n1 > 0 AND n1 < n AND n2 > 0 AND n2 < n""",
+)
+def freq_ld_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core linkage disequilibrium: haploid r² between nearby site
+    pairs (same chromosome, same 500 bp tile) — the plink --r2 shape
+    that drives LD pruning before association tests and imputation
+    panels. r² = (n·n11 − n1·n2)² / (n1(n−n1)·n2(n−n2)) over samples
+    observed at BOTH sites (complete-case), kept fully rational: the
+    covariance numerator is squared (so sign-safe), cross-multiplied in
+    int128/DECIMAL(38,0), one floored division to ppm. In-sample
+    monomorphic pairs are excluded (r² undefined). Scale shape: pair
+    candidates come from a TILE-bucketed self-join on the site map
+    (never position-theta over the call matrix), and the genotype join
+    fans out only candidate pairs keyed on (site, sample) — the same
+    bounded-candidate discipline as dedup_pipeline_v2's verify stage.
+    Sample alleles collapse to one row per (site, sample) first, so the
+    pair join runs on the deduplicated matrix."""
+    li = read_table(spark, sf_dir, "lineitem")
+    loc = (
+        li.select(F.col("l_partkey").alias("site_id")).distinct()
+        .select(
+            "site_id",
+            (F.col("site_id") % 5).cast("string").alias("chromosome"),
+            ((F.col("site_id") * 31) % 100000 + 1).cast("long").alias("position"),
+        )
+        .withColumn("tile", F.expr("position DIV 500"))
+    )
+    a = loc.select(
+        F.col("site_id").alias("site_a"), "chromosome", "tile"
+    )
+    b = loc.select(
+        F.col("site_id").alias("site_b"),
+        F.col("chromosome").alias("chr_b"),
+        F.col("tile").alias("tile_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("chromosome") == F.col("chr_b"))
+        & (F.col("tile") == F.col("tile_b"))
+        & (F.col("site_a") < F.col("site_b")),
+    ).select("site_a", "site_b")
+    gt = (
+        li.groupBy(
+            F.col("l_partkey").alias("site_id"),
+            F.col("l_suppkey").alias("sample_id"),
+        )
+        .agg(
+            F.min(
+                F.expr("(l_partkey * 31 + l_suppkey * 17) % 2")
+            ).cast("bigint").alias("allele")
+        )
+    )
+    ga = gt.select(
+        F.col("site_id").alias("site_a"),
+        F.col("sample_id"),
+        F.col("allele").alias("allele_a"),
+    )
+    gb = gt.select(
+        F.col("site_id").alias("b_site"),
+        F.col("sample_id").alias("sample_b"),
+        F.col("allele").alias("allele_b"),
+    )
+    joint = (
+        pairs.join(ga, "site_a")
+        .join(gb, (F.col("site_b") == F.col("b_site")) & (F.col("sample_id") == F.col("sample_b")))
+        .groupBy("site_a", "site_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("allele_a") * F.col("allele_b")).cast("bigint").alias("n11"),
+            F.sum("allele_a").cast("bigint").alias("n1"),
+            F.sum("allele_b").cast("bigint").alias("n2"),
+        )
+    )
+    D = "DECIMAL(38,0)"
+    return joint.filter(
+        (F.col("n1") > 0) & (F.col("n1") < F.col("n"))
+        & (F.col("n2") > 0) & (F.col("n2") < F.col("n"))
+    ).select(
+        "site_a", "site_b", "n", "n11", "n1", "n2",
+        F.expr(
+            f"CAST((1000000 * (CAST(n AS {D}) * n11 - CAST(n1 AS {D}) * n2)"
+            f" * (CAST(n AS {D}) * n11 - CAST(n1 AS {D}) * n2))"
+            f" DIV (CAST(n1 AS {D}) * (n - n1) * n2 * (n - n2)) AS BIGINT)"
+        ).alias("r2_ppm"),
+    )
+
+
+@q(
+    "agg_stickiness",
+    """WITH dau AS (
+         SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
+                CAST(ts AS DATE) AS d,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+         FROM events GROUP BY 1, 2),
+       byday AS (
+         SELECT ym,
+                CAST(SUM(dau) AS BIGINT) AS sum_dau,
+                CAST(COUNT(*) AS BIGINT) AS n_days
+         FROM dau GROUP BY ym),
+       mau AS (
+         SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+         FROM events GROUP BY 1)
+       SELECT b.ym, b.sum_dau, b.n_days, m.mau,
+              CAST((1000000 * b.sum_dau) // (b.n_days * m.mau) AS BIGINT)
+                AS stickiness_ppm
+       FROM byday b JOIN mau m USING (ym)""",
+)
+def agg_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ product-analytics stickiness (avg DAU / MAU per month) — the
+    engagement ratio every growth dashboard leads with. avg-DAU/MAU is
+    kept rational: (Σ daily distincts) / (days × monthly distinct), one
+    ppm floor. Two COUNT(DISTINCT) aggregates at different grains over
+    the same scan + a 12-row join; the distincts are the real cost and
+    both shuffle on (period, user) — partial-agg friendly because
+    user_id repeats heavily within a day at event grain."""
+    ev = read_table(spark, sf_dir, "events")
+    ym = (F.year("ts") * 100 + F.month("ts")).cast("bigint").alias("ym")
+    dau = ev.groupBy(ym, F.col("ts").cast("date").alias("d")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    byday = dau.groupBy("ym").agg(
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    mau = ev.groupBy(ym).agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    return byday.join(mau, "ym").select(
+        "ym", "sum_dau", "n_days", "mau",
+        F.expr(
+            "CAST((1000000 * sum_dau) DIV (n_days * mau) AS BIGINT)"
+        ).alias("stickiness_ppm"),
+    )
+
+
+@q(
+    "qa_schema_drift",
+    """WITH prof AS (
+         SELECT CASE WHEN o_orderdate < '1998-01-01' THEN 'old' ELSE 'new' END AS snap,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+                CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS prio_distinct,
+                CAST(MIN(FLOOR(o_totalprice)) AS BIGINT) AS price_min,
+                CAST(MAX(FLOOR(o_totalprice)) AS BIGINT) AS price_max,
+                CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct
+         FROM orders GROUP BY 1),
+       u AS (
+         SELECT snap, 'n_rows' AS metric, n_rows AS v FROM prof
+         UNION ALL SELECT snap, 'custkey_distinct', custkey_distinct FROM prof
+         UNION ALL SELECT snap, 'prio_distinct', prio_distinct FROM prof
+         UNION ALL SELECT snap, 'price_min', price_min FROM prof
+         UNION ALL SELECT snap, 'price_max', price_max FROM prof
+         UNION ALL SELECT snap, 'status_distinct', status_distinct FROM prof)
+       SELECT o.metric, o.v AS v_old, n.v AS v_new,
+              n.v - o.v AS delta,
+              CASE WHEN o.v <> 0
+                   THEN (1000000 * (n.v - o.v)) // o.v END AS drift_ppm
+       FROM u o JOIN u n ON o.metric = n.metric
+       WHERE o.snap = 'old' AND n.snap = 'new'""",
+)
+def qa_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA+ snapshot profile drift — the data-contract check a warehouse
+    runs between loads: row count, key cardinalities, numeric ranges,
+    and null/empty rates profiled per snapshot (here the pre/post-1998
+    halves of orders) and diffed metric-by-metric with a signed drift
+    ppm. Catches the silent schema rots row-count monitoring misses —
+    a key column collapsing in cardinality, a price range exploding, a
+    suddenly-null text field. One conditional-aggregate scan (both
+    snapshots profiled in a single pass — no per-snapshot jobs), a
+    6-metric unpivot, and a tiny self-join. drift_ppm uses signed
+    floor division — consistent in both engines because // and DIV
+    agree here via the same floor-direction on the shared sign (the
+    divisor n_rows-class metrics are positive; numerator may be
+    negative, so this relies on BIGINT // flooring in DuckDB matching
+    Spark DIV truncation ONLY when exact — guarded by the oracle)."""
+    o = read_table(spark, sf_dir, "orders")
+    prof = o.groupBy(
+        F.when(F.col("o_orderdate") < "1998-01-01", "old").otherwise("new").alias("snap")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("custkey_distinct"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("prio_distinct"),
+        F.min(F.floor("o_totalprice")).cast("bigint").alias("price_min"),
+        F.max(F.floor("o_totalprice")).cast("bigint").alias("price_max"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("status_distinct"),
+    )
+    metrics = [
+        "n_rows", "custkey_distinct", "prio_distinct",
+        "price_min", "price_max", "status_distinct",
+    ]
+    stack_expr = "stack({}, {}) AS (metric, v)".format(
+        len(metrics), ", ".join(f"'{m}', {m}" for m in metrics)
+    )
+    u = prof.select("snap", F.expr(stack_expr))
+    old = u.filter(F.col("snap") == "old").select("metric", F.col("v").alias("v_old"))
+    new = u.filter(F.col("snap") == "new").select(
+        F.col("metric").alias("m_new"), F.col("v").alias("v_new")
+    )
+    return old.join(new, old.metric == new.m_new).select(
+        "metric", "v_old", "v_new",
+        (F.col("v_new") - F.col("v_old")).alias("delta"),
+        F.expr(
+            "CASE WHEN v_old <> 0 THEN"
+            " CAST((1000000 * (v_new - v_old)) AS BIGINT) DIV v_old END"
+        ).alias("drift_ppm"),
+    )
+
+
+@q(
+    "agg_kmv_union",
+    """WITH a AS (
+         SELECT DISTINCT o_custkey AS k FROM orders
+         WHERE o_orderpriority = '1-URGENT'),
+       b AS (
+         SELECT DISTINCT o_custkey AS k FROM orders
+         WHERE o_orderpriority = '2-HIGH'),
+       ha AS (
+         SELECT k, CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM a),
+       hb AS (
+         SELECT k, CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM b),
+       ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+       kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+       ku AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+              ORDER BY h LIMIT 64),
+       tha AS (SELECT MAX(h) AS t FROM ka),
+       thb AS (SELECT MAX(h) AS t FROM kb),
+       thu AS (SELECT MAX(h) AS t FROM ku),
+       shared AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM ku JOIN ha ON ku.h = ha.h
+                 JOIN hb ON ku.h = hb.h),
+       est AS (
+         SELECT
+           CAST((63 * CAST(1152921504606846976 AS HUGEINT)) // (SELECT t FROM tha)
+                AS BIGINT) AS est_a,
+           CAST((63 * CAST(1152921504606846976 AS HUGEINT)) // (SELECT t FROM thb)
+                AS BIGINT) AS est_b,
+           CAST((63 * CAST(1152921504606846976 AS HUGEINT)) // (SELECT t FROM thu)
+                AS BIGINT) AS est_union,
+           (SELECT n_shared FROM shared) AS k_shared)
+       SELECT est_a, est_b, est_union, k_shared,
+              CAST((est_union * k_shared) // 64 AS BIGINT) AS est_inter,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS exact_a,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS exact_b
+       FROM est""",
+)
+def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4+ KMV sketch ALGEBRA — the property that makes sketches a
+    warehouse primitive: two k-minimum-values sketches (k=64, md5
+    60-bit hashes) MERGE into the union's sketch by just re-taking the
+    k smallest, and the intersection estimate falls out of the
+    inclusion rule est∩ = est∪ · |shared k-mins|/k. agg_kmv certifies
+    the single-set estimator; this key certifies union/intersection
+    composition against the exact per-set distincts carried alongside.
+    Everything is deterministic integer math ((k−1)·2⁶⁰ floor-divided
+    by the k-th min in int128/DECIMAL), so the 'estimate' is
+    bit-reproducible cross-engine. Scale shape: each sketch is a
+    64-row TakeOrdered (per-partition top-k then tiny merge — no
+    global sort), and merges touch only sketch rows, never the data —
+    exactly how a 100 TB rollup keeps distinct counts composable."""
+    o = read_table(spark, sf_dir, "orders")
+    h60 = "CAST(conv(substring(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
+    def sketch(df):
+        return df.selectExpr(f"{h60} AS h").orderBy("h").limit(64)
+
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    ha, hb = a.selectExpr(f"{h60} AS h"), b.selectExpr(f"{h60} AS h")
+    ka, kb = sketch(a), sketch(b)
+    ku = ha.union(hb).distinct().orderBy("h").limit(64)
+    D = "DECIMAL(38,0)"
+    two60 = "1152921504606846976"
+
+    def est(kdf, name):
+        return kdf.agg(
+            F.expr(
+                f"CAST((63 * CAST({two60} AS {D})) DIV MAX(h) AS BIGINT)"
+            ).alias(name)
+        )
+
+    shared = (
+        ku.join(ha, "h").join(hb, "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_shared"))
+    )
+    row = (
+        est(ka, "est_a")
+        .crossJoin(F.broadcast(est(kb, "est_b")))
+        .crossJoin(F.broadcast(est(ku, "est_union")))
+        .crossJoin(F.broadcast(shared))
+        .crossJoin(F.broadcast(a.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b"))))
+    )
+    return row.select(
+        "est_a", "est_b", "est_union", "k_shared",
+        F.expr("CAST((est_union * k_shared) DIV 64 AS BIGINT)").alias("est_inter"),
+        "exact_a", "exact_b",
+    )
+
+
+@q(
+    "dedup_blocking",
+    """WITH ents AS (
+         SELECT p_partkey AS ent_id,
+                p_name || ' ' || p_brand AS name,
+                p_name || '|' || p_type AS block_key
+         FROM part),
+       cand AS (
+         SELECT a.ent_id AS ent_a, b.ent_id AS ent_b,
+                a.name AS name_a, b.name AS name_b
+         FROM ents a JOIN ents b
+           ON a.block_key = b.block_key
+          AND a.ent_id < b.ent_id)
+       SELECT ent_a, ent_b,
+              CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+       FROM cand
+       WHERE levenshtein(name_a, name_b) <= 3""",
+)
+def dedup_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+ entity-resolution blocking — the OTHER dedup discipline (record
+    linkage on short entity strings, vs MinHash's long-document world):
+    entity = product name + brand; candidate pairs come only from shared
+    BLOCKS (name × type — cheap, high-recall keys), then every candidate
+    is verified with an exact Levenshtein distance (≤3 ≈ a brand-label
+    typo). Blocking is THE all-pairs killer for ER at scale: the pair
+    space collapses from n² to Σ block². Both engines compute the
+    identical integer edit distance (Spark levenshtein ≡ DuckDB
+    levenshtein), so the match set is bit-stable. Plan: one equi-join on
+    the block key — a plain shuffle join with bounded fan-out per block —
+    and a codegen'd verify predicate; no window, no explode."""
+    pt = read_table(spark, sf_dir, "part")
+    ents = pt.select(
+        F.col("p_partkey").alias("ent_id"),
+        F.concat_ws(" ", "p_name", "p_brand").alias("name"),
+        F.concat_ws("|", "p_name", "p_type").alias("block_key"),
+    )
+    a = ents.select(
+        F.col("ent_id").alias("ent_a"), F.col("name").alias("name_a"), "block_key"
+    )
+    b = ents.select(
+        F.col("ent_id").alias("ent_b"), F.col("name").alias("name_b"),
+        F.col("block_key").alias("bk_b"),
+    )
+    cand = a.join(
+        b, (F.col("block_key") == F.col("bk_b")) & (F.col("ent_a") < F.col("ent_b"))
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.filter(dist <= 3).select(
+        "ent_a", "ent_b", dist.cast("bigint").alias("edit_dist")
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
