@@ -116,6 +116,7 @@ BNLJ_OK = {
     "text_zipf",         # 1-row rank-1-count scalar (ppm denominator)
     "agg_kmv_union",     # 1-row sketch-estimate/exact-count scalars
                          # composed into the single output row
+    "text_mix_dedup_report",  # 1-row total-token scalar (share denominators)
 }
 
 

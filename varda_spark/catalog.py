@@ -17160,6 +17160,191 @@ def dedup_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_spc_rules",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS nd,
+                CAST(SUM(x) AS BIGINT) AS t,
+                CAST(SUM(x * x) AS BIGINT) AS q
+         FROM daily GROUP BY event_type),
+       j AS (
+         SELECT d.event_type, d.d, d.x,
+                (d.x * s.nd - s.t) * (d.x * s.nd - s.t) AS dev2,
+                s.nd * s.q - s.t * s.t AS var2
+         FROM daily d JOIN stats s USING (event_type)
+         WHERE s.nd * s.q > s.t * s.t)
+       SELECT event_type, d, x,
+              CAST((1000000 * dev2) // var2 AS BIGINT) AS z2_ppm,
+              dev2 > 4 * var2 AS breach_2s,
+              dev2 > 9 * var2 AS breach_3s
+       FROM j""",
+)
+def agg_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ statistical process control (Shewhart rule 1): the full
+    control chart for each event type's daily counts — squared z-score
+    in ppm plus 2σ/3σ breach flags, the ops-monitoring primitive behind
+    every anomaly dashboard. The test is kept FULLY integer by
+    cross-multiplication: with μ = T/D and σ² = (DQ−T²)/D², z² =
+    (xD−T)²/(DQ−T²) — no float mean, no float variance, no sqrt; the
+    breach flags compare dev² against 4·/9· the variance term exactly. Plan: one
+    daily rollup, one per-type sufficient-stats agg (5-ish rows), and a
+    broadcast-sized join back — the classic two-pass z-score shape that
+    scales because the second pass carries only (type)-level scalars."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("t"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    j = (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.expr("nd * q > t * t"))
+        .withColumn("dev2", F.expr("(x * nd - t) * (x * nd - t)"))
+        .withColumn("var2", F.expr("nd * q - t * t"))
+    )
+    return j.select(
+        "event_type", "d", "x",
+        F.expr("CAST((1000000 * dev2) DIV var2 AS BIGINT)").alias("z2_ppm"),
+        F.expr("dev2 > 4 * var2").alias("breach_2s"),
+        F.expr("dev2 > 9 * var2").alias("breach_3s"),
+    )
+
+
+@q(
+    "agg_changepoint",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       cum AS (
+         SELECT event_type, d, x,
+                SUM(x) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS s,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+                SUM(x) OVER (PARTITION BY event_type) AS t,
+                COUNT(*) OVER (PARTITION BY event_type) AS nd
+         FROM daily),
+       scored AS (
+         SELECT event_type, d, i, nd,
+                ABS(s * nd - i * t) AS score,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY ABS(s * nd - i * t) DESC, d) AS rk
+         FROM cum WHERE i < nd)
+       SELECT event_type, d AS cp_day, CAST(i AS BIGINT) AS cp_index,
+              CAST(nd AS BIGINT) AS n_days, CAST(score AS BIGINT) AS score
+       FROM scored WHERE rk = 1""",
+)
+def agg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ single changepoint detection per series (binary-segmentation
+    score, integer form): for each event type's daily-count series the
+    split day maximizing |S_i·D − i·T| — the scaled mean-shift CUSUM
+    statistic (the float form |S_i − i·T/D| times D). Ties resolve to
+    the earliest day; the last index is excluded (a split needs a
+    non-empty right side). Where win_cusum tracks the RUNNING drift,
+    this key reports the single most likely break — what an on-call
+    engineer actually asks ('when did the rate change?'). Plan: daily
+    rollup, one partitioned window pass for cumsum/rank, one top-1 —
+    all per-type partitions, no global window."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    w_all = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type", "d", "x",
+        F.sum("x").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("x").over(w_all).alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("nd"),
+    )
+    scored = cum.filter(F.col("i") < F.col("nd")).withColumn(
+        "score", F.abs(F.col("s") * F.col("nd") - F.col("i") * F.col("t"))
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(F.col("score").desc(), "d")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type", F.col("d").alias("cp_day"),
+            F.col("i").cast("bigint").alias("cp_index"),
+            F.col("nd").cast("bigint").alias("n_days"),
+            F.col("score").cast("bigint").alias("score"),
+        )
+    )
+
+
+@q(
+    "text_mix_dedup_report",
+    """WITH per_text AS (
+         SELECT source, md5(lower(trim(text))) AS h,
+                CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(MIN(len(string_split(trim(text), ' '))) AS BIGINT) AS tok
+         FROM documents GROUP BY source, h),
+       per_src AS (
+         SELECT source,
+                CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                CAST(COUNT(*) AS BIGINT) AS n_unique,
+                CAST(SUM(cnt * tok) AS BIGINT) AS tokens,
+                CAST(SUM(tok) AS BIGINT) AS unique_tokens
+         FROM per_text GROUP BY source),
+       tot AS (
+         SELECT CAST(SUM(tokens) AS BIGINT) AS tot_tokens,
+                CAST(SUM(unique_tokens) AS BIGINT) AS tot_unique
+         FROM per_src)
+       SELECT source, n_docs, n_unique,
+              CAST((1000000 * n_docs) // n_unique AS BIGINT) AS dup_factor_ppm,
+              tokens, unique_tokens,
+              CAST((1000000 * tokens) // tot_tokens AS BIGINT) AS share_before_ppm,
+              CAST((1000000 * unique_tokens) // tot_unique AS BIGINT) AS share_after_ppm
+       FROM per_src CROSS JOIN tot""",
+)
+def text_mix_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+K1 mixture-shift report — the table a data-mixture owner reads
+    before training: per source, docs and tokens BEFORE and AFTER exact
+    dedup, the duplication factor, and the source's share of the total
+    token budget pre/post. Dedup silently reweights a mixture (a 3×-
+    duplicated crawl shrinks relative to a clean corpus after dedup);
+    this key quantifies that shift, composing dedup_exact's content-hash
+    semantics with text_domain_mix's share accounting in ONE pass:
+    a (source, content-hash) agg (duplicate token counts collapse by
+    construction — identical text has identical token count, so MIN is
+    exact, not a choice), a source-level rollup, and a 1-row total
+    broadcast (whitelisted scalar)."""
+    d = read_table(spark, sf_dir, "documents")
+    per_text = d.groupBy(
+        "source", F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min(F.size(F.split(F.trim(F.col("text")), " "))).cast("bigint").alias("tok"),
+    )
+    per_src = per_text.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.sum(F.col("cnt") * F.col("tok")).cast("bigint").alias("tokens"),
+        F.sum("tok").cast("bigint").alias("unique_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens").cast("bigint").alias("tot_tokens"),
+        F.sum("unique_tokens").cast("bigint").alias("tot_unique"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_unique",
+        F.expr("CAST((1000000 * n_docs) DIV n_unique AS BIGINT)").alias("dup_factor_ppm"),
+        "tokens", "unique_tokens",
+        F.expr("CAST((1000000 * tokens) DIV tot_tokens AS BIGINT)").alias("share_before_ppm"),
+        F.expr("CAST((1000000 * unique_tokens) DIV tot_unique AS BIGINT)").alias("share_after_ppm"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
