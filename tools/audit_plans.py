@@ -53,6 +53,8 @@ GLOBAL_ONE_TASK_OK = {
                          # (one row per customer) + cum/total windows over
                          # the 10-row decile table — same argument as
                          # agg_abc_class, documented in the docstring
+    "agg_hist_quantile", # cumulative window over the ~120-row value-
+                         # domain-bounded histogram (documented)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -117,6 +119,8 @@ BNLJ_OK = {
     "agg_kmv_union",     # 1-row sketch-estimate/exact-count scalars
                          # composed into the single output row
     "text_mix_dedup_report",  # 1-row total-token scalar (share denominators)
+    "agg_hist_quantile", # 3-row percentile spine broadcast onto the
+                         # ~120-row histogram (non-equi by design)
 }
 
 

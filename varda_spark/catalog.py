@@ -17345,6 +17345,162 @@ def text_mix_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "freq_kinship",
+    """WITH gt AS (
+         SELECT l_partkey AS site_id, l_suppkey % 20 AS sample_id,
+                MIN(CASE WHEN l_orderkey % 3 = 0 THEN 2
+                         WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS g
+         FROM lineitem GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.sample_id AS sample_a, b.sample_id AS sample_b,
+                CAST(COUNT(*) AS BIGINT) AS n_shared,
+                CAST(SUM(CASE WHEN a.g = 1 AND b.g = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hh,
+                CAST(SUM(CASE WHEN (a.g = 2 AND b.g = 0)
+                             OR (a.g = 0 AND b.g = 2) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_opp,
+                CAST(SUM(CASE WHEN a.g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS het_a,
+                CAST(SUM(CASE WHEN b.g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS het_b
+         FROM gt a JOIN gt b
+           ON a.site_id = b.site_id AND a.sample_id < b.sample_id
+         GROUP BY 1, 2)
+       SELECT sample_a, sample_b, n_shared, n_hh, n_opp, het_a, het_b,
+              CAST((1000000 * (n_hh - 2 * n_opp)) // (het_a + het_b)
+                   AS BIGINT) AS phi_ppm
+       FROM pairs WHERE het_a + het_b > 0""",
+)
+def freq_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core sample relatedness: the KING-robust kinship estimator
+    (Manichaikul et al. 2010, public) for every sample pair — φ =
+    (N_het,het − 2·N_opposite-hom) / (N_het(a) + N_het(b)) over sites
+    called in BOTH samples. Duplicate-sample detection (φ≈0.5),
+    unexpected relatedness, and sample swaps are the QC this catches
+    before any association run. Exactness: the numerator is SIGNED
+    (unrelated pairs drift negative); Spark BIGINT DIV and DuckDB
+    BIGINT // both truncate toward zero, so the quotient twins exactly
+    without adjustment. Plan: the genotype
+    matrix collapses to one row per (site, sample) first, then a
+    site-keyed self-join bounded by samples-per-site fan-out (never
+    pair-per-site-squared materialization beyond the per-site width),
+    grouped straight into the 190-row pair table — the biobank-scale
+    shape where sites stream and pair state stays tiny."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = li.groupBy(
+        F.col("l_partkey").alias("site_id"),
+        (F.col("l_suppkey") % 20).alias("sample_id"),
+    ).agg(
+        F.min(
+            F.expr(
+                "CASE WHEN l_orderkey % 3 = 0 THEN 2"
+                " WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END"
+            )
+        ).alias("g")
+    )
+    a = gt.select(
+        "site_id", F.col("sample_id").alias("sample_a"), F.col("g").alias("ga")
+    )
+    b = gt.select(
+        F.col("site_id").alias("site_b"),
+        F.col("sample_id").alias("sample_b"),
+        F.col("g").alias("gb"),
+    )
+    pairs = (
+        a.join(b, (F.col("site_id") == F.col("site_b")) & (F.col("sample_a") < F.col("sample_b")))
+        .groupBy("sample_a", "sample_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(F.when((F.col("ga") == 1) & (F.col("gb") == 1), 1).otherwise(0))
+            .cast("bigint").alias("n_hh"),
+            F.sum(
+                F.when(
+                    ((F.col("ga") == 2) & (F.col("gb") == 0))
+                    | ((F.col("ga") == 0) & (F.col("gb") == 2)), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_opp"),
+            F.sum(F.when(F.col("ga") == 1, 1).otherwise(0)).cast("bigint").alias("het_a"),
+            F.sum(F.when(F.col("gb") == 1, 1).otherwise(0)).cast("bigint").alias("het_b"),
+        )
+    )
+    # Signed division: Spark BIGINT DIV truncates toward zero and so
+    # does DuckDB BIGINT // (verified: -7 // 2 = -3) — plain DIV is the
+    # exact twin here; only DECIMAL-typed // degrades to float on the
+    # duck side, which this key never uses.
+    phi = "(1000000 * (n_hh - 2 * n_opp)) DIV (het_a + het_b)"
+    return pairs.filter(F.expr("het_a + het_b > 0")).select(
+        "sample_a", "sample_b", "n_shared", "n_hh", "n_opp", "het_a", "het_b",
+        F.expr(f"CAST({phi} AS BIGINT)").alias("phi_ppm"),
+    )
+
+
+@q(
+    "agg_hist_quantile",
+    """WITH v AS (
+         SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS x FROM orders),
+       hist AS (
+         SELECT x // 5000 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM v GROUP BY 1),
+       cum AS (
+         SELECT bucket, cnt,
+                SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+                SUM(cnt) OVER () AS n
+         FROM hist),
+       spine AS (SELECT unnest([50, 90, 99]) AS p),
+       cand AS (
+         SELECT s.p, c.bucket, c.cnt, c.cum, c.n,
+                (s.p * c.n + 99) // 100 AS target,
+                ROW_NUMBER() OVER (PARTITION BY s.p ORDER BY c.bucket) AS rk
+         FROM spine s JOIN cum c ON c.cum >= (s.p * c.n + 99) // 100)
+       SELECT CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
+              CAST(target AS BIGINT) AS target_rank,
+              CAST(bucket * 5000
+                   + (5000 * (target - (cum - cnt))) // cnt AS BIGINT) AS est_value
+       FROM cand WHERE rk = 1""",
+)
+def agg_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4+ histogram-sketch quantiles — the MERGEABLE alternative to a
+    global sort: order totals bucket into fixed 5000-wide bins (a
+    histogram sketch that unions across partitions/partitions-of-data by
+    just adding counts — the property exact quantiles lack), then p50/
+    p90/p99 are read off the cumulative histogram with integer linear
+    interpolation inside the target bucket. Everything is floored
+    integer math (ceil(p·n/100) as (p·n+99)//100), so the 'estimate' is
+    bit-stable cross-engine. Plan: one map-side histogram agg (bucket
+    count bounded by the value domain, ~120 buckets), a bucket-count-
+    sized cumulative window, and a 3-row percentile spine join — at
+    100 TB the data-sized work is exactly one scan."""
+    o = read_table(spark, sf_dir, "orders")
+    hist = (
+        o.select(F.expr("CAST(FLOOR(o_totalprice) AS BIGINT) DIV 5000").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # bucket-count-sized global window (value-domain-bounded, ~120 rows)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    spine = spark.range(1).selectExpr("explode(array(50, 90, 99)) AS p")
+    cand = (
+        F.broadcast(spine)
+        .join(cum, F.col("cum") >= F.expr("(p * n + 99) DIV 100"))
+        .withColumn("target", F.expr("(p * n + 99) DIV 100"))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("p").orderBy("bucket"))
+        )
+    )
+    return cand.filter(F.col("rk") == 1).select(
+        F.col("p").cast("bigint").alias("p"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("target").cast("bigint").alias("target_rank"),
+        F.expr(
+            "CAST(bucket * 5000 + (5000 * (target - (cum - cnt))) DIV cnt AS BIGINT)"
+        ).alias("est_value"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
