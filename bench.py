@@ -139,9 +139,24 @@ def main() -> None:
     spark.stop()
 
 
+def _sf_dir(sf: str) -> str:
+    """Driver-shipped sfs live in /root/testdata; larger bench-only sfs
+    are synthesized by tools/make_scale_data.py under scaledata/."""
+    shipped = f"/root/testdata/sf{sf}"
+    if os.path.isdir(shipped):
+        return shipped
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scaledata", f"sf{sf}")
+    if os.path.isdir(local):
+        return local
+    raise SystemExit(
+        f"no data for sf{sf}: run tools/make_scale_data.py to synthesize it"
+    )
+
+
 def main_scaling(sfs: list[str]) -> None:
     lo, hi = sfs
-    lo_dir, hi_dir = f"/root/testdata/sf{lo}", f"/root/testdata/sf{hi}"
+    lo_dir, hi_dir = _sf_dir(lo), _sf_dir(hi)
     data_ratio = float(hi) / float(lo)
     spark = get_spark("bench-scaling")
     warm_up(spark, lo_dir)

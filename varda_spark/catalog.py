@@ -3167,12 +3167,44 @@ def agg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("pack_sequences", None)  # greedy next-fit state is inherently sequential → rows-only
+@q(
+    "pack_sequences",
+    """WITH RECURSIVE counted AS (
+         SELECT doc_id,
+                CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS n_tokens,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 16 AS shard
+         FROM documents),
+       ordered AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS i
+         FROM counted),
+       walk(shard, i, doc_id, n_tokens, bin_id, fill) AS (
+         SELECT shard, i, doc_id, n_tokens, 0, n_tokens
+         FROM ordered WHERE i = 1
+         UNION ALL
+         SELECT o.shard, o.i, o.doc_id, o.n_tokens,
+                CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > 512
+                     THEN w.bin_id + 1 ELSE w.bin_id END,
+                CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > 512
+                     THEN o.n_tokens ELSE w.fill + o.n_tokens END
+         FROM walk w JOIN ordered o ON o.shard = w.shard AND o.i = w.i + 1)
+       SELECT CAST(shard AS BIGINT) AS shard, CAST(bin_id AS BIGINT) AS bin_id,
+              doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              n_tokens > 512 AS overflow
+       FROM walk""",
+)
 def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K+ training-shard packing (operators/packing.py): hash-bucketed
     shards, greedy next-fit bins of ≤512 tokens per shard. Invariants
     (every doc once, bin sums bounded, determinism) are pytest-proven;
-    the packing order is not SQL-expressible, hence rows-only."""
+    the oracle replays the EXACT sequential next-fit per shard as a
+    DuckDB recursive CTE (one recursion step per doc in doc_id order,
+    all shards advancing in parallel), upgrading this key from
+    rows-only to a full value-hash check — the per-shard greedy state
+    that Spark carries in applyInPandas is small enough that SQL
+    recursion expresses it directly."""
     from varda_spark.operators.packing import pack_sequences
 
     d = read_table(spark, sf_dir, "documents")
@@ -17498,6 +17530,110 @@ def agg_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(bucket * 5000 + (5000 * (target - (cum - cnt))) DIV cnt AS BIGINT)"
         ).alias("est_value"),
+    )
+
+
+@q(
+    "freq_burden",
+    """WITH calls AS (
+         SELECT l_partkey AS site_id, l_suppkey % 40 AS sample_id,
+                CASE WHEN (l_orderkey + l_partkey * 13)
+                          % (10 + l_partkey % 40) = 0
+                     THEN 1 ELSE 0 END AS dose
+         FROM lineitem),
+       persite AS (
+         SELECT site_id, sample_id, MAX(dose) AS dose
+         FROM calls GROUP BY site_id, sample_id),
+       af AS (
+         SELECT site_id,
+                CAST(SUM(dose) AS BIGINT) AS ac,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM persite GROUP BY site_id),
+       rare AS (
+         SELECT site_id FROM af
+         WHERE ac > 0 AND (1000000 * ac) // n < 50000),
+       carrier AS (
+         SELECT p.site_id // 50 AS gene_id, p.sample_id,
+                MAX(p.dose) AS carrier
+         FROM persite p JOIN rare r USING (site_id)
+         GROUP BY 1, 2),
+       tab AS (
+         SELECT gene_id,
+                CAST(SUM(CASE WHEN sample_id % 2 = 0 THEN carrier ELSE 0 END)
+                     AS BIGINT) AS a,
+                CAST(SUM(CASE WHEN sample_id % 2 = 0 THEN 1 - carrier ELSE 0 END)
+                     AS BIGINT) AS b,
+                CAST(SUM(CASE WHEN sample_id % 2 = 1 THEN carrier ELSE 0 END)
+                     AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN sample_id % 2 = 1 THEN 1 - carrier ELSE 0 END)
+                     AS BIGINT) AS d
+         FROM carrier GROUP BY gene_id)
+       SELECT gene_id, a AS carriers_case, b AS noncar_case,
+              c AS carriers_ctrl, d AS noncar_ctrl,
+              CAST((1000000 * (a + b + c + d)
+                    * (a * d - b * c) * (a * d - b * c))
+                   // ((a + b) * (c + d) * (a + c) * (b + d))
+                   AS BIGINT) AS chi2_ppm
+       FROM tab
+       WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0""",
+)
+def freq_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core gene-level rare-variant burden test (CAST/collapsing
+    test): rare sites (pooled alt frequency < 5%, carrier rates varying
+    by site so the MAF gate genuinely splits) collapse per gene to a
+    per-sample carrier flag; each gene's carriers split by case/control
+    into a 2×2 table scored with the integer-exact chi² identity
+    N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) as a ppm floor. This is how
+    sequencing studies recover power on variants individually too rare
+    to test — the canonical downstream consumer of freq_maf_spectrum's
+    rare tail. Plan: call-matrix dedup agg → site AF agg → rare-site
+    semi-join (broadcast-sized) → (gene, sample) collapse → gene-level
+    2×2 — every stage a keyed partial agg; nothing wider than the gene
+    table ever materializes."""
+    li = read_table(spark, sf_dir, "lineitem")
+    calls = li.select(
+        F.col("l_partkey").alias("site_id"),
+        (F.col("l_suppkey") % 40).alias("sample_id"),
+        F.expr(
+            "CASE WHEN (l_orderkey + l_partkey * 13) % (10 + l_partkey % 40) = 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("dose"),
+    )
+    persite = calls.groupBy("site_id", "sample_id").agg(F.max("dose").alias("dose"))
+    af = persite.groupBy("site_id").agg(
+        F.sum("dose").cast("bigint").alias("ac"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    rare = af.filter(
+        (F.col("ac") > 0) & (F.expr("(1000000 * ac) DIV n") < 50000)
+    ).select("site_id")
+    carrier = (
+        persite.join(rare, "site_id", "left_semi")
+        .groupBy(
+            F.expr("site_id DIV 50").alias("gene_id"), "sample_id"
+        )
+        .agg(F.max("dose").alias("carrier"))
+    )
+    tab = carrier.groupBy("gene_id").agg(
+        F.sum(F.when(F.col("sample_id") % 2 == 0, F.col("carrier")).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(F.col("sample_id") % 2 == 0, 1 - F.col("carrier")).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when(F.col("sample_id") % 2 == 1, F.col("carrier")).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(F.when(F.col("sample_id") % 2 == 1, 1 - F.col("carrier")).otherwise(0))
+        .cast("bigint").alias("d"),
+    )
+    return tab.filter(
+        F.expr("(a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0")
+    ).select(
+        "gene_id",
+        F.col("a").alias("carriers_case"), F.col("b").alias("noncar_case"),
+        F.col("c").alias("carriers_ctrl"), F.col("d").alias("noncar_ctrl"),
+        F.expr(
+            "CAST((1000000 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c))"
+            " DIV ((a + b) * (c + d) * (a + c) * (b + d)) AS BIGINT)"
+        ).alias("chi2_ppm"),
     )
 
 
