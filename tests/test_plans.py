@@ -63,3 +63,13 @@ def test_array_output_guard_trips(spark):
         "SELECT 1 AS k, array_join(array('a', 'b'), ',') AS joined"
     ).toPandas()
     assert array_output_cols(ok) == []
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """scan_partition_pruned's year filter must arrive as a PartitionFilter
+    on the hive-partitioned scratch table — metadata-only elimination, no
+    data files read for other years."""
+    plan = plan_of(spark, "scan_partition_pruned")
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_year" in seg, f"year predicate not pushed to partitions: {seg!r}"

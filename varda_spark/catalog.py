@@ -17637,6 +17637,98 @@ def freq_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "win_ohlc",
+    """WITH t AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                CAST(FLOOR(value * 100) AS BIGINT) AS cents, ts, event_id
+         FROM events),
+       o AS (
+         SELECT event_type, d, cents,
+                ROW_NUMBER() OVER w AS rn_open,
+                ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                   ORDER BY ts DESC, event_id DESC) AS rn_close
+         FROM t
+         WINDOW w AS (PARTITION BY event_type, d ORDER BY ts, event_id)),
+       agg AS (
+         SELECT event_type, d,
+                CAST(MAX(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT) AS open,
+                CAST(MAX(cents) AS BIGINT) AS high,
+                CAST(MIN(cents) AS BIGINT) AS low,
+                CAST(MAX(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT) AS close,
+                CAST(COUNT(*) AS BIGINT) AS volume
+         FROM o GROUP BY event_type, d)
+       SELECT * FROM agg""",
+)
+def win_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ OHLC candle rollup — the time-series downsampling every
+    monitoring and market system runs: per (series, day) the first,
+    max, min, and last observation plus volume. First/last are made
+    deterministic by the (ts, event_id) total order (two rank windows
+    per partition — no min_by/arg_min, whose struct-ordering semantics
+    differ subtly across engines); values are floored to integer cents.
+    Plan: one (type, day)-partitioned window pass feeding one grouped
+    agg — shuffles once on the partition key, volume-weighted cousin of
+    win_vwap."""
+    ev = read_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type", F.col("ts").cast("date").alias("d"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+        "ts", "event_id",
+    )
+    w_a = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    o = t.select(
+        "event_type", "d", "cents",
+        F.row_number().over(w_a).alias("rn_open"),
+        F.row_number().over(w_d).alias("rn_close"),
+    )
+    return o.groupBy("event_type", "d").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("cents"))).cast("bigint").alias("open"),
+        F.max("cents").cast("bigint").alias("high"),
+        F.min("cents").cast("bigint").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("cents"))).cast("bigint").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("volume"),
+    )
+
+
+@q(
+    "scan_partition_pruned",
+    """SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS tot
+       FROM orders
+       WHERE year(o_orderdate) = 1998
+       GROUP BY o_orderpriority""",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ PARTITION PRUNING — the other half of physical layout design
+    (join_bucketed covers co-location; this covers scan elimination):
+    orders land partitioned by order year (hive-style year=YYYY
+    directories), and a year-filtered read touches ONLY that
+    directory's files — at 100 TB the difference between scanning one
+    partition and scanning the table. The filter arrives as a
+    PartitionFilter (metadata-only, zero data read for other years),
+    which tests/test_plans.py asserts on the physical plan. Scratch
+    table is session-scoped like join_bucketed's (concurrent sessions
+    must not clobber each other's files); the oracle is the same
+    aggregate with a plain filter — partitioning is physical, not
+    semantic."""
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    tag = "".join(ch if ch.isalnum() else "_" for ch in spark.sparkContext.applicationId)
+    path = f"/root/repo/spark-warehouse/part_orders_{tag}"
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1998)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).cast("bigint").alias("tot"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
