@@ -80,6 +80,15 @@ HEADLINE = LEGACY20 + [
     "dedup_binary_chunks",  # chunk-level binary dedup inverted-index join
     "emb_pca_power",    # matrix-free power-iteration PCA (array folds)
     "sim_sparse_cosine",  # hashed-TF inverted-index sparse retrieval
+    # round-5 additions
+    "freq_gnomad_style",   # fused popmax+AF+HWE: one scan, one shuffle
+    "dedup_pipeline_v2",   # LSH candidates -> exact-Jaccard verify -> star CC
+    "text_quality_pipeline",  # fused C4+Gopher+repetition funnel
+    "freq_ld_pairs",       # tile-banded LD r2 pair join
+    "freq_kinship",        # KING kinship site-keyed self-join
+    "agg_hist_quantile",   # mergeable histogram p50/p90/p99
+    "dedup_blocking",      # ER blocking + Levenshtein verify
+    "scan_partition_pruned",  # hive-partitioned write + pruned read
 ]
 
 

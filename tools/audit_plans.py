@@ -121,6 +121,8 @@ BNLJ_OK = {
     "text_mix_dedup_report",  # 1-row total-token scalar (share denominators)
     "agg_hist_quantile", # 3-row percentile spine broadcast onto the
                          # ~120-row histogram (non-equi by design)
+    "sim_mips_prune",    # query-sample-sized (~20-row) query+bound
+                         # broadcast probing the corpus scan (documented)
 }
 
 

@@ -17729,6 +17729,122 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sim_mips_prune",
+    """WITH q AS (
+         SELECT vec_id,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS e
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, e,
+                CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS n2
+         FROM q),
+       queries AS (SELECT * FROM n WHERE vec_id % 97 = 0),
+       topn AS (
+         SELECT * FROM n ORDER BY n2 DESC, vec_id LIMIT 16),
+       p1 AS (
+         SELECT qu.vec_id AS query_id,
+                MAX(CAST(list_sum(list_transform(list_zip(qu.e, t.e),
+                                                 s -> s[1] * s[2]))
+                         AS BIGINT)) AS best0
+         FROM queries qu JOIN topn t ON t.vec_id <> qu.vec_id
+         GROUP BY qu.vec_id),
+       p2 AS (
+         SELECT qu.vec_id AS query_id, c.vec_id AS cand_id,
+                CAST(list_sum(list_transform(list_zip(qu.e, c.e),
+                                             s -> s[1] * s[2])) AS BIGINT) AS dot_q
+         FROM queries qu
+         JOIN p1 ON p1.query_id = qu.vec_id
+         JOIN n c ON c.vec_id <> qu.vec_id
+                 AND (p1.best0 < 0 OR c.n2 * qu.n2 >= p1.best0 * p1.best0)),
+       ranked AS (
+         SELECT query_id, cand_id, dot_q,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, cand_id) AS rk,
+                COUNT(*) OVER (PARTITION BY query_id) AS scanned
+         FROM p2),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM n)
+       SELECT query_id, cand_id AS top1_id, dot_q,
+              CAST(scanned AS BIGINT) AS scanned, n_total,
+              CAST((1000000 * (n_total - 1 - scanned)) // (n_total - 1)
+                   AS BIGINT) AS pruned_ppm
+       FROM ranked CROSS JOIN tot WHERE rk = 1""",
+)
+def sim_mips_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ EXACT maximum-inner-product search with Cauchy-Schwarz norm
+    pruning — the two-phase trick that makes exact MIPS tractable at
+    scale: (1) score each query against only the 16 largest-norm vectors
+    to get a lower bound best₀; (2) scan only candidates whose norm
+    bound can beat it (‖x‖²·‖q‖² ≥ best₀², squared so sqrt-free; if
+    best₀ < 0 the bound is vacuous and the scan falls back to full).
+    The result is PROVABLY the global top-1 (any beater has
+    dot > best₀ ≥ 0 and dot² ≤ ‖q‖²‖x‖²), unlike LSH/IVF which trade
+    recall — and pruned_ppm reports how much of the corpus the bound
+    eliminated. All dots and norms are quantized integers computed
+    dimension-agnostically (zip_with/aggregate ≡ list_zip/list_sum).
+    Plan: the norm top-16 is a TakeOrdered (per-partition top-k), the
+    phase-2 probe is a broadcast of the ~20-row query+bound table into
+    a codegen'd filter over one corpus scan — query-sample-sized build
+    side, whitelisted."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qcol = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT))"
+    )
+    n = e.select("vec_id", qcol.alias("e")).withColumn(
+        "n2", F.expr("CAST(aggregate(e, 0L, (a, x) -> a + x * x) AS BIGINT)")
+    )
+    queries = n.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("n2").alias("qn2")
+    )
+    topn = n.orderBy(F.col("n2").desc(), "vec_id").limit(16).select(
+        F.col("vec_id").alias("t_id"), F.col("e").alias("te")
+    )
+    dot_t = F.expr("CAST(aggregate(zip_with(qe, te, (x, y) -> x * y), 0L, (a, v) -> a + v) AS BIGINT)")
+    p1 = (
+        queries.crossJoin(F.broadcast(topn))
+        .filter(F.col("t_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.max(dot_t).alias("best0"))
+    )
+    probe = queries.join(p1, "query_id")
+    p2 = (
+        n.join(
+            F.broadcast(probe),
+            (F.col("vec_id") != F.col("query_id"))
+            & (
+                (F.col("best0") < 0)
+                | (F.col("n2") * F.col("qn2") >= F.col("best0") * F.col("best0"))
+            ),
+        )
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"),
+            F.expr(
+                "CAST(aggregate(zip_with(qe, e, (x, y) -> x * y), 0L, (a, v) -> a + v) AS BIGINT)"
+            ).alias("dot_q"),
+        )
+    )
+    w_rk = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(), "cand_id")
+    w_ct = Window.partitionBy("query_id")
+    ranked = p2.select(
+        "query_id", "cand_id", "dot_q",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_ct).alias("scanned"),
+    )
+    tot = n.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id", F.col("cand_id").alias("top1_id"), "dot_q",
+            F.col("scanned").cast("bigint").alias("scanned"), "n_total",
+            F.expr(
+                "CAST((1000000 * (n_total - 1 - scanned)) DIV (n_total - 1) AS BIGINT)"
+            ).alias("pruned_ppm"),
+        )
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
