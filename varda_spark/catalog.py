@@ -17845,6 +17845,95 @@ def sim_mips_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "freq_roh",
+    """WITH gt AS (
+         SELECT l_partkey AS site_id, l_suppkey % 10 AS sample_id,
+                MIN(CASE WHEN l_orderkey % 3 = 0 THEN 2
+                         WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS g
+         FROM lineitem GROUP BY 1, 2),
+       loc AS (
+         SELECT sample_id, g <> 1 AS hom,
+                CAST(site_id % 5 AS VARCHAR) AS chromosome,
+                CAST((site_id * 31) % 100000 + 1 AS BIGINT) AS position
+         FROM gt),
+       grp AS (
+         SELECT sample_id, chromosome, position, hom,
+                SUM(CASE WHEN hom THEN 0 ELSE 1 END)
+                  OVER (PARTITION BY sample_id, chromosome
+                        ORDER BY position ROWS UNBOUNDED PRECEDING) AS island
+         FROM loc),
+       runs AS (
+         SELECT sample_id, chromosome, island,
+                CAST(COUNT(*) AS BIGINT) AS n_sites,
+                CAST(MAX(position) - MIN(position) AS BIGINT) AS span_bp
+         FROM grp WHERE hom
+         GROUP BY sample_id, chromosome, island
+         HAVING COUNT(*) >= 5)
+       SELECT CAST(sample_id AS BIGINT) AS sample_id,
+              CAST(COUNT(*) AS BIGINT) AS n_runs,
+              CAST(MAX(n_sites) AS BIGINT) AS longest_sites,
+              CAST(MAX(span_bp) AS BIGINT) AS longest_bp,
+              CAST((1000000 * SUM(span_bp)) // 500000 AS BIGINT) AS froh_ppm
+       FROM runs GROUP BY sample_id""",
+)
+def freq_roh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core runs of homozygosity (plink --homozyg): per sample,
+    stretches of ≥5 consecutive homozygous sites along each chromosome —
+    the autozygosity signal behind consanguinity QC and recessive-disease
+    gene mapping; F_ROH (fraction of the genome in runs) is the standard
+    inbreeding estimate. The island segmentation is the gaps-and-islands
+    pattern at genome scale: a running count of heterozygous breaks
+    assigns every hom site to its run (one partitioned window per
+    (sample, chromosome) — never a global sort), then runs aggregate to
+    per-sample stats with an exact ppm F_ROH against the 5×100 kb
+    synthetic genome span. Genotypes collapse to one call per
+    (site, sample) first, same matrix discipline as freq_kinship."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = li.groupBy(
+        F.col("l_partkey").alias("site_id"),
+        (F.col("l_suppkey") % 10).alias("sample_id"),
+    ).agg(
+        F.min(
+            F.expr(
+                "CASE WHEN l_orderkey % 3 = 0 THEN 2"
+                " WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END"
+            )
+        ).alias("g")
+    )
+    loc = gt.select(
+        "sample_id",
+        (F.col("g") != 1).alias("hom"),
+        (F.col("site_id") % 5).cast("string").alias("chromosome"),
+        ((F.col("site_id") * 31) % 100000 + 1).cast("long").alias("position"),
+    )
+    w = (
+        Window.partitionBy("sample_id", "chromosome")
+        .orderBy("position")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = loc.withColumn(
+        "island", F.sum(F.when(F.col("hom"), 0).otherwise(1)).over(w)
+    )
+    runs = (
+        grp.filter(F.col("hom"))
+        .groupBy("sample_id", "chromosome", "island")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+            (F.max("position") - F.min("position")).cast("bigint").alias("span_bp"),
+        )
+        .filter(F.col("n_sites") >= 5)
+    )
+    return runs.groupBy(
+        F.col("sample_id").cast("bigint").alias("sample_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("n_sites").cast("bigint").alias("longest_sites"),
+        F.max("span_bp").cast("bigint").alias("longest_bp"),
+        F.expr("CAST((1000000 * SUM(span_bp)) DIV 500000 AS BIGINT)").alias("froh_ppm"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
