@@ -16488,7 +16488,10 @@ def dedup_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     s1 = dedup_exact(d).localCheckpoint()
     cand = minhash_candidates(s1, num_hashes=8, bands=4, shingle_n=3)
-    dsh = shingles(s1, n=3).select("doc_id", "shingle").distinct()
+    # dsh feeds sizes AND both sides of the verify join — localCheckpoint
+    # materializes the split/explode/distinct once (three consumers;
+    # exchange reuse does not cover all of them across the join tree)
+    dsh = shingles(s1, n=3).select("doc_id", "shingle").distinct().localCheckpoint()
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = dsh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = dsh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("shingle_b"))
@@ -16805,7 +16808,7 @@ def freq_maf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
        loc AS (
          SELECT site_id,
                 CAST(site_id % 5 AS VARCHAR) AS chromosome,
-                CAST((site_id * 31) % 100000 + 1 AS BIGINT) AS position
+                CAST(site_id * 31 + 1 AS BIGINT) AS position
          FROM sites),
        pairs AS (
          SELECT a.site_id AS site_a, b.site_id AS site_b
@@ -16845,7 +16848,11 @@ def freq_ld_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     int128/DECIMAL(38,0), one floored division to ppm. In-sample
     monomorphic pairs are excluded (r² undefined). Scale shape: pair
     candidates come from a TILE-bucketed self-join on the site map
-    (never position-theta over the call matrix), and the genotype join
+    (never position-theta over the call matrix); the synthetic genome
+    span GROWS with the site space (position = 31·site_id, no modulo),
+    so sites-per-tile — and with it pairs-per-site — stays constant at
+    every scale factor (the fixed-span variant measured 3.5× super-
+    linear at sf1 in the round-5 scaling smoke; this is the fix), and the genotype join
     fans out only candidate pairs keyed on (site, sample) — the same
     bounded-candidate discipline as dedup_pipeline_v2's verify stage.
     Sample alleles collapse to one row per (site, sample) first, so the
@@ -16856,7 +16863,7 @@ def freq_ld_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "site_id",
             (F.col("site_id") % 5).cast("string").alias("chromosome"),
-            ((F.col("site_id") * 31) % 100000 + 1).cast("long").alias("position"),
+            (F.col("site_id") * 31 + 1).cast("long").alias("position"),
         )
         .withColumn("tile", F.expr("position DIV 500"))
     )
@@ -17145,7 +17152,8 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH ents AS (
          SELECT p_partkey AS ent_id,
                 p_name || ' ' || p_brand AS name,
-                p_name || '|' || p_type AS block_key
+                p_name || '|' || p_type || '|' || CAST(p_size AS VARCHAR)
+                  AS block_key
          FROM part),
        cand AS (
          SELECT a.ent_id AS ent_a, b.ent_id AS ent_b,
@@ -17156,13 +17164,16 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT ent_a, ent_b,
               CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
        FROM cand
-       WHERE levenshtein(name_a, name_b) <= 3""",
+       WHERE abs(length(name_a) - length(name_b)) <= 3
+         AND levenshtein(name_a, name_b) <= 3""",
 )
 def dedup_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1+ entity-resolution blocking — the OTHER dedup discipline (record
     linkage on short entity strings, vs MinHash's long-document world):
     entity = product name + brand; candidate pairs come only from shared
-    BLOCKS (name × type — cheap, high-recall keys), then every candidate
+    BLOCKS (name × type × size — cheap, high-recall keys; size in the
+    key keeps per-block width BOUNDED as the catalog grows, which is
+    what keeps the pair space linear in corpus size), then every candidate
     is verified with an exact Levenshtein distance (≤3 ≈ a brand-label
     typo). Blocking is THE all-pairs killer for ER at scale: the pair
     space collapses from n² to Σ block². Both engines compute the
@@ -17174,7 +17185,7 @@ def dedup_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ents = pt.select(
         F.col("p_partkey").alias("ent_id"),
         F.concat_ws(" ", "p_name", "p_brand").alias("name"),
-        F.concat_ws("|", "p_name", "p_type").alias("block_key"),
+        F.concat_ws("|", "p_name", "p_type", F.col("p_size").cast("string")).alias("block_key"),
     )
     a = ents.select(
         F.col("ent_id").alias("ent_a"), F.col("name").alias("name_a"), "block_key"
@@ -17187,7 +17198,10 @@ def dedup_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("block_key") == F.col("bk_b")) & (F.col("ent_a") < F.col("ent_b"))
     )
     dist = F.levenshtein("name_a", "name_b")
-    return cand.filter(dist <= 3).select(
+    # cheap pre-guard: edit distance >= |length difference|, so the
+    # length band eliminates most pairs before the O(len^2) levenshtein
+    len_ok = F.abs(F.length("name_a") - F.length("name_b")) <= 3
+    return cand.filter(len_ok & (dist <= 3)).select(
         "ent_a", "ent_b", dist.cast("bigint").alias("edit_dist")
     )
 
