@@ -17155,54 +17155,68 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 p_name || '|' || p_type || '|' || CAST(p_size AS VARCHAR)
                   AS block_key
          FROM part),
+       ordered AS (
+         SELECT ent_id, name, block_key,
+                ROW_NUMBER() OVER (PARTITION BY block_key
+                                   ORDER BY name, ent_id) AS rn
+         FROM ents),
+       probes AS (
+         SELECT ent_id, name, block_key, rn + k AS rn_b
+         FROM ordered, unnest(range(1, 9)) AS t(k)),
        cand AS (
-         SELECT a.ent_id AS ent_a, b.ent_id AS ent_b,
-                a.name AS name_a, b.name AS name_b
-         FROM ents a JOIN ents b
-           ON a.block_key = b.block_key
-          AND a.ent_id < b.ent_id)
-       SELECT ent_a, ent_b,
+         SELECT p.ent_id AS ent_a, b.ent_id AS ent_b,
+                p.name AS name_a, b.name AS name_b
+         FROM probes p JOIN ordered b
+           ON b.block_key = p.block_key AND b.rn = p.rn_b)
+       SELECT LEAST(ent_a, ent_b) AS ent_a,
+              GREATEST(ent_a, ent_b) AS ent_b,
               CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
        FROM cand
        WHERE abs(length(name_a) - length(name_b)) <= 3
          AND levenshtein(name_a, name_b) <= 3""",
 )
 def dedup_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1+ entity-resolution blocking — the OTHER dedup discipline (record
-    linkage on short entity strings, vs MinHash's long-document world):
-    entity = product name + brand; candidate pairs come only from shared
-    BLOCKS (name × type × size — cheap, high-recall keys; size in the
-    key keeps per-block width BOUNDED as the catalog grows, which is
-    what keeps the pair space linear in corpus size), then every candidate
-    is verified with an exact Levenshtein distance (≤3 ≈ a brand-label
-    typo). Blocking is THE all-pairs killer for ER at scale: the pair
-    space collapses from n² to Σ block². Both engines compute the
-    identical integer edit distance (Spark levenshtein ≡ DuckDB
-    levenshtein), so the match set is bit-stable. Plan: one equi-join on
-    the block key — a plain shuffle join with bounded fan-out per block —
-    and a codegen'd verify predicate; no window, no explode."""
+    """K1+ entity-resolution blocking + SORTED NEIGHBORHOOD — the OTHER
+    dedup discipline (record linkage on short entity strings, vs
+    MinHash's long-document world): entity = product name + brand;
+    blocks = name × type × size (cheap, high-recall keys); within each
+    block entities sort by name and each one is verified (exact
+    Levenshtein ≤ 3, with a length-band pre-guard) against only its
+    NEXT 8 neighbors. The window is what makes the pair space LINEAR
+    (n·w) no matter how dense a block gets — the naive within-block
+    pairing measured 2.9-3.2× super-linear on the sf0.1→sf1 scaling
+    smoke because the synthetic catalog densifies fixed name vocabulary;
+    sorted-neighborhood is the standard ER answer (Hernández &
+    Stolfo 1995, public). Plan: one block-partitioned rank window, a
+    fixed 8× offset explode, and an equi-join on (block, rank) — no
+    non-equi join, no width² blowup; both engines compute the identical
+    integer edit distance so the match set is bit-stable."""
     pt = read_table(spark, sf_dir, "part")
     ents = pt.select(
         F.col("p_partkey").alias("ent_id"),
         F.concat_ws(" ", "p_name", "p_brand").alias("name"),
         F.concat_ws("|", "p_name", "p_type", F.col("p_size").cast("string")).alias("block_key"),
     )
-    a = ents.select(
-        F.col("ent_id").alias("ent_a"), F.col("name").alias("name_a"), "block_key"
+    w = Window.partitionBy("block_key").orderBy("name", "ent_id")
+    ordered = ents.withColumn("rn", F.row_number().over(w))
+    probes = ordered.select(
+        F.col("ent_id").alias("ent_a"), F.col("name").alias("name_a"),
+        "block_key",
+        F.explode(F.expr("sequence(rn + 1, rn + 8)")).alias("rn_b"),
     )
-    b = ents.select(
-        F.col("ent_id").alias("ent_b"), F.col("name").alias("name_b"),
-        F.col("block_key").alias("bk_b"),
+    b = ordered.select(
+        F.col("ent_id").alias("eb"), F.col("name").alias("name_b"),
+        F.col("block_key").alias("bk_b"), F.col("rn").alias("rn_bb"),
     )
-    cand = a.join(
-        b, (F.col("block_key") == F.col("bk_b")) & (F.col("ent_a") < F.col("ent_b"))
+    cand = probes.join(
+        b, (F.col("block_key") == F.col("bk_b")) & (F.col("rn_b") == F.col("rn_bb"))
     )
     dist = F.levenshtein("name_a", "name_b")
-    # cheap pre-guard: edit distance >= |length difference|, so the
-    # length band eliminates most pairs before the O(len^2) levenshtein
     len_ok = F.abs(F.length("name_a") - F.length("name_b")) <= 3
     return cand.filter(len_ok & (dist <= 3)).select(
-        "ent_a", "ent_b", dist.cast("bigint").alias("edit_dist")
+        F.least("ent_a", "eb").alias("ent_a"),
+        F.greatest("ent_a", "eb").alias("ent_b"),
+        dist.cast("bigint").alias("edit_dist"),
     )
 
 
