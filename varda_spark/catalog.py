@@ -11078,10 +11078,21 @@ _DRIVER_PRIORITY = [
     "agg_leadtime", "agg_trimmed_mean",
 ]
 
-# Staged round-6 window: next 50 twinned never-driver-sampled keys.
-# Promote to _DRIVER_PRIORITY at round-6 open (and refresh with any
-# round-5 additions at round close — see tools/check_rotation.py).
+# Staged round-6 window: round-5 additions first (the composites and
+# genomics keys a user hits first — all never-driver-sampled by
+# construction), then the highest-traffic remainder of the older
+# never-sampled breadth keys. Promote to _DRIVER_PRIORITY at round-6
+# open (and refresh again at that round's close).
 _DRIVER_PRIORITY_R6 = [
+    # round-5 keys (21)
+    "freq_gnomad_style", "dedup_pipeline_v2", "text_quality_pipeline",
+    "freq_titv", "freq_maf_spectrum", "freq_ld_pairs", "freq_kinship",
+    "freq_burden", "freq_roh", "agg_hist_quantile", "agg_kmv_union",
+    "dedup_blocking", "sim_mips_prune", "agg_spc_rules",
+    "agg_changepoint", "text_mix_dedup_report", "agg_stickiness",
+    "qa_schema_drift", "win_ohlc", "scan_partition_pruned",
+    "pack_sequences",
+    # older never-sampled breadth (29)
     "agg_quartile_skew", "sql_api2", "win_dod_growth", "agg_runs_test",
     "win_minmax_scale", "text_ngram_novelty", "agg_seasonality",
     "win_peak_detect", "interval_tile", "agg_interarrival",
@@ -11090,13 +11101,7 @@ _DRIVER_PRIORITY_R6 = [
     "text_upsample_plan", "text_repetition", "text_c4_filters",
     "join_salted", "win_rolling_corr", "emb_centroid_shift",
     "agg_pow2_hist", "join_bucketed", "text_hashing_tf", "agg_countmin",
-    "agg_topn_share", "agg_countmin_query", "freq_sample_qc",
-    "graph_assortativity", "win_rsi", "win_stochastic", "text_zipf",
-    "agg_simpson", "graph_bfs", "win_macd", "agg_decile_lift",
-    "text_winnowing", "agg_survival", "qa_drift_tvd", "text_rake",
-    "agg_bootstrap", "freq_hwe", "graph_modularity",
-    "win_seasonal_decompose", "agg_distinct_growth",
-    "join_interval_coverage", "freq_fst", "text_collocations",
+    "agg_topn_share", "agg_countmin_query",
 ]
 
 
