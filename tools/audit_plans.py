@@ -123,6 +123,7 @@ BNLJ_OK = {
                          # ~120-row histogram (non-equi by design)
     "sim_mips_prune",    # query-sample-sized (~20-row) query+bound
                          # broadcast probing the corpus scan (documented)
+    "dedup_cluster_stats",  # 1-row total-doc scalar (share denominator)
 }
 
 

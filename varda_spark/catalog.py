@@ -17967,6 +17967,175 @@ def freq_roh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "join_asof_tolerance",
+    """WITH v AS (
+         SELECT user_id, ts, MAX(event_id) AS view_event_id
+         FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+       p AS (
+         SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+       j AS (
+         SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+                v.view_event_id,
+                epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts)
+       SELECT user_id, event_id, ts_us,
+              CASE WHEN gap_us <= 3600000000 THEN view_event_id END
+                AS view_event_id,
+              CASE WHEN gap_us <= 3600000000 THEN gap_us END AS gap_us,
+              gap_us IS NOT NULL AND gap_us > 3600000000 AS expired
+       FROM j""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C+ as-of join WITH TOLERANCE (pandas merge_asof semantics): each
+    purchase matches the user's most recent view only if it happened
+    within the last hour — a stale match is reported as expired and the
+    payload columns go NULL. The staleness bound is what production
+    feature joins actually need (a price quote or feature vector older
+    than the tolerance is worse than missing — it's silently wrong).
+    Same single carry-forward-window plan as join_asof; the tolerance is
+    a post-window projection, so the bound costs nothing extra."""
+    from varda_spark.operators.asof import asof_join
+
+    TOL_US = 3600 * 1000000
+    ev = read_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(purchases, views, by="user_id", on="ts", right_cols=["view_event_id"])
+    gap = F.unix_micros("ts") - F.unix_micros("ts_right")
+    return out.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(gap <= TOL_US, F.col("view_event_id_right")).alias("view_event_id"),
+        F.when(gap <= TOL_US, gap).alias("gap_us"),
+        (gap.isNotNull() & (gap > TOL_US)).alias("expired"),
+    )
+
+
+@q(
+    "qa_expectations",
+    """WITH m AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS custkey_nn,
+                CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS orderkey_distinct,
+                CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS status_ok,
+                CAST(SUM(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS price_ok,
+                CAST(SUM(CASE WHEN o_orderdate >= '1990-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS date_ok
+         FROM orders),
+       u AS (
+         SELECT 'custkey_not_null' AS rule, custkey_nn AS hits, n,
+                1000000 AS threshold_ppm FROM m
+         UNION ALL SELECT 'orderkey_unique', orderkey_distinct, n, 1000000 FROM m
+         UNION ALL SELECT 'status_in_set', status_ok, n, 1000000 FROM m
+         UNION ALL SELECT 'price_in_range', price_ok, n, 999000 FROM m
+         UNION ALL SELECT 'date_after_1990', date_ok, n, 1000000 FROM m)
+       SELECT rule, CAST((1000000 * hits) // n AS BIGINT) AS metric_ppm,
+              CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+              (1000000 * hits) // n >= threshold_ppm AS pass
+       FROM u""",
+)
+def qa_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA+ declarative expectation suite (the Great-Expectations shape):
+    a fixed rule set — not-null, key uniqueness, value-set membership,
+    numeric range, date floor — evaluated over orders in ONE
+    conditional-aggregate scan, each rule reported as measured ppm vs
+    its threshold with a pass flag. This is the data-contract gate a
+    warehouse runs on every load; the single-scan shape matters at
+    100 TB because N rules must never mean N scans. Uniqueness rides
+    the same scan as a COUNT(DISTINCT) partial; everything else is a
+    codegen'd CASE sum."""
+    o = read_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("custkey_nn"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("orderkey_distinct"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("bigint").alias("status_ok"),
+        F.sum(
+            F.when((F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 1000000), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("price_ok"),
+        F.sum(F.when(F.col("o_orderdate") >= "1990-01-01", 1).otherwise(0))
+        .cast("bigint").alias("date_ok"),
+    )
+    rules = [
+        ("custkey_not_null", "custkey_nn", 1000000),
+        ("orderkey_unique", "orderkey_distinct", 1000000),
+        ("status_in_set", "status_ok", 1000000),
+        ("price_in_range", "price_ok", 999000),
+        ("date_after_1990", "date_ok", 1000000),
+    ]
+    stack = "stack({}, {}) AS (rule, hits, threshold_ppm)".format(
+        len(rules),
+        ", ".join(f"'{r}', {c}, {t}" for r, c, t in rules),
+    )
+    u = m.select(F.expr(stack), "n")
+    return u.select(
+        "rule",
+        F.expr("CAST((1000000 * hits) DIV n AS BIGINT)").alias("metric_ppm"),
+        F.col("threshold_ppm").cast("bigint").alias("threshold_ppm"),
+        F.expr("(1000000 * hits) DIV n >= threshold_ppm").alias("pass"),
+    )
+
+
+@q(
+    "dedup_cluster_stats",
+    """WITH groups AS (
+         SELECT md5(lower(trim(substr(text, 1, 80)))) AS h,
+                CAST(COUNT(*) AS BIGINT) AS sz
+         FROM documents GROUP BY h),
+       hist AS (
+         SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+         FROM groups GROUP BY sz),
+       tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM hist)
+       SELECT sz AS cluster_size, n_clusters, n_docs,
+              CAST((1000000 * n_docs) // total AS BIGINT) AS doc_share_ppm,
+              CAST(CASE WHEN sz > 1 THEN (sz - 1) * n_clusters ELSE 0 END
+                   AS BIGINT) AS removable_docs
+       FROM hist CROSS JOIN tot""",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+ duplicate-cluster size distribution — the shape a curation
+    owner inspects before turning dedup on: how many 80-char-prefix-fingerprint
+    clusters (the cheap near-dup signal: shared openings catch template
+    pages and syndicated copies whole-text hashing misses) exist at
+    each size, the document mass per size, and how
+    many docs dedup would remove (size−1 per cluster). A corpus whose
+    mass sits in a few huge clusters needs boilerplate treatment, not
+    just keep-first; a long tail of size-2 clusters is ordinary crawl
+    duplication — the histogram tells them apart. One prefix-fingerprint agg,
+    one ≤max-size histogram agg, one 1-row total broadcast
+    (whitelisted)."""
+    d = read_table(spark, sf_dir, "documents")
+    groups = d.groupBy(
+        F.md5(F.lower(F.trim(F.substring(F.col("text"), 1, 80)))).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    hist = groups.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+    tot = hist.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("sz").alias("cluster_size"), "n_clusters", "n_docs",
+        F.expr("CAST((1000000 * n_docs) DIV total AS BIGINT)").alias("doc_share_ppm"),
+        F.expr(
+            "CAST(CASE WHEN sz > 1 THEN (sz - 1) * n_clusters ELSE 0 END AS BIGINT)"
+        ).alias("removable_docs"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
