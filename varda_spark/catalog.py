@@ -18136,6 +18136,161 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_incremental",
+    """WITH tagged AS (
+         SELECT doc_id, text, doc_id >= 400 AS is_delta,
+                md5(lower(trim(text))) AS h
+         FROM documents),
+       base AS (SELECT * FROM tagged WHERE NOT is_delta),
+       delta0 AS (
+         SELECT doc_id, text, h,
+                ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+         FROM tagged WHERE is_delta),
+       exact AS (
+         SELECT d.doc_id, d.text, d.h,
+                d.rn > 1 OR b.h IS NOT NULL AS exact_dup
+         FROM delta0 d LEFT JOIN (SELECT DISTINCT h FROM base) b USING (h)),
+       words AS (
+         SELECT doc_id, string_split(text, ' ') AS w, is_delta FROM tagged),
+       sh AS (
+         SELECT doc_id, is_delta,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+         FROM words),
+       sigs AS (
+         SELECT doc_id, is_delta,
+                MIN(md5('0|' || shingle)) AS sig_0, MIN(md5('1|' || shingle)) AS sig_1,
+                MIN(md5('2|' || shingle)) AS sig_2, MIN(md5('3|' || shingle)) AS sig_3,
+                MIN(md5('4|' || shingle)) AS sig_4, MIN(md5('5|' || shingle)) AS sig_5,
+                MIN(md5('6|' || shingle)) AS sig_6, MIN(md5('7|' || shingle)) AS sig_7
+         FROM sh GROUP BY doc_id, is_delta),
+       banded AS (
+         SELECT doc_id, is_delta, band FROM (
+           SELECT doc_id, is_delta,
+                  ['0|' || sig_0 || '|' || sig_1, '1|' || sig_2 || '|' || sig_3,
+                   '2|' || sig_4 || '|' || sig_5, '3|' || sig_6 || '|' || sig_7] AS bands
+           FROM sigs), UNNEST(bands) AS u(band)),
+       near AS (
+         SELECT d.doc_id, MIN(b.doc_id) AS near_base_id
+         FROM banded d JOIN banded b
+           ON d.band = b.band AND d.is_delta AND NOT b.is_delta
+         GROUP BY d.doc_id)
+       SELECT e.doc_id,
+              CASE WHEN e.exact_dup THEN 'exact_dup'
+                   WHEN n.near_base_id IS NOT NULL THEN 'near_dup'
+                   ELSE 'kept' END AS status,
+              n.near_base_id
+       FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K2 INCREMENTAL dedup — the production shape: a new delta batch
+    (doc_id ≥ 400) dedupes against the EXISTING corpus without
+    reclustering it. Exact: delta-internal keep-first + content-hash
+    anti-probe into the base hash set. Near: the delta's MinHash band
+    keys join the base's stored band INDEX (band equality, delta→base
+    only — never base×base, which is the whole point: work is
+    O(delta · bands), independent of corpus size). Each delta doc gets
+    a verdict: kept / exact_dup / near_dup (+ the smallest matching
+    base id as evidence). At 100 TB this is how daily crawl batches
+    land: the base band index persists in the warehouse and only the
+    delta is fingerprinted."""
+    from varda_spark.operators.dedup import minhash_signatures
+
+    d = read_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id", "text", (F.col("doc_id") >= 400).alias("is_delta"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    base_h = tagged.filter(~F.col("is_delta")).select("h").distinct()
+    w_h = Window.partitionBy("h").orderBy("doc_id")
+    delta0 = tagged.filter(F.col("is_delta")).withColumn("rn", F.row_number().over(w_h))
+    exact = delta0.join(
+        base_h.withColumn("in_base", F.lit(True)), "h", "left"
+    ).select(
+        "doc_id",
+        ((F.col("rn") > 1) | F.col("in_base").isNotNull()).alias("exact_dup"),
+    )
+    sigs = minhash_signatures(tagged.select("doc_id", "text"), num_hashes=8, shingle_n=3)
+    band_cols = [
+        F.concat_ws("|", F.lit(str(b)), F.col(f"sig_{b * 2}"), F.col(f"sig_{b * 2 + 1}")).alias(
+            f"band_{b}"
+        )
+        for b in range(4)
+    ]
+    banded = (
+        sigs.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.explode(F.array(*[F.col(f"band_{b}") for b in range(4)])).alias("band"),
+        )
+        .join(tagged.select("doc_id", "is_delta"), "doc_id")
+    )
+    db = banded.filter(F.col("is_delta")).select("doc_id", "band")
+    bb = banded.filter(~F.col("is_delta")).select(
+        F.col("doc_id").alias("base_id"), F.col("band").alias("band_b")
+    )
+    near = (
+        db.join(bb, F.col("band") == F.col("band_b"))
+        .groupBy("doc_id")
+        .agg(F.min("base_id").alias("near_base_id"))
+    )
+    return exact.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("exact_dup"), "exact_dup")
+        .when(F.col("near_base_id").isNotNull(), "near_dup")
+        .otherwise("kept")
+        .alias("status"),
+        "near_base_id",
+    )
+
+
+@q(
+    "agg_geo_rollup",
+    """WITH pts AS (
+         SELECT CAST(user_id % 360 AS BIGINT) - 180 AS x,
+                CAST((event_id * 7) % 180 AS BIGINT) - 90 AS y
+         FROM events),
+       cells AS (
+         SELECT ((x + 180) // 30) * 1000 + (y + 90) // 30 AS c1,
+                ((x + 180) // 10) * 1000 + (y + 90) // 10 AS c2,
+                (x + 180) * 1000 + (y + 90) AS c3
+         FROM pts)
+       SELECT CAST(GROUPING(c1) + GROUPING(c2) + GROUPING(c3) AS BIGINT)
+                AS coarse_levels,
+              c1, c2, c3, CAST(COUNT(*) AS BIGINT) AS n
+       FROM cells
+       GROUP BY GROUPING SETS ((c1), (c1, c2), (c1, c2, c3))""",
+)
+def agg_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6+ multi-resolution spatial rollup (the H3/geohash aggregation
+    pattern): synthetic lon/lat points land in integer grid cells at
+    three nested resolutions (30° / 10° / 1°), aggregated in ONE pass
+    via GROUPING SETS — the tile-pyramid a map dashboard reads at every
+    zoom level without re-scanning. Cell ids are integers (x·1000+y),
+    so grouping keys stay fixed-width; partial aggregation collapses
+    map-side at the finest level and the coarser levels reduce from it.
+    The spatial analog of agg_rollup's calendar hierarchy."""
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") % 360 - 180).cast("long").alias("x"),
+        ((F.col("event_id") * 7) % 180 - 90).cast("long").alias("y"),
+    )
+    cells = pts.select(
+        F.expr("((x + 180) DIV 30) * 1000 + (y + 90) DIV 30").alias("c1"),
+        F.expr("((x + 180) DIV 10) * 1000 + (y + 90) DIV 10").alias("c2"),
+        F.expr("(x + 180) * 1000 + (y + 90)").alias("c3"),
+    )
+    cells.createOrReplaceTempView("_geo_cells")
+    return spark.sql(
+        """SELECT CAST(GROUPING(c1) + GROUPING(c2) + GROUPING(c3) AS BIGINT)
+                    AS coarse_levels,
+                  c1, c2, c3, CAST(COUNT(*) AS BIGINT) AS n
+           FROM _geo_cells
+           GROUP BY GROUPING SETS ((c1), (c1, c2), (c1, c2, c3))"""
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
