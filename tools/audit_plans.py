@@ -124,6 +124,7 @@ BNLJ_OK = {
     "sim_mips_prune",    # query-sample-sized (~20-row) query+bound
                          # broadcast probing the corpus scan (documented)
     "dedup_cluster_stats",  # 1-row total-doc scalar (share denominator)
+    "agg_backlog_aging", # 1-row data-derived aging-anchor scalar
 }
 
 

@@ -18291,6 +18291,95 @@ def agg_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "text_tokenizer_fertility",
+    """WITH t AS (
+         SELECT lang, source,
+                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+                     AS BIGINT) AS bpe,
+                CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS words
+         FROM documents)
+       SELECT lang, source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+              CAST(SUM(words) AS BIGINT) AS words,
+              CAST((1000000 * SUM(bpe)) // SUM(words) AS BIGINT) AS fertility_ppm
+       FROM t GROUP BY lang, source""",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ tokenizer FERTILITY per (language, source): BPE-ish tokens per
+    whitespace word, in exact ppm — the number that decides how much of
+    a token budget each corpus slice really consumes (a language whose
+    tokenizer fragments words 2× eats 2× the budget per word; mixture
+    weights set on document or word counts silently misallocate). Pooled
+    ratio, not mean-of-ratios — long docs weigh in proportionally. One
+    map-side codegen scan + a (lang, source) agg."""
+    from varda_spark.operators.text import bpe_ish_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "source",
+        F.size(bpe_ish_tokens("text")).cast("bigint").alias("bpe"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("words"),
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.expr("CAST((1000000 * SUM(bpe)) DIV SUM(words) AS BIGINT)").alias("fertility_ppm"),
+    )
+
+
+@q(
+    "agg_backlog_aging",
+    """WITH anchor AS (
+         SELECT MAX(CAST(o_orderdate AS DATE)) AS a FROM orders),
+       open_o AS (
+         SELECT o_orderkey, o_orderpriority,
+                CAST(FLOOR(o_totalprice) AS BIGINT) AS val,
+                date_diff('day', CAST(o_orderdate AS DATE), an.a) AS age_days
+         FROM orders CROSS JOIN anchor an
+         WHERE o_orderstatus = 'O')
+       SELECT o_orderpriority,
+              CASE WHEN age_days <= 30 THEN '0-30'
+                   WHEN age_days <= 90 THEN '31-90'
+                   WHEN age_days <= 365 THEN '91-365' ELSE '365+' END AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(val) AS BIGINT) AS value
+       FROM open_o GROUP BY 1, 2""",
+)
+def agg_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ backlog aging report: open orders bucketed by how long they
+    have been open (0-30/31-90/91-365/365+ days) per priority, with
+    order counts and value — the receivables/ops-queue view every
+    fulfillment dashboard leads with. The aging anchor is DATA-DERIVED
+    (max order date, one 1-row broadcast — the qa_freshness discipline)
+    so the report is reproducible: wall-clock anchors would break both
+    the oracle and any backfill. One filtered scan + a tiny grouped
+    agg."""
+    o = read_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("a"))
+    open_o = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_orderpriority",
+            F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)").alias("val"),
+            F.expr("datediff(a, CAST(o_orderdate AS DATE))").alias("age_days"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return open_o.groupBy("o_orderpriority", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("val").cast("bigint").alias("value"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
