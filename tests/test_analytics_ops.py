@@ -734,8 +734,8 @@ def test_interval_subtract_removes_exactly_b(spark):
     part = catalog.read_table(spark, SF, "part").filter(F.col("p_partkey") % 11 == 0)
     b = part.select(
         (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("p_partkey") * 31) % 100000 + 1).alias("bb"),
-        ((F.col("p_partkey") * 31) % 100000 + 1 + 100 + (F.col("p_partkey") % 4) * 200).alias("be"),
+        (F.col("p_partkey") * 31 + 1).alias("bb"),
+        (F.col("p_partkey") * 31 + 1 + 100 + (F.col("p_partkey") % 4) * 200).alias("be"),
     ).collect()
     bmap = {}
     for r in b:

@@ -73,3 +73,11 @@ def test_partition_pruning_reaches_scan(spark):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "o_year" in seg, f"year predicate not pushed to partitions: {seg!r}"
+
+
+def test_bucketed_agg_has_no_exchange(spark):
+    """agg_bucketed_noshuffle's GROUP BY on the bucket key must run with
+    ZERO Exchange — the bucket layout satisfies the hash-distribution
+    requirement, which is the point of the key."""
+    plan = plan_of(spark, "agg_bucketed_noshuffle")
+    assert "Exchange hashpartitioning" not in plan, plan

@@ -604,12 +604,12 @@ def _points_intervals(spark: SparkSession, sf_dir: str):
     """points from part, coverage-style intervals from supplier."""
     p = read_table(spark, sf_dir, "part").select(
         (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("p_partkey") * 31) % 100000 + 1).cast("long").alias("position"),
+        (F.col("p_partkey") * 31 + 1).cast("long").alias("position"),
         F.col("p_partkey"),
     )
     s = read_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("begin"),
+        (F.col("s_suppkey") * 97 + 1).cast("long").alias("begin"),
         F.col("s_suppkey").alias("sample_key"),
     ).withColumn("end", F.col("begin") + 200 + (F.col("sample_key") % 7) * 500)
     return p, s
@@ -619,13 +619,13 @@ def _points_intervals(spark: SparkSession, sf_dir: str):
     "join_interval",
     """WITH pts AS (
          SELECT CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
-                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                CAST(p_partkey * 31 + 1 AS BIGINT) AS position,
                 p_partkey
          FROM part),
        ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
                 s_suppkey AS sample_key
          FROM supplier)
        SELECT p.chromosome, CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -1142,12 +1142,12 @@ def _genomic_trio(spark: SparkSession, sf_dir: str):
     regions = sup.select(
         F.col("s_suppkey").alias("sample_id"),
         (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("begin"),
+        (F.col("s_suppkey") * 97 + 1).cast("long").alias("begin"),
     ).withColumn("end", F.col("begin") + 200 + (F.col("sample_id") % 7) * 500)
     observations = li.select(
         F.col("l_suppkey").alias("sample_id"),
         (F.col("l_partkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("l_partkey") * 31) % 100000 + 1).cast("long").alias("position"),
+        (F.col("l_partkey") * 31 + 1).cast("long").alias("position"),
         F.lit("A").alias("reference"),
         F.lit("G").alias("observed"),
         F.when(F.col("l_linenumber") % 3 == 0, F.lit("homozygous"))
@@ -1169,13 +1169,13 @@ WITH samples AS (
 regions AS (
   SELECT s_suppkey AS sample_id,
          CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-         CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-         CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
+         CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+         CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
   FROM supplier),
 obs AS (
   SELECT l_suppkey AS sample_id,
          CAST(l_partkey % 5 AS VARCHAR) AS chromosome,
-         CAST((l_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+         CAST(l_partkey * 31 + 1 AS BIGINT) AS position,
          'A' AS reference, 'G' AS observed,
          CASE WHEN l_linenumber % 3 = 0 THEN 'homozygous'
               WHEN l_linenumber % 3 = 1 THEN 'heterozygous' END AS zygosity,
@@ -1313,13 +1313,13 @@ WITH samples AS (
 regions AS (
   SELECT s_suppkey AS sample_id,
          CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-         CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-         CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
+         CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+         CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
   FROM supplier),
 obs AS (
   SELECT l_suppkey AS sample_id,
          CAST(l_partkey % 5 AS VARCHAR) AS chromosome,
-         CAST((l_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+         CAST(l_partkey * 31 + 1 AS BIGINT) AS position,
          'A' AS reference, 'G' AS observed,
          1 + l_linenumber % 2 AS support
   FROM lineitem),
@@ -3102,13 +3102,13 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_nearest",
     """WITH pts AS (
          SELECT CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
-                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                CAST(p_partkey * 31 + 1 AS BIGINT) AS position,
                 p_partkey
          FROM part),
        ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
                 s_suppkey AS sample_key
          FROM supplier),
        cand AS (
@@ -3138,8 +3138,8 @@ def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_coverage",
     """WITH ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
          FROM supplier)
        , tiles AS (
          SELECT chromosome,
@@ -3553,7 +3553,7 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH obs AS (
          SELECT l_suppkey AS sample_id,
                 CAST(l_partkey % 5 AS VARCHAR) AS chromosome,
-                CAST((l_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                CAST(l_partkey * 31 + 1 AS BIGINT) AS position,
                 1 + l_linenumber % 2 AS support
          FROM lineitem)
        SELECT chromosome, CAST(position // 1000 AS BIGINT) AS tile,
@@ -3632,7 +3632,7 @@ def _zorder_exprs():
 
     spark_shl = lambda x, n: f"shiftleft({x}, {n})"  # noqa: E731
     duck_shl = lambda x, n: f"({x} << {n})"  # noqa: E731
-    xc, yc = "((p_partkey * 31) % 100000 + 1)", "p_partkey"
+    xc, yc = "(p_partkey * 31 + 1)", "p_partkey"
     return z(xc, yc, spark_shl), z(xc, yc, duck_shl)
 
 
@@ -3743,14 +3743,14 @@ def win_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_recip_overlap",
     """WITH a AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
                 s_suppkey AS a_key
          FROM supplier WHERE s_suppkey % 2 = 0),
        b AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end",
                 s_suppkey AS b_key
          FROM supplier WHERE s_suppkey % 2 = 1)
        SELECT a_key, b_key,
@@ -4144,8 +4144,8 @@ def regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interval_merge",
     """WITH ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
          FROM supplier),
        o AS (
          SELECT chromosome, begin, "end",
@@ -4798,8 +4798,8 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interval_complement",
     """WITH ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS "end"
          FROM supplier WHERE s_suppkey % 3 = 0),
        o AS (
          SELECT chromosome, begin, "end",
@@ -6255,8 +6255,8 @@ _IVS_2SET_SQL = """
   ivs AS (
     SELECT CAST(s_suppkey % 2 AS INTEGER) AS st,
            CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-           CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS b,
-           CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS e
+           CAST(s_suppkey * 97 + 1 AS BIGINT) AS b,
+           CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT) AS e
     FROM supplier),
   o AS (
     SELECT st, chromosome, b, e,
@@ -6310,9 +6310,9 @@ def interval_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivs = sup.select(
         (F.col("s_suppkey") % 2).cast("int").alias("st"),
         (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
-        F.expr("CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT)").alias("b"),
+        F.expr("CAST(s_suppkey * 97 + 1 AS BIGINT)").alias("b"),
         F.expr(
-            "CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT)"
+            "CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS BIGINT)"
         ).alias("e"),
     )
     wprev = (
@@ -7604,13 +7604,13 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_interval_knn",
     """WITH pts AS (
          SELECT CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
-                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                CAST(p_partkey * 31 + 1 AS BIGINT) AS position,
                 p_partkey
          FROM part),
        ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500
                      AS BIGINT) AS "end",
                 s_suppkey AS sample_key
          FROM supplier),
@@ -7946,7 +7946,7 @@ def win_dod_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH obs AS (
          SELECT l_suppkey AS sample_id,
                 CAST(l_partkey % 5 AS VARCHAR) AS chromosome,
-                CAST((l_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                CAST(l_partkey * 31 + 1 AS BIGINT) AS position,
                 CASE WHEN l_linenumber % 3 = 0 THEN 2
                      WHEN l_linenumber % 3 = 1 THEN 1 END AS gt
          FROM lineitem WHERE l_linenumber % 3 <> 2),
@@ -7996,7 +7996,7 @@ def freq_trio_mendel(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = li.filter(F.expr("l_linenumber % 3 <> 2")).select(
         F.col("l_suppkey").alias("sample_id"),
         F.expr("CAST(l_partkey % 5 AS STRING)").alias("chromosome"),
-        F.expr("CAST((l_partkey * 31) % 100000 + 1 AS BIGINT)").alias("position"),
+        F.expr("CAST(l_partkey * 31 + 1 AS BIGINT)").alias("position"),
         F.expr(
             "CASE WHEN l_linenumber % 3 = 0 THEN 2"
             " WHEN l_linenumber % 3 = 1 THEN 1 END"
@@ -8352,8 +8352,8 @@ def win_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interval_tile",
     """WITH ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500
                      AS BIGINT) AS "end",
                 s_suppkey AS sample_key
          FROM supplier),
@@ -9011,8 +9011,8 @@ def text_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interval_depth_hist",
     """WITH iv AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                (s_suppkey * 97) % 100000 + 1 AS begin,
-                (s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                s_suppkey * 97 + 1 AS begin,
+                s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500
                   AS iv_end
          FROM supplier),
        ev AS (
@@ -10205,8 +10205,8 @@ def freq_sample_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH ivs AS (
          SELECT s_suppkey AS iv_id,
                 CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS begin,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS begin,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500
                      AS BIGINT) AS "end"
          FROM supplier),
        o AS (
@@ -10264,8 +10264,8 @@ def interval_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBTRACT_B_SQL = """
        braw AS (
          SELECT CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
-                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS begin,
-                CAST((p_partkey * 31) % 100000 + 1 + 100 + (p_partkey % 4) * 200
+                CAST(p_partkey * 31 + 1 AS BIGINT) AS begin,
+                CAST(p_partkey * 31 + 1 + 100 + (p_partkey % 4) * 200
                      AS BIGINT) AS "end"
          FROM part WHERE p_partkey % 11 = 0),
        bo AS (
@@ -10291,8 +10291,8 @@ _SUBTRACT_B_SQL = """
     f"""WITH a AS (
          SELECT s_suppkey AS iv_id,
                 CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS ab,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS ab,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500
                      AS BIGINT) AS ae
          FROM supplier),
        {_SUBTRACT_B_SQL},
@@ -10342,8 +10342,8 @@ def interval_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 11 == 0)
     braw = part.select(
         (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("p_partkey") * 31) % 100000 + 1).cast("long").alias("begin"),
-        ((F.col("p_partkey") * 31) % 100000 + 1 + 100
+        (F.col("p_partkey") * 31 + 1).cast("long").alias("begin"),
+        (F.col("p_partkey") * 31 + 1 + 100
          + (F.col("p_partkey") % 4) * 200).cast("long").alias("end"),
     )
     bm = merge_intervals(braw).select(
@@ -11985,15 +11985,15 @@ def agg_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_interval_coverage",
     """WITH regions AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS rb,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS rb,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500
                      AS BIGINT) AS re,
                 s_suppkey AS region_id
          FROM supplier),
        feats AS (
          SELECT CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
-                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS fb,
-                CAST((p_partkey * 31) % 100000 + 1 + 100 + (p_partkey % 5) * 50
+                CAST(p_partkey * 31 + 1 AS BIGINT) AS fb,
+                CAST(p_partkey * 31 + 1 + 100 + (p_partkey % 5) * 50
                      AS BIGINT) AS fe
          FROM part),
        hit AS (
@@ -12043,18 +12043,18 @@ def join_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = read_table(spark, sf_dir, "part")
     regions = s.select(
         (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("rb"),
+        (F.col("s_suppkey") * 97 + 1).cast("long").alias("rb"),
         (
-            (F.col("s_suppkey") * 97) % 100000 + 1 + 200
+            F.col("s_suppkey") * 97 + 1 + 200
             + (F.col("s_suppkey") % 7) * 500
         ).cast("long").alias("re"),
         F.col("s_suppkey").alias("region_id"),
     )
     feats = pt.select(
         (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("p_partkey") * 31) % 100000 + 1).cast("long").alias("fb"),
+        (F.col("p_partkey") * 31 + 1).cast("long").alias("fb"),
         (
-            (F.col("p_partkey") * 31) % 100000 + 1 + 100
+            F.col("p_partkey") * 31 + 1 + 100
             + (F.col("p_partkey") % 5) * 50
         ).cast("long").alias("fe"),
     )
@@ -13736,8 +13736,8 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interval_atomize",
     """WITH ivs AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS b,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS b,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500
                      AS BIGINT) AS e
          FROM supplier),
        ev AS (
@@ -13775,9 +13775,9 @@ def interval_atomize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     ivs = s.select(
         (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("b"),
+        (F.col("s_suppkey") * 97 + 1).cast("long").alias("b"),
         (
-            (F.col("s_suppkey") * 97) % 100000 + 1 + 200
+            F.col("s_suppkey") * 97 + 1 + 200
             + (F.col("s_suppkey") % 7) * 500
         ).cast("long").alias("e"),
     )
@@ -13857,16 +13857,16 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_interval_weight",
     """WITH regions AS (
          SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS rb,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS rb,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500
                      AS BIGINT) AS re,
                 s_suppkey AS region_id
          FROM supplier),
        feats AS (
          SELECT p_partkey AS feat_id,
                 CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
-                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS fb,
-                CAST((p_partkey * 31) % 100000 + 1 + 100 + (p_partkey % 5) * 50
+                CAST(p_partkey * 31 + 1 AS BIGINT) AS fb,
+                CAST(p_partkey * 31 + 1 + 100 + (p_partkey % 5) * 50
                      AS BIGINT) AS fe
          FROM part)
        SELECT f.feat_id, r.region_id,
@@ -13893,9 +13893,9 @@ def join_interval_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = read_table(spark, sf_dir, "part")
     regions = s.select(
         (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("rb"),
+        (F.col("s_suppkey") * 97 + 1).cast("long").alias("rb"),
         (
-            (F.col("s_suppkey") * 97) % 100000 + 1 + 200
+            F.col("s_suppkey") * 97 + 1 + 200
             + (F.col("s_suppkey") % 7) * 500
         ).cast("long").alias("re"),
         F.col("s_suppkey").alias("region_id"),
@@ -13903,9 +13903,9 @@ def join_interval_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = pt.select(
         F.col("p_partkey").alias("feat_id"),
         (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("p_partkey") * 31) % 100000 + 1).cast("long").alias("fb"),
+        (F.col("p_partkey") * 31 + 1).cast("long").alias("fb"),
         (
-            (F.col("p_partkey") * 31) % 100000 + 1 + 100
+            F.col("p_partkey") * 31 + 1 + 100
             + (F.col("p_partkey") % 5) * 50
         ).cast("long").alias("fe"),
     )
@@ -15129,8 +15129,8 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH ivs AS (
          SELECT s_suppkey AS iv_id,
                 CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
-                CAST((s_suppkey * 97) % 100000 + 1 AS BIGINT) AS b,
-                CAST((s_suppkey * 97) % 100000 + 1 + 200 + (s_suppkey % 7) * 500
+                CAST(s_suppkey * 97 + 1 AS BIGINT) AS b,
+                CAST(s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500
                      AS BIGINT) AS e
          FROM supplier),
        chain AS (
@@ -15175,9 +15175,9 @@ def interval_liftover(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivs = s.select(
         F.col("s_suppkey").alias("iv_id"),
         (F.col("s_suppkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("s_suppkey") * 97) % 100000 + 1).cast("long").alias("b"),
+        (F.col("s_suppkey") * 97 + 1).cast("long").alias("b"),
         (
-            (F.col("s_suppkey") * 97) % 100000 + 1 + 200
+            F.col("s_suppkey") * 97 + 1 + 200
             + (F.col("s_suppkey") % 7) * 500
         ).cast("long").alias("e"),
     )
@@ -15307,7 +15307,7 @@ def freq_popmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH rec AS (
          SELECT p_partkey AS site_id,
                 CAST(p_partkey % 5 AS VARCHAR) AS chromosome,
-                CAST((p_partkey * 31) % 100000 + 1 AS BIGINT) AS position,
+                CAST(p_partkey * 31 + 1 AS BIGINT) AS position,
                 1 + p_partkey % 3 AS n_alts,
                 CAST(100 + p_partkey % 50 AS BIGINT) AS an
          FROM part),
@@ -15338,7 +15338,7 @@ def freq_split_multiallelic(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = pt.select(
         F.col("p_partkey").alias("site_id"),
         (F.col("p_partkey") % 5).cast("string").alias("chromosome"),
-        ((F.col("p_partkey") * 31) % 100000 + 1).cast("long").alias(
+        (F.col("p_partkey") * 31 + 1).cast("long").alias(
             "position"
         ),
         (1 + F.col("p_partkey") % 3).alias("n_alts"),
@@ -17888,7 +17888,7 @@ def sim_mips_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
        loc AS (
          SELECT sample_id, g <> 1 AS hom,
                 CAST(site_id % 5 AS VARCHAR) AS chromosome,
-                CAST((site_id * 31) % 100000 + 1 AS BIGINT) AS position
+                CAST(site_id * 31 + 1 AS BIGINT) AS position
          FROM gt),
        grp AS (
          SELECT sample_id, chromosome, position, hom,
@@ -17938,7 +17938,7 @@ def freq_roh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_id",
         (F.col("g") != 1).alias("hom"),
         (F.col("site_id") % 5).cast("string").alias("chromosome"),
-        ((F.col("site_id") * 31) % 100000 + 1).cast("long").alias("position"),
+        (F.col("site_id") * 31 + 1).cast("long").alias("position"),
     )
     w = (
         Window.partitionBy("sample_id", "chromosome")
@@ -18377,6 +18377,47 @@ def agg_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return open_o.groupBy("o_orderpriority", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("val").cast("bigint").alias("value"),
+    )
+
+
+@q(
+    "agg_bucketed_noshuffle",
+    """SELECT o_custkey,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS tot
+       FROM orders
+       GROUP BY o_custkey
+       HAVING COUNT(*) >= 8""",
+)
+def agg_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ ZERO-SHUFFLE aggregation on a bucketed table — the third leg
+    of physical layout design (join_bucketed: co-located joins;
+    scan_partition_pruned: scan elimination; this: exchange-free
+    aggregation): orders land bucketBy(16) on o_custkey, and a GROUP BY
+    on the bucket key needs NO Exchange — Catalyst sees the hash
+    distribution already satisfied, so at 100 TB the aggregate runs as
+    a local sort/hash per bucket file instead of an all-network
+    shuffle of the fact table. The write cost amortizes over every
+    subsequent key-grained aggregate and join. Scratch table is
+    session-scoped (applicationId suffix) like join_bucketed's; the
+    oracle is the same aggregate unbucketed — bucketing is physical,
+    not semantic."""
+    from varda_spark.sources.sinks import write_bucketed
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)").alias("tp")
+    )
+    tag = "".join(ch if ch.isalnum() else "_" for ch in spark.sparkContext.applicationId)
+    t_o = f"bktagg_orders_{tag}"
+    write_bucketed(o, t_o, "o_custkey", n_buckets=16, path=f"/root/repo/spark-warehouse/{t_o}")
+    return (
+        spark.table(t_o)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("tp").cast("bigint").alias("tot"),
+        )
+        .filter(F.col("n_orders") >= 8)
     )
 
 
