@@ -18421,6 +18421,62 @@ def agg_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sim_ivf_scaled",
+    """WITH q AS (
+         SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         FROM embeddings),
+       cents AS (
+         SELECT vec_id AS cell_id, e AS ec FROM q ORDER BY vec_id
+         LIMIT (SELECT GREATEST(8, CAST(FLOOR(sqrt(COUNT(*))) AS BIGINT)) FROM q)),
+       scored AS (
+         SELECT q.vec_id, cents.cell_id,
+                (SELECT SUM(q.e[i.range] * cents.ec[i.range]) FROM range(1, 65) i) AS cd
+         FROM q CROSS JOIN cents),
+       assigned AS (
+         SELECT vec_id, cell_id FROM (
+           SELECT vec_id, cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd DESC, cell_id) AS arn
+           FROM scored) WHERE arn = 1),
+       pairs AS (
+         SELECT a.vec_id AS query_id, a.cell_id, b.vec_id AS neighbor_id,
+                (SELECT SUM(qa.e[i.range] * qb.e[i.range]) FROM range(1, 65) i) AS dot_q
+         FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+              JOIN q qa ON qa.vec_id = a.vec_id
+              JOIN q qb ON qb.vec_id = b.vec_id)
+       SELECT query_id, CAST(cell_id AS BIGINT) AS cell_id, neighbor_id,
+              CAST(dot_q AS BIGINT) AS dot_q, rank
+       FROM (
+         SELECT query_id, cell_id, neighbor_id, dot_q,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rank
+         FROM pairs) WHERE rank <= 3""",
+)
+def sim_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ IVF with nlist GROWING as √n — the standard index sizing rule
+    (nlist ≈ √n keeps both the quantizer pass, n·nlist, and the
+    within-cell exact pass, n·(n/nlist), at n^1.5 TOTAL instead of the
+    fixed-k variant's n²/k): this is the configuration a 100 TB
+    deployment actually runs, and the answer to sim_ivf's measured
+    quadratic drift on densifying data (BASELINE.md round-5 sf5 row —
+    sim_ivf 4.1× normalized vs this key's near-linear growth). The cell
+    count is DATA-DERIVED identically in both engines (floor(√count),
+    floored-correctly-rounded sqrt is exact cross-engine; DuckDB's
+    LIMIT takes the subquery directly, Spark computes the same count
+    driver-side as index configuration — the documented bounded-collect
+    class). Same plan family as sim_ivf: broadcast quantizer, map-side
+    assignment, cell-keyed exact top-3."""
+    import math
+
+    from varda_spark.operators.similarity import ivf_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    nlist = max(8, math.isqrt(n))
+    return ivf_topk(e, n_centroids=nlist, k=3)
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
