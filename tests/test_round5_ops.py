@@ -122,6 +122,9 @@ def test_roh_matches_python_islands(spark):
     gt = _gt_matrix(spark, SF_SMALL, 10)
     gt["chrom"] = gt.site_id % 5
     gt["pos"] = gt.site_id * 31 + 1
+    # data-derived genome span: sum of per-chromosome max position
+    # (the F_ROH denominator — fixed spans drift with sf, ADVICE r5)
+    genome_bp = int(gt.groupby("chrom").pos.max().sum())
     for sid, grp in gt.groupby("sample_id"):
         runs = []
         for _, cg in grp.groupby("chrom"):
@@ -143,7 +146,7 @@ def test_roh_matches_python_islands(spark):
         assert int(row.n_runs) == len(runs)
         assert int(row.longest_sites) == max(len(r) for r in runs)
         assert int(row.longest_bp) == max(max(r) - min(r) for r in runs)
-        assert int(row.froh_ppm) == 1000000 * sum(max(r) - min(r) for r in runs) // 500000
+        assert int(row.froh_ppm) == 1000000 * sum(max(r) - min(r) for r in runs) // genome_bp
 
 
 def test_blocking_pairs_are_true_matches(spark):

@@ -125,6 +125,9 @@ BNLJ_OK = {
                          # broadcast probing the corpus scan (documented)
     "dedup_cluster_stats",  # 1-row total-doc scalar (share denominator)
     "agg_backlog_aging", # 1-row data-derived aging-anchor scalar
+    "freq_roh",          # 1-row data-derived genome-span scalar (F_ROH
+                         # denominator; replaced the fixed 500 kb span
+                         # that drifted with sf — ADVICE r5)
 }
 
 

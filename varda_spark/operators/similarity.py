@@ -425,6 +425,31 @@ def _blocked_cos_pairs(
     )
 
 
+# Guard on the quantizer collect in the assigners below: the centroid
+# table is driver state (like any fitted model), but it is also the
+# kmeans_fit/load_centroids entry point, so a user COULD hand it a
+# million-row "centroid" table and silently OOM the driver. √n-sized
+# tables at any realistic corpus stay far under this (√(10^9) ≈ 32k).
+_MAX_CENTROID_ROWS = 262144
+
+
+def _collect_centroids(cents: DataFrame, col: str):
+    """Collect the k-row quantizer, bounded and cell_id-sorted."""
+    import numpy as np
+
+    crows = cents.limit(_MAX_CENTROID_ROWS + 1).collect()
+    if len(crows) > _MAX_CENTROID_ROWS:
+        raise ValueError(
+            f"centroid table exceeds {_MAX_CENTROID_ROWS} rows; a quantizer "
+            "this large is no longer driver state — reduce n_centroids "
+            "(√n is the intended scale) or use a distributed join"
+        )
+    crows.sort(key=lambda r: r["cell_id"])
+    C = np.array([r[col] for r in crows], dtype=np.int64)
+    cid = np.array([r["cell_id"] for r in crows], dtype=np.int64)
+    return C, cid
+
+
 def _assign_to_centroids_dot(q_: DataFrame, cents: DataFrame, key: str) -> DataFrame:
     """Map-side argMAX-dot assignment of quantized vectors to a
     (cell_id, _qc) centroid table -> (key, cell_id, _q).
@@ -432,12 +457,12 @@ def _assign_to_centroids_dot(q_: DataFrame, cents: DataFrame, key: str) -> DataF
     Same closure-shipped k-row quantizer pattern as the L2 assigner
     below, but ranking by inner product (the sim_ivf family's metric).
     Exact & deterministic: integer dots, np.argmax takes the FIRST
-    maximum over cell_id-ascending rows."""
+    maximum over cell_id-ascending rows. The key column keeps its input
+    type (string doc ids work, not just bigint vec ids); the collect is
+    bounded by _MAX_CENTROID_ROWS."""
     import numpy as np
 
-    crows = sorted(cents.collect(), key=lambda r: r["cell_id"])
-    C = np.array([r["_qc"] for r in crows], dtype=np.int64)
-    cid = np.array([r["cell_id"] for r in crows], dtype=np.int64)
+    C, cid = _collect_centroids(cents, "_qc")
 
     def _assign(batches, C=C, cid=cid):
         for pdf in batches:
@@ -448,7 +473,8 @@ def _assign_to_centroids_dot(q_: DataFrame, cents: DataFrame, key: str) -> DataF
             out["_q"] = pdf["_q"]
             yield out
 
-    return q_.mapInPandas(_assign, f"{key} bigint, cell_id bigint, _q array<bigint>")
+    key_t = q_.schema[key].dataType.simpleString()
+    return q_.mapInPandas(_assign, f"{key} {key_t}, cell_id bigint, _q array<bigint>")
 
 
 def _assign_to_centroids(q_: DataFrame, cents: DataFrame, key: str) -> DataFrame:
@@ -461,12 +487,11 @@ def _assign_to_centroids(q_: DataFrame, cents: DataFrame, key: str) -> DataFrame
     executors; an 8×64 int table rides the task binary. Exact &
     deterministic: integer scores |c|²−2x·c, np.argmin takes the FIRST
     minimum and rows are cell_id-ascending → lowest-cell tie-break,
-    identical to the oracle's (score, cell_id) ordering."""
+    identical to the oracle's (score, cell_id) ordering. Key column
+    keeps its input type; collect bounded by _MAX_CENTROID_ROWS."""
     import numpy as np
 
-    crows = sorted(cents.collect(), key=lambda r: r["cell_id"])
-    C = np.array([r["_ce"] for r in crows], dtype=np.int64)
-    cid = np.array([r["cell_id"] for r in crows], dtype=np.int64)
+    C, cid = _collect_centroids(cents, "_ce")
     c2 = (C * C).sum(axis=1)
 
     def _assign(batches, C=C, cid=cid, c2=c2):
@@ -478,7 +503,8 @@ def _assign_to_centroids(q_: DataFrame, cents: DataFrame, key: str) -> DataFrame
             out["_q"] = pdf["_q"]
             yield out
 
-    return q_.mapInPandas(_assign, f"{key} bigint, cell_id bigint, _q array<bigint>")
+    key_t = q_.schema[key].dataType.simpleString()
+    return q_.mapInPandas(_assign, f"{key} {key_t}, cell_id bigint, _q array<bigint>")
 
 
 def kmeans_fit(
