@@ -310,7 +310,9 @@ def test_kmeans_centroid_persistence_bit_equals_refit(spark, tmp_path):
 
 def test_cc_stars_equals_label_propagation(spark):
     """Large-star/small-star CC must produce the identical component table
-    as min-label propagation on random graphs and a long chain."""
+    as min-label propagation on random graphs and a long chain — on BOTH
+    the distributed star rounds (local_threshold=0 forces them) and the
+    driver-side union-find fast path (the default at these sizes)."""
     import random
 
     from varda_spark.operators.dedup import cc_stars, connected_components
@@ -320,11 +322,16 @@ def test_cc_stars_equals_label_propagation(spark):
         pairs = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(60)]
         pairs = [(x, y) for x, y in pairs if x != y]
         df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
-        got = {r.id: r.comp for r in cc_stars(df).collect()}
-        want = {r.id: r.comp for r in connected_components(df).collect()}
-        assert got == want
+        fast = {r.id: r.comp for r in cc_stars(df).collect()}
+        stars = {r.id: r.comp for r in cc_stars(df, local_threshold=0).collect()}
+        want = {
+            r.id: r.comp
+            for r in connected_components(df, local_threshold=0).collect()
+        }
+        assert fast == want
+        assert stars == want
     chain = spark.createDataFrame([(i, i + 1) for i in range(120)], ["doc_a", "doc_b"])
-    got = {r.id: r.comp for r in cc_stars(chain, max_iter=15).collect()}
+    got = {r.id: r.comp for r in cc_stars(chain, max_iter=15, local_threshold=0).collect()}
     assert all(v == 0 for v in got.values()) and len(got) == 121
 
 

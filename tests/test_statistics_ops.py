@@ -321,3 +321,33 @@ def test_skyline_is_exactly_the_pareto_frontier(spark):
         }
         # operator keeps one representative per (x,y); brute keeps all
         assert got == brute
+
+
+def test_value_domain_windows_stay_bounded(spark):
+    """agg_auc and agg_mannwhitney run their one-task windows over the
+    VALUE DOMAIN of the score column, not the data — the whitelist
+    argument in tools/audit_plans.py. The domains are data-dependent, so
+    ENFORCE the documented bounds at the largest locally available scale
+    factor instead of arguing them: distinct quantities (mannwhitney,
+    documented ~50) and distinct whole-dollar prices (auc, documented
+    ~100k at any sf) must stay one-task-sized as the data grows."""
+    import os
+
+    from varda_spark.sources.tables import read_table
+
+    sf = SF_SMALL
+    for cand in ("/root/repo/scaledata/sf5", "/root/repo/scaledata/sf1"):
+        if os.path.exists(f"{cand}/lineitem.parquet"):
+            sf = cand
+            break
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    n_quantities = li.select(
+        F.col("l_quantity").cast("decimal(18,4)")
+    ).distinct().count()
+    n_prices = li.select(
+        F.expr("CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,4))) AS BIGINT)")
+    ).distinct().count()
+    assert n_quantities <= 200, f"mannwhitney window no longer tiny: {n_quantities}"
+    assert n_prices <= 150_000, f"auc window outgrew one task: {n_prices}"

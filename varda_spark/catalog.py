@@ -11119,6 +11119,17 @@ _DRIVER_PRIORITY = [
 # adds, genomics, LLM-data, stats, graph, calendar, and streaming
 # breadth. Promote to _DRIVER_PRIORITY at round-7 open (refresh at that
 # round's close; the ~31 remaining plus any round-6 additions form R8).
+#
+# R8 must ALSO re-certify the 14 keys whose synthetic-coordinate
+# formulas changed in r5 (the % 100000 wrap removal, commit b6de946) +
+# freq_roh (data-derived F_ROH span, r6): their r1–r4 driver hashes no
+# longer reproduce from current code. Spark/DuckDB parity was never
+# broken (both twins changed together; every full-sweep since is
+# 351/351 EXACT), but the hard driver row should be refreshed:
+# join_interval, freq_variant, freq_selected, freq_keys, freq_annotate,
+# freq_zygosity, join_nearest, agg_coverage, rollup_incremental,
+# sort_zorder, join_recip_overlap, interval_merge, interval_complement,
+# freq_trio_mendel.
 _DRIVER_PRIORITY_R7 = [
     # VERDICT-named statistics + physical design
     "agg_auc", "agg_cramers_v", "agg_bootstrap",
@@ -16534,11 +16545,14 @@ def dedup_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     s1 = dedup_exact(d).localCheckpoint()
-    cand = minhash_candidates(s1, num_hashes=8, bands=4, shingle_n=3)
-    # dsh feeds sizes AND both sides of the verify join — localCheckpoint
-    # materializes the split/explode/distinct once (three consumers;
-    # exchange reuse does not cover all of them across the join tree)
+    # dsh feeds the banding stage, sizes, AND both sides of the verify
+    # join — localCheckpoint materializes the split/explode/distinct
+    # ONCE for all four consumers (exchange reuse does not cover them
+    # across the join tree). MinHash MIN is duplicate-insensitive, so
+    # the banding stage reads the same DISTINCT set the verify stage
+    # needs (one shingle pass total; was two before r6).
     dsh = shingles(s1, n=3).select("doc_id", "shingle").distinct().localCheckpoint()
+    cand = minhash_candidates(s1, num_hashes=8, bands=4, shingle_n=3, shingle_df=dsh)
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = dsh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = dsh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("shingle_b"))

@@ -64,13 +64,23 @@ def shingles(df: DataFrame, n: int = 3, text: str = "text", out: str = "shingle"
 
 
 def minhash_signatures(
-    df: DataFrame, num_hashes: int = 8, shingle_n: int = 3, key: str = "doc_id", text: str = "text"
+    df: DataFrame,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    key: str = "doc_id",
+    text: str = "text",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = MIN(md5(i || shingle)).
 
     Lexicographic MIN over fixed-width lowercase hex == numeric MIN over
     the hash value, and md5 agrees across engines → oracle-exact.
     Output: key + sig_0..sig_{n-1} (strings).
+
+    ``shingle_df`` lets a caller that already materialized the (key,
+    shingle) stream (e.g. for an exact-Jaccard verify stage) share it:
+    MIN is duplicate-insensitive, so a DISTINCT shingle set yields the
+    identical signature as the raw stream.
     """
     # Deliberately explode + groupBy, NOT array_min(transform(...)) per
     # signature: higher-order-function lambdas are evaluated outside
@@ -79,7 +89,7 @@ def minhash_signatures(
     # 2.6 s at sf0.1). The explode stream never hits the wire anyway:
     # partial aggregation reduces map-side, so the shuffle carries one
     # 8-signature row per doc.
-    sh = shingles(df.select(key, text), n=shingle_n)
+    sh = shingle_df if shingle_df is not None else shingles(df.select(key, text), n=shingle_n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")).cast("binary"))).alias(f"sig_{i}")
         for i in range(num_hashes)
@@ -94,14 +104,17 @@ def minhash_candidates(
     shingle_n: int = 3,
     key: str = "doc_id",
     text: str = "text",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash signature.
 
     rows-per-band = num_hashes/bands; docs agreeing on ALL rows of ≥1 band
     become a candidate pair (a < b). Bucket equi-join per band — the scale
     path: shuffle keys are (band_id, band_value), bounded fan-out.
+    ``shingle_df``: optional pre-materialized (key, shingle) stream —
+    see minhash_signatures.
     """
-    sigs = minhash_signatures(df, num_hashes, shingle_n, key, text)
+    sigs = minhash_signatures(df, num_hashes, shingle_n, key, text, shingle_df=shingle_df)
     rows = num_hashes // bands
     band_cols = [
         F.concat_ws("|", F.lit(str(b)), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(
@@ -239,6 +252,32 @@ def ngram_jaccard(
     return out.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_pct")
 
 
+def _union_find_local(uv: list) -> list:
+    """Driver-side union-find over an already-bounded edge list.
+
+    Union by MIN so every root label IS the component minimum — the same
+    output contract as the distributed loops. Shared by the small-graph
+    fast paths of connected_components and cc_stars; callers must have
+    COUNTED the edges against a threshold before collecting."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in uv:
+        ra, rb = find(u), find(v)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    verts = {u for u, _ in uv} | {v for _, v in uv}
+    return [(x, find(x)) for x in verts]
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "doc_a",
@@ -283,24 +322,9 @@ def connected_components(
         .localCheckpoint()
     )
     if local_threshold and edges.count() <= local_threshold:
-        rows = edges.collect()
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in rows:
-            ra, rb = find(r.src), find(r.dst)
-            if ra != rb:
-                # union by MIN so the label IS the component minimum
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        out = [(x, find(x)) for x in {r.src for r in rows}]
+        out = _union_find_local(
+            [(r.src, r.dst) for r in edges.collect()]
+        )
         return edges.sparkSession.createDataFrame(
             out, schema=edges.select(F.col("src").alias("id"), F.col("src").alias("comp")).schema
         )
@@ -382,6 +406,7 @@ def cc_stars(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = 20,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components via LARGE-STAR / SMALL-STAR alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -396,6 +421,13 @@ def cc_stars(
     comp = min reachable id; raises on non-convergence. Each phase is one
     grouped min + one join on canonicalized (u < v) distinct edges, with
     localCheckpoint per round to cut lineage.
+
+    Same small-graph fast path as connected_components: verified near-dup
+    EDGES are orders of magnitude sparser than the corpus, so when the
+    materialized edge count is ≤ local_threshold (counted BEFORE any
+    collect) a driver-side union-find replaces the per-round shuffle
+    alternation — at sf0.1 the verified graph is a few hundred edges and
+    the star rounds were the pipeline's single largest cost.
     """
     E = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
@@ -409,6 +441,14 @@ def cc_stars(
         .union(pairs.select(F.col(b).alias("id")))
         .distinct()
     )
+    if local_threshold and E.count() <= local_threshold:
+        out = _union_find_local([(r.u, r.v) for r in E.collect()])
+        star = E.sparkSession.createDataFrame(
+            out, schema=E.select(F.col("u").alias("id"), F.col("u").alias("comp")).schema
+        )
+        return verts.join(star, "id", "left").select(
+            "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+        )
 
     def _sym(edges: DataFrame) -> DataFrame:
         return edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
