@@ -18552,6 +18552,358 @@ def sim_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, n_centroids=nlist, k=3)
 
 
+
+# =====================================================================
+# Round 6 additions: PQ compression/search, polygenic scores, sample
+# sex QC, k-anonymity audit, small-file compaction planning.
+# =====================================================================
+
+_PQ_CB = """WITH q AS (
+         SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         FROM embeddings),
+       cb AS (
+         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_id, e AS ce
+         FROM q ORDER BY vec_id LIMIT 8),
+       scored AS (
+         SELECT q.vec_id, cb.code_id,
+           list_sum(list_transform(range(1, 17),
+               i -> (q.e[i] - cb.ce[i]) * (q.e[i] - cb.ce[i]))) AS d0,
+           list_sum(list_transform(range(17, 33),
+               i -> (q.e[i] - cb.ce[i]) * (q.e[i] - cb.ce[i]))) AS d1,
+           list_sum(list_transform(range(33, 49),
+               i -> (q.e[i] - cb.ce[i]) * (q.e[i] - cb.ce[i]))) AS d2,
+           list_sum(list_transform(range(49, 65),
+               i -> (q.e[i] - cb.ce[i]) * (q.e[i] - cb.ce[i]))) AS d3
+         FROM q CROSS JOIN cb),
+       pick AS (
+         SELECT vec_id, code_id, d0, d1, d2, d3,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d0, code_id) AS r0,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1, code_id) AS r1,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, code_id) AS r2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d3, code_id) AS r3
+         FROM scored),
+       codes AS (
+         SELECT c0.vec_id,
+                CAST(c0.code_id AS BIGINT) AS code_0,
+                CAST(c1.code_id AS BIGINT) AS code_1,
+                CAST(c2.code_id AS BIGINT) AS code_2,
+                CAST(c3.code_id AS BIGINT) AS code_3,
+                CAST(c0.d0 + c1.d1 + c2.d2 + c3.d3 AS BIGINT) AS qerr
+         FROM (SELECT vec_id, code_id, d0 FROM pick WHERE r0 = 1) c0
+         JOIN (SELECT vec_id, code_id, d1 FROM pick WHERE r1 = 1) c1 USING (vec_id)
+         JOIN (SELECT vec_id, code_id, d2 FROM pick WHERE r2 = 1) c2 USING (vec_id)
+         JOIN (SELECT vec_id, code_id, d3 FROM pick WHERE r3 = 1) c3 USING (vec_id))"""
+
+
+@q(
+    "sim_pq_codes",
+    _PQ_CB + """
+       SELECT vec_id, code_0, code_1, code_2, code_3, qerr FROM codes""",
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ product quantization encode (Jegou et al. 2011): each 64-dim
+    embedding compresses to m=4 codebook ids (one per 16-dim subspace,
+    k=8 codewords, argmin integer L2, ties -> lowest code id) plus the
+    total squared quantization error. THE memory-bound ANN lever at
+    100 TB: codes are m bytes per vector in a packed layout vs 256 for
+    the floats, and the ADC search key below never touches raw vectors.
+    Codebooks are the k lowest-id vectors' subvectors (the sim_ivf
+    deterministic-init discipline; production would Lloyd-refine each
+    subspace with kmeans_fit). Plan: one TakeOrdered(8) for the
+    codebooks + ONE mapInPandas pass, codebooks closure-shipped -- no
+    join, no shuffle on the corpus side. Exactness: all-integer
+    distances; oracle replays the same argmin via per-subspace
+    (distance, code_id) rank windows."""
+    from varda_spark.operators.similarity import pq_codes
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return pq_codes(e, m=4, k=8)
+
+
+@q(
+    "sim_pq_adc_topk",
+    _PQ_CB + """,
+       queries AS (
+         SELECT vec_id AS query_id, e AS qe FROM q ORDER BY vec_id LIMIT 5),
+       lut AS (
+         SELECT query_id, code_id,
+           list_sum(list_transform(range(1, 17),
+               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS l0,
+           list_sum(list_transform(range(17, 33),
+               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS l1,
+           list_sum(list_transform(range(33, 49),
+               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS l2,
+           list_sum(list_transform(range(49, 65),
+               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS l3
+         FROM queries CROSS JOIN cb),
+       adc AS (
+         SELECT l0.query_id, c.vec_id, l0.l0 + l1.l1 + l2.l2 + l3.l3 AS adc
+         FROM codes c
+         JOIN lut l0 ON l0.code_id = c.code_0
+         JOIN lut l1 ON l1.query_id = l0.query_id AND l1.code_id = c.code_1
+         JOIN lut l2 ON l2.query_id = l0.query_id AND l2.code_id = c.code_2
+         JOIN lut l3 ON l3.query_id = l0.query_id AND l3.code_id = c.code_3),
+       ranked AS (
+         SELECT query_id, vec_id, adc,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc, vec_id) AS rank
+         FROM adc)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+              CAST(adc AS BIGINT) AS adc
+       FROM ranked WHERE rank <= 3""",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ asymmetric-distance (ADC) top-k over PQ codes: 5 probe
+    vectors search the encoded corpus; distance = sum of per-subspace
+    LOOKUPS into a q x m x k table built once per query batch -- the
+    corpus-side scan reads codes only and does NO vector math per pair.
+    This is the production IVF-PQ inner loop (IVF prunes which rows,
+    PQ/ADC prunes bytes-per-row); at 100 TB the scan streams m-byte
+    codes with table lookups, ~64x less IO than raw floats. Two-phase
+    exact top-k: each Arrow batch emits only its local top-3 per query
+    under the total (adc, vec_id) order (np.lexsort), the final window
+    ranks batches*q*3 survivors -- never n*q rows. All-integer; ties ->
+    lowest vec_id."""
+    from varda_spark.operators.similarity import pq_adc_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    out = pq_adc_topk(e, n_queries=5, topk=3, m=4, k=8)
+    return out.select(
+        "query_id", F.col("rank").cast("bigint").alias("rank"), "vec_id", "adc"
+    )
+
+
+_GT_CTE = """gt AS (
+         SELECT l_partkey AS site_id, l_suppkey % 10 AS sample_id,
+                MIN(CASE WHEN l_orderkey % 3 = 0 THEN 2
+                         WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS g
+         FROM lineitem GROUP BY 1, 2)"""
+
+
+@q(
+    "freq_pgs_score",
+    "WITH " + _GT_CTE + """,
+       w AS (
+         SELECT site_id,
+                CAST(CAST('0x' || substr(md5(CAST(site_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 101 - 50 AS BIGINT) AS wt
+         FROM (SELECT DISTINCT site_id FROM gt))
+       SELECT CAST(sample_id AS BIGINT) AS sample_id,
+              CAST(COUNT(*) AS BIGINT) AS n_sites,
+              CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_effect,
+              CAST(SUM(wt * g) AS BIGINT) AS pgs,
+              CAST((1000000 * SUM(wt * g)) // COUNT(*) AS BIGINT) AS pgs_per_site_ppm
+       FROM gt JOIN w USING (site_id)
+       GROUP BY sample_id""",
+)
+def freq_pgs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core polygenic score (plink --score): per sample, the
+    weighted dosage sum over all sites -- the portability layer between
+    GWAS summary statistics and individual risk. Weights are the
+    repo's standard md5 60-bit coin mapped to [-50, 50] (deterministic
+    per site in both engines; a real scoring file would join on
+    (chrom, pos, allele)). Genotypes collapse to one call per
+    (site, sample) first (freq_kinship matrix discipline); the weight
+    join shuffles on site_id -- the score agg is then one keyed sum, no
+    windows, map-side partials all the way. Signed integer ppm uses
+    DIV/// which BOTH engines truncate toward zero on BIGINT."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = li.groupBy(
+        F.col("l_partkey").alias("site_id"),
+        (F.col("l_suppkey") % 10).alias("sample_id"),
+    ).agg(
+        F.min(
+            F.expr(
+                "CASE WHEN l_orderkey % 3 = 0 THEN 2"
+                " WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END"
+            )
+        ).alias("g")
+    )
+    w = gt.select("site_id").distinct().select(
+        "site_id",
+        (
+            F.conv(F.substring(F.md5(F.col("site_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("bigint") % 101 - 50
+        ).cast("bigint").alias("wt"),
+    )
+    return (
+        gt.join(w, "site_id")
+        .groupBy(F.col("sample_id").cast("bigint").alias("sample_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+            F.sum(F.when(F.col("g") > 0, 1).otherwise(0)).cast("bigint").alias("n_effect"),
+            F.sum(F.col("wt") * F.col("g")).cast("bigint").alias("pgs"),
+            F.expr(
+                "CAST((1000000 * SUM(wt * g)) DIV COUNT(*) AS BIGINT)"
+            ).alias("pgs_per_site_ppm"),
+        )
+    )
+
+
+@q(
+    "freq_sex_check",
+    "WITH " + _GT_CTE + """,
+       x AS (SELECT sample_id, g FROM gt WHERE site_id % 5 = 0)
+       SELECT CAST(sample_id AS BIGINT) AS sample_id,
+              CAST(COUNT(*) AS BIGINT) AS n_x_sites,
+              CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+              CAST((1000000 * SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END))
+                   // COUNT(*) AS BIGINT) AS het_ppm,
+              (1000000 * SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END))
+                   // COUNT(*) >= 250000 AS is_xx
+       FROM x GROUP BY sample_id""",
+)
+def freq_sex_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-core sample sex QC (plink --check-sex): X-chromosome
+    heterozygosity per sample -- XY samples are hemizygous on X, so
+    true het calls there are genotyping artifacts and a high X het
+    rate on a male-labelled sample flags a swap or contamination.
+    Chromosome 0 of the synthetic 5-chromosome genome stands in for X;
+    the call is het_ppm >= 250000 (plink's 0.25 F-stat boundary
+    restated on the het rate). One chromosome filter (pushed to the
+    scan) + one keyed agg; boolean + ppm outputs, all integer."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = li.groupBy(
+        F.col("l_partkey").alias("site_id"),
+        (F.col("l_suppkey") % 10).alias("sample_id"),
+    ).agg(
+        F.min(
+            F.expr(
+                "CASE WHEN l_orderkey % 3 = 0 THEN 2"
+                " WHEN l_orderkey % 3 = 1 THEN 1 ELSE 0 END"
+            )
+        ).alias("g")
+    )
+    x = gt.filter(F.col("site_id") % 5 == 0)
+    het = F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+    return x.groupBy(F.col("sample_id").cast("bigint").alias("sample_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_x_sites"),
+        het.cast("bigint").alias("n_het"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END))"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("het_ppm"),
+        F.expr(
+            "(1000000 * SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END))"
+            " DIV COUNT(*) >= 250000"
+        ).alias("is_xx"),
+    )
+
+
+@q(
+    "agg_k_anonymity",
+    """WITH b AS (
+         SELECT c_mktsegment AS segment, c_nationkey,
+                CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,4))) AS BIGINT) // 1000
+                  AS bal_bucket
+         FROM customer),
+       g AS (
+         SELECT segment, c_nationkey, bal_bucket,
+                CAST(COUNT(*) AS BIGINT) AS sz
+         FROM b GROUP BY 1, 2, 3)
+       SELECT segment,
+              CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+              CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_small_groups,
+              CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+                AS n_suppressed,
+              CAST((1000000 * SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END))
+                   // SUM(sz) AS BIGINT) AS suppression_ppm
+       FROM g GROUP BY segment""",
+)
+def agg_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA+ k-anonymity audit (Sweeney 2002) -- the privacy gate before a
+    table ships to a wider audience: group by the quasi-identifier set
+    (segment, nation, $1000 balance bucket), report per segment the
+    worst-case group size (k), how many groups fall below k=5, and the
+    row fraction that suppression would remove. Training-data releases
+    run exactly this before publishing metadata columns. Two keyed
+    aggs (QI grain, then segment grain), map-side partials, no window;
+    bucket edges are exact decimal floor -> bigint truncating division
+    (identical signed semantics both engines)."""
+    c = read_table(spark, sf_dir, "customer")
+    b = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_nationkey",
+        F.expr(
+            "CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,4))) AS BIGINT) DIV 1000"
+        ).alias("bal_bucket"),
+    )
+    g = b.groupBy("segment", "c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    small = F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)
+    return g.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0)).cast("bigint").alias("n_small_groups"),
+        F.sum(small).cast("bigint").alias("n_suppressed"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END))"
+            " DIV SUM(sz) AS BIGINT)"
+        ).alias("suppression_ppm"),
+    )
+
+
+@q(
+    "store_compaction_plan",
+    """WITH f AS (
+         SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100
+                     + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+                CAST(o_orderdate AS DATE) AS d,
+                CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS bytes,
+                CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM orders GROUP BY 1, 2),
+       c AS (
+         SELECT ym, d, bytes, n_rows,
+                SUM(bytes) OVER (PARTITION BY ym ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+         FROM f),
+       a AS (SELECT ym, (cum - bytes) // 2000000 AS bucket, bytes, n_rows FROM c)
+       SELECT ym, CAST(bucket AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(SUM(bytes) AS BIGINT) AS bytes,
+              CAST(SUM(n_rows) AS BIGINT) AS rows_total
+       FROM a GROUP BY ym, bucket""",
+)
+def store_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ small-file compaction planner -- the maintenance half of the
+    warehouse story (merge/SCD2/CDC write; THIS decides what to
+    rewrite): per month-partition, day-grain "files" (size = summed
+    whole-dollar order value as the byte stand-in) are packed
+    date-ordered into ~2 MB compaction buckets by running-sum
+    bucketing: bucket = floor(cum_before / target). The plan emits per
+    (partition, bucket) the file count and total bytes -- exactly the
+    manifest a compactor executes, and the policy HMS/Iceberg-style
+    maintenance jobs apply (pack adjacent small files, never split
+    one). One window per month partition (distributed, calendar-
+    bounded) + one keyed agg. cum and bytes are non-negative so
+    truncating and flooring division agree across engines."""
+    o = read_table(spark, sf_dir, "orders")
+    f = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint").alias("ym"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    w = Window.partitionBy("ym").orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = f.withColumn("cum", F.sum("bytes").over(w))
+    a = c.select(
+        "ym",
+        F.expr("CAST((cum - bytes) DIV 2000000 AS BIGINT)").alias("bucket"),
+        "bytes",
+        "n_rows",
+    )
+    return a.groupBy("ym", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"

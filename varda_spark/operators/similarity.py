@@ -601,3 +601,144 @@ def kmeans_assign(
     cents = centroids if centroids is not None else kmeans_fit(emb, k, iters, key, vec, scale)
     assigned = _assign_to_centroids(q_, cents, key)
     return assigned.select(key, F.col("cell_id").cast("bigint").alias("cell_id"))
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ): the memory-bound ANN path. IVF bounds which
+# vectors a query scans; PQ bounds the BYTES per scanned vector — m
+# codes (one byte each at k<=256) replace the full float vector, and
+# search runs against per-query lookup tables (ADC, Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search"). At 100 TB the
+# corpus holds codes only; full vectors stay in cold storage for
+# optional re-ranking.
+# ---------------------------------------------------------------------
+
+
+def _pq_codebooks(emb: DataFrame, m: int, k: int, key: str, vec: str, scale: int):
+    """Deterministic PQ codebooks: the k lowest-key vectors' quantized
+    subvectors, code id 0..k-1 in key order (the sim_ivf quantizer-init
+    discipline — engine-portable, no RNG). Returns (subC, dsub, q_)."""
+    import numpy as np
+
+    q_ = emb.select(key, quantized(vec, scale).alias("_q"))
+    rows = q_.orderBy(key).limit(k).collect()  # k rows — driver state
+    C = np.array([r["_q"] for r in rows], dtype=np.int64)
+    dim = C.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    subC = [C[:, j * dsub:(j + 1) * dsub] for j in range(m)]
+    return subC, dsub, q_
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """PQ-encode every vector: (key, code_0..code_{m-1}, qerr).
+
+    Each subspace assigns to the argmin integer-L2 codeword (ties →
+    lowest code id: np.argmin takes the first minimum over id-ascending
+    rows — the oracle's (distance, code_id) ordering); qerr is the total
+    squared quantization error, the compression-quality number a
+    recall-vs-memory decision reads. One mapInPandas pass, codebooks
+    closure-shipped (m·k·dsub ints); exact integer math throughout."""
+    import numpy as np
+
+    subC, dsub, q_ = _pq_codebooks(emb, m, k, key, vec, scale)
+
+    def _enc(batches, subC=subC, dsub=dsub, m=m):
+        for pdf in batches:
+            Q = np.vstack(pdf["_q"].to_numpy())
+            out = pdf[[key]].copy()
+            qerr = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(m):
+                Sj = Q[:, j * dsub:(j + 1) * dsub]
+                d2 = ((Sj[:, None, :] - subC[j][None, :, :]) ** 2).sum(axis=2)
+                code = d2.argmin(axis=1)
+                out[f"code_{j}"] = code.astype(np.int64)
+                qerr += d2[np.arange(len(pdf)), code]
+            out["qerr"] = qerr
+            yield out
+
+    key_t = q_.schema[key].dataType.simpleString()
+    codes = ", ".join(f"code_{j} bigint" for j in range(m))
+    return q_.mapInPandas(_enc, f"{key} {key_t}, {codes}, qerr bigint")
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    topk: int = 3,
+    m: int = 4,
+    k: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the n_queries
+    lowest-key vectors probe the encoded corpus; distance(query, doc) =
+    Σ_j LUT_j[code_j] where LUT_j[c] = ‖query_sub_j − codeword_c‖² —
+    the query is never quantized, only the corpus is.
+
+    Scale shape: the corpus-side pass reads CODES ONLY (m bigints per
+    row here; m bytes in a packed layout) and computes distances by
+    table lookup — no per-pair vector math. Per-Arrow-batch the kernel
+    keeps just the local top-k per query (np.argpartition over the
+    total (adc, key) order), so the final exact window ranks
+    batches·q·topk survivors, never n·q rows — the standard two-phase
+    top-k. Exact integer math; ties → lowest key."""
+    import numpy as np
+
+    subC, dsub, q_ = _pq_codebooks(emb, m, k, key, vec, scale)
+    qrows = q_.orderBy(key).limit(n_queries).collect()
+    Qm = np.array([r["_q"] for r in qrows], dtype=np.int64)  # q × dim
+    qids = np.array([r[key] for r in qrows], dtype=np.int64)
+    # per-query per-subspace lookup tables: q × m × k
+    lut = np.stack(
+        [
+            ((Qm[:, j * dsub:(j + 1) * dsub][:, None, :] - subC[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    def _scan(batches, lut=lut, qids=qids, m=m, topk=topk):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            codes = np.stack(
+                [pdf[f"code_{j}"].to_numpy(dtype=np.int64) for j in range(m)], axis=1
+            )  # n × m
+            ids = pdf[key].to_numpy(dtype=np.int64)
+            # adc[q, i] = Σ_j lut[q, j, codes[i, j]]
+            adc = np.zeros((len(qids), n), dtype=np.int64)
+            for j in range(m):
+                adc += lut[:, j, :][:, codes[:, j]]
+            out = {"query_id": [], key: [], "adc": []}
+            kk = min(topk, n)
+            for qi in range(len(qids)):
+                # total order (adc, id): lexsort then take first kk
+                order = np.lexsort((ids, adc[qi]))[:kk]
+                out["query_id"].extend([qids[qi]] * kk)
+                out[key].extend(ids[order])
+                out["adc"].extend(adc[qi][order])
+            yield pd.DataFrame(out)
+
+    codes_df = pq_codes(emb, m, k, key, vec, scale)
+    local = codes_df.mapInPandas(
+        _scan, f"query_id bigint, {key} bigint, adc bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(key).asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", key, "adc")
+    )
