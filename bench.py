@@ -89,6 +89,10 @@ HEADLINE = LEGACY20 + [
     "agg_hist_quantile",   # mergeable histogram p50/p90/p99
     "dedup_blocking",      # ER blocking + Levenshtein verify
     "scan_partition_pruned",  # hive-partitioned write + pruned read
+    # round-6 additions
+    "sim_pq_adc_topk",     # PQ encode + ADC lookup-table top-k (codes-only scan)
+    "freq_pgs_score",      # polygenic score: weight join + sample-keyed sum
+    "store_compaction_plan",  # per-partition running-sum file bin packing
 ]
 
 

@@ -742,3 +742,87 @@ def pq_adc_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", key, "adc")
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    ncells: int = 8,
+    nprobe: int = 2,
+    n_queries: int = 5,
+    topk: int = 3,
+    m: int = 4,
+    k: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ: the composed production ANN index. IVF routes (each query
+    probes its nprobe best coarse cells), PQ compresses (the scan inside
+    probed cells reads codes only, distances by ADC lookup) — together
+    they bound BOTH how many rows a query touches and how many bytes
+    per row, which is the whole 100 TB ANN story.
+
+    One corpus pass encodes cell id (argmax integer dot vs the ncells
+    lowest-key seed vectors — the sim_ivf discipline) AND the m PQ codes
+    (argmin integer L2 per subspace). Query routing and LUT construction
+    are driver-side numpy over ncells·m·k ints (index metadata, like any
+    fitted model); the probe table (n_queries·nprobe rows carrying the
+    LUT arrays) broadcasts into an equi-join on cell_id, so the only
+    corpus-side work after encode is a broadcast-filtered scan with
+    element_at lookups — whole-stage-codegen Column math, no python.
+    Ties everywhere break to the lowest id; all-integer → oracle-exact.
+    """
+    import numpy as np
+
+    subC, dsub, q_ = _pq_codebooks(emb, m, k, key, vec, scale)
+    crows = q_.orderBy(key).limit(ncells).collect()
+    C2 = np.array([r["_q"] for r in crows], dtype=np.int64)
+    cids = np.array([r[key] for r in crows], dtype=np.int64)
+
+    def _enc(batches, C2=C2, cids=cids, subC=subC, dsub=dsub, m=m):
+        for pdf in batches:
+            Q = np.vstack(pdf["_q"].to_numpy())
+            out = pdf[[key]].copy()
+            S = Q @ C2.T
+            out["cell_id"] = cids[S.argmax(axis=1)]
+            for j in range(m):
+                Sj = Q[:, j * dsub:(j + 1) * dsub]
+                d2 = ((Sj[:, None, :] - subC[j][None, :, :]) ** 2).sum(axis=2)
+                out[f"code_{j}"] = d2.argmin(axis=1).astype(np.int64)
+            yield out
+
+    code_cols = ", ".join(f"code_{j} bigint" for j in range(m))
+    enc = q_.mapInPandas(_enc, f"{key} bigint, cell_id bigint, {code_cols}")
+
+    qrows = q_.orderBy(key).limit(n_queries).collect()
+    Qm = np.array([r["_q"] for r in qrows], dtype=np.int64)
+    qids = [int(r[key]) for r in qrows]
+    qd = Qm @ C2.T  # n_queries × ncells coarse dots
+    probe_rows = []
+    for qi, qid in enumerate(qids):
+        luts = [
+            (
+                (Qm[qi, j * dsub:(j + 1) * dsub][None, :] - subC[j]) ** 2
+            ).sum(axis=1).tolist()
+            for j in range(m)
+        ]
+        # nprobe best cells by (dot DESC, cell_id ASC)
+        order = np.lexsort((cids, -qd[qi]))[:nprobe]
+        for ci in order:
+            probe_rows.append((qid, int(cids[ci]), *luts))
+    lut_cols = ", ".join(f"l{j} array<bigint>" for j in range(m))
+    probes = emb.sparkSession.createDataFrame(
+        probe_rows, f"query_id bigint, cell_id bigint, {lut_cols}"
+    )
+    j = enc.join(F.broadcast(probes), "cell_id")
+    adc = None
+    for jj in range(m):
+        term = F.element_at(f"l{jj}", F.col(f"code_{jj}").cast("int") + 1)
+        adc = term if adc is None else adc + term
+    scored = j.select("query_id", key, "cell_id", adc.cast("bigint").alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(key).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", key, "cell_id", "adc")
+    )
