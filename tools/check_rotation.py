@@ -18,6 +18,11 @@ sys.path.insert(0, ".")
 
 from varda_spark.catalog import REGISTRY  # noqa: E402
 
+try:
+    from varda_spark.catalog import _DRIVER_RECERT  # noqa: E402
+except ImportError:  # pre-r7 checkouts
+    _DRIVER_RECERT = []
+
 
 def sampled_union() -> set[str]:
     """Keys CERTIFIED by a prior driver round.
@@ -42,12 +47,17 @@ def sampled_union() -> set[str]:
 
 def main() -> int:
     prior = sampled_union()
+    recert = set(_DRIVER_RECERT)
     window = list(REGISTRY)[:50]
-    overlap = [k for k in window if k in prior]
+    overlap = [k for k in window if k in prior and k not in recert]
+    recert_in = [k for k in window if k in recert]
     rows_only = [k for k in window if REGISTRY[k].sql is None]
     never = [k for k in REGISTRY if k not in prior and k not in set(window)]
     print(f"prior driver-certified keys: {len(prior)}")
     print(f"window overlap with prior rounds: {len(overlap)} {overlap or ''}")
+    if recert_in:
+        print(f"re-certification keys in window (stale prior hashes, allowed): "
+              f"{len(recert_in)} {recert_in}")
     print(f"rows-only keys in window (weak check): {len(rows_only)} {rows_only or ''}")
     print(f"never-sampled keys left outside this window: {len(never)}")
     if never:
@@ -57,7 +67,8 @@ def main() -> int:
         return 1
     if rows_only:
         print("WARN: rows-only keys occupy full-hash slots")
-    print("OK: all 50 window slots are never-driver-sampled oracle-twinned keys")
+    print("OK: all 50 window slots are never-driver-sampled (or re-cert) "
+          "oracle-twinned keys")
     return 0
 
 

@@ -631,6 +631,75 @@ def _pq_codebooks(emb: DataFrame, m: int, k: int, key: str, vec: str, scale: int
     return subC, dsub, q_
 
 
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+):
+    """Lloyd-refine the PQ codebooks per subspace (the k-means step of
+    Jégou et al. 2011 §II): init = the deterministic lowest-key
+    subvectors (_pq_codebooks), then each iteration (a) assigns every
+    subvector to its argmin integer-L2 codeword and (b) recomputes each
+    codeword as the per-dimension floor-mean of its assigned
+    subvectors (empty codewords keep their previous value). Returns the
+    refined codebooks as a list of m (k × dsub) int64 arrays, passable
+    to pq_codes / pq_adc_topk via ``codebooks=``.
+
+    Scale shape: each iteration is ONE corpus pass; the mapInPandas
+    kernel reduces every Arrow batch down to per-(subspace, code, dim)
+    partial sums+counts BEFORE the wire (≤ m·k·dsub rows per batch —
+    index metadata, not data), so the shuffle is batches·m·k·dsub tiny
+    rows and the final groupBy collect is m·k·dsub rows of driver-side
+    model state, same as any fitted quantizer. Exact integer math; the
+    catalog keys keep the un-refined deterministic init so their DuckDB
+    twins stay replicable — pq_fit is the quality lever a production
+    index build runs first."""
+    import numpy as np
+
+    subC, dsub, q_ = _pq_codebooks(emb, m, k, key, vec, scale)
+    for _ in range(iters):
+        def _stats(batches, subC=subC, dsub=dsub, m=m, k=k):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.vstack(pdf["_q"].to_numpy())
+                rows = {"j": [], "c": [], "d": [], "s": [], "n": []}
+                for j in range(m):
+                    Sj = Q[:, j * dsub:(j + 1) * dsub]
+                    d2 = ((Sj[:, None, :] - subC[j][None, :, :]) ** 2).sum(axis=2)
+                    code = d2.argmin(axis=1)
+                    for c in range(k):
+                        mask = code == c
+                        n = int(mask.sum())
+                        if not n:
+                            continue
+                        s = Sj[mask].sum(axis=0)
+                        for d in range(dsub):
+                            rows["j"].append(j)
+                            rows["c"].append(c)
+                            rows["d"].append(d)
+                            rows["s"].append(int(s[d]))
+                            rows["n"].append(n)
+                yield pd.DataFrame(rows)
+
+        stats = (
+            q_.mapInPandas(_stats, "j int, c int, d int, s bigint, n bigint")
+            .groupBy("j", "c", "d")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()  # ≤ m·k·dsub rows — fitted-model state
+        )
+        subC = [sc.copy() for sc in subC]
+        for r in stats:
+            subC[r["j"]][r["c"], r["d"]] = r["s"] // r["n"]
+    return subC
+
+
 def pq_codes(
     emb: DataFrame,
     m: int = 4,
@@ -638,6 +707,7 @@ def pq_codes(
     key: str = "vec_id",
     vec: str = "embedding",
     scale: int = 1000,
+    codebooks=None,
 ) -> DataFrame:
     """PQ-encode every vector: (key, code_0..code_{m-1}, qerr).
 
@@ -646,10 +716,14 @@ def pq_codes(
     rows — the oracle's (distance, code_id) ordering); qerr is the total
     squared quantization error, the compression-quality number a
     recall-vs-memory decision reads. One mapInPandas pass, codebooks
-    closure-shipped (m·k·dsub ints); exact integer math throughout."""
+    closure-shipped (m·k·dsub ints); exact integer math throughout.
+    ``codebooks`` (e.g. from pq_fit) overrides the deterministic
+    lowest-key init."""
     import numpy as np
 
     subC, dsub, q_ = _pq_codebooks(emb, m, k, key, vec, scale)
+    if codebooks is not None:
+        subC = codebooks
 
     def _enc(batches, subC=subC, dsub=dsub, m=m):
         for pdf in batches:
@@ -679,6 +753,7 @@ def pq_adc_topk(
     key: str = "vec_id",
     vec: str = "embedding",
     scale: int = 1000,
+    codebooks=None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the n_queries
     lowest-key vectors probe the encoded corpus; distance(query, doc) =
@@ -691,13 +766,16 @@ def pq_adc_topk(
     keeps just the local top-k per query (np.argpartition over the
     total (adc, key) order), so the final exact window ranks
     batches·q·topk survivors, never n·q rows — the standard two-phase
-    top-k. Exact integer math; ties → lowest key."""
+    top-k. Exact integer math; ties → lowest key. ``codebooks`` (e.g.
+    from pq_fit) overrides the deterministic lowest-key init."""
     import numpy as np
 
     subC, dsub, q_ = _pq_codebooks(emb, m, k, key, vec, scale)
+    if codebooks is not None:
+        subC = codebooks
     qrows = q_.orderBy(key).limit(n_queries).collect()
     Qm = np.array([r["_q"] for r in qrows], dtype=np.int64)  # q × dim
-    qids = np.array([r[key] for r in qrows], dtype=np.int64)
+    qids = np.array([r[key] for r in qrows])  # key-type-generic (ADVICE r6)
     # per-query per-subspace lookup tables: q × m × k
     lut = np.stack(
         [
@@ -717,7 +795,7 @@ def pq_adc_topk(
             codes = np.stack(
                 [pdf[f"code_{j}"].to_numpy(dtype=np.int64) for j in range(m)], axis=1
             )  # n × m
-            ids = pdf[key].to_numpy(dtype=np.int64)
+            ids = pdf[key].to_numpy()  # native key dtype; lexsort orders it
             # adc[q, i] = Σ_j lut[q, j, codes[i, j]]
             adc = np.zeros((len(qids), n), dtype=np.int64)
             for j in range(m):
@@ -732,9 +810,10 @@ def pq_adc_topk(
                 out["adc"].extend(adc[qi][order])
             yield pd.DataFrame(out)
 
-    codes_df = pq_codes(emb, m, k, key, vec, scale)
+    key_t = q_.schema[key].dataType.simpleString()
+    codes_df = pq_codes(emb, m, k, key, vec, scale, codebooks=codebooks)
     local = codes_df.mapInPandas(
-        _scan, f"query_id bigint, {key} bigint, adc bigint"
+        _scan, f"query_id {key_t}, {key} {key_t}, adc bigint"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(key).asc())
     return (
@@ -775,9 +854,10 @@ def ivf_pq_topk(
     import numpy as np
 
     subC, dsub, q_ = _pq_codebooks(emb, m, k, key, vec, scale)
+    key_t = q_.schema[key].dataType.simpleString()
     crows = q_.orderBy(key).limit(ncells).collect()
     C2 = np.array([r["_q"] for r in crows], dtype=np.int64)
-    cids = np.array([r[key] for r in crows], dtype=np.int64)
+    cids = np.array([r[key] for r in crows])  # key-type-generic
 
     def _enc(batches, C2=C2, cids=cids, subC=subC, dsub=dsub, m=m):
         for pdf in batches:
@@ -792,11 +872,11 @@ def ivf_pq_topk(
             yield out
 
     code_cols = ", ".join(f"code_{j} bigint" for j in range(m))
-    enc = q_.mapInPandas(_enc, f"{key} bigint, cell_id bigint, {code_cols}")
+    enc = q_.mapInPandas(_enc, f"{key} {key_t}, cell_id {key_t}, {code_cols}")
 
     qrows = q_.orderBy(key).limit(n_queries).collect()
     Qm = np.array([r["_q"] for r in qrows], dtype=np.int64)
-    qids = [int(r[key]) for r in qrows]
+    qids = [r[key] for r in qrows]
     qd = Qm @ C2.T  # n_queries × ncells coarse dots
     probe_rows = []
     for qi, qid in enumerate(qids):
@@ -809,10 +889,10 @@ def ivf_pq_topk(
         # nprobe best cells by (dot DESC, cell_id ASC)
         order = np.lexsort((cids, -qd[qi]))[:nprobe]
         for ci in order:
-            probe_rows.append((qid, int(cids[ci]), *luts))
+            probe_rows.append((qid, cids[ci].item(), *luts))
     lut_cols = ", ".join(f"l{j} array<bigint>" for j in range(m))
     probes = emb.sparkSession.createDataFrame(
-        probe_rows, f"query_id bigint, cell_id bigint, {lut_cols}"
+        probe_rows, f"query_id {key_t}, cell_id {key_t}, {lut_cols}"
     )
     j = enc.join(F.broadcast(probes), "cell_id")
     adc = None
