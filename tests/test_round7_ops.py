@@ -165,3 +165,160 @@ def test_pq_adc_string_key(spark):
         rows = rows.sort_values("rank")
         assert list(rows["rank"]) == [1, 2]
         assert rows.adc.is_monotonic_increasing
+
+
+def test_substring_spans_matches_python(spark):
+    """Literal rolling 8-token spans + cross-doc duplicate marking."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = (
+        spark.read.parquet(f"{SF_001}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    span_docs = defaultdict(set)
+    doc_spans = {}
+    for r in docs.itertuples():
+        w = r.text.strip().split(" ")
+        hs = [
+            hashlib.md5(" ".join(w[i : i + 8]).encode()).hexdigest()
+            for i in range(len(w) - 7)
+        ]
+        doc_spans[r.doc_id] = hs
+        for h in hs:
+            span_docs[h].add(r.doc_id)
+    got = run(spark, "dedup_substring_spans").set_index("doc_id")
+    assert len(got) == sum(1 for hs in doc_spans.values() if hs)
+    for doc_id, hs in doc_spans.items():
+        if not hs:
+            continue
+        dup = sum(1 for h in hs if len(span_docs[h]) >= 2)
+        row = got.loc[doc_id]
+        assert int(row.n_spans) == len(hs)
+        assert int(row.n_dup_spans) == dup
+        assert int(row.dup_ppm) == 1_000_000 * dup // len(hs)
+
+
+def test_semantic_dedup_matches_numpy(spark):
+    """SemDeDup cell assignment + integer cosine test, literal numpy."""
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = emb.vec_id.to_numpy()
+    X = np.floor(np.stack(emb.embedding.to_numpy()).astype(np.float64) * 100).astype(
+        np.int64
+    )
+    ncells = max(8, int(np.floor(np.sqrt(len(X)))))
+    C = X[:ncells]
+    cell = ids[(X @ C.T).argmax(axis=1)]
+    n2 = (X * X).sum(axis=1)
+    stats = {}
+    for ci in np.unique(cell):
+        idx = np.where(cell == ci)[0]
+        n_pairs = n_dup = 0
+        removed = set()
+        for ai in range(len(idx)):
+            for bi in range(ai + 1, len(idx)):
+                a, b = idx[ai], idx[bi]
+                n_pairs += 1
+                d = int(X[a] @ X[b])
+                if d > 0 and d * d * 10000 >= 9025 * int(n2[a]) * int(n2[b]):
+                    n_dup += 1
+                    removed.add(int(ids[b]))
+        stats[int(ci)] = (len(idx), n_pairs, n_dup, len(removed))
+    got = run(spark, "emb_semantic_dedup").set_index("cell_id")
+    assert len(got) == len(stats)
+    for ci, (nv, np_, nd, nr) in stats.items():
+        row = got.loc[ci]
+        assert (int(row.n_vecs), int(row.n_pairs), int(row.n_dup_pairs),
+                int(row.n_removed)) == (nv, np_, nd, nr)
+
+
+def test_event_transitions_matches_pandas(spark):
+    ev = (
+        spark.read.parquet(f"{SF_001}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["prev"] = ev.groupby("user_id").event_type.shift(1)
+    pairs = ev.dropna(subset=["prev"]).groupby(["prev", "event_type"]).size()
+    got = run(spark, "agg_event_transitions")
+    assert len(got) == len(pairs)
+    totals = pairs.groupby(level=0).sum()
+    for r in got.itertuples():
+        n = int(pairs.loc[(r.prev_type, r.next_type)])
+        assert int(r.n) == n
+        assert int(r.row_ppm) == 1_000_000 * n // int(totals.loc[r.prev_type])
+
+
+def test_zone_map_skip_matches_pandas(spark):
+    import pandas as pd
+
+    li = (
+        spark.read.parquet(f"{SF_001}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .toPandas()
+    )
+    li["d"] = pd.to_datetime(li.l_shipdate).dt.normalize()
+    li["f"] = li.l_orderkey // 1024
+    files = li.groupby("f").d.agg(["min", "max"])
+    months = sorted(li.d.dt.to_period("M").unique())
+    got = run(spark, "store_zone_map_skip").set_index("ym")
+    assert len(got) == len(months)
+    for mth in months:
+        m0, m1 = mth.start_time, mth.end_time.normalize()
+        skipped = int(((files["max"] < m0) | (files["min"] > m1)).sum())
+        row = got.loc[mth.year * 100 + mth.month]
+        assert int(row.n_files) == len(files)
+        assert int(row.n_skipped) == skipped
+        assert int(row.skip_ppm) == 1_000_000 * skipped // len(files)
+
+
+def test_denovo_and_compound_het_match_pandas(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").toPandas()
+    # trio genotypes (freq_trio_mendel synthesis)
+    obs = li[li.l_linenumber % 3 != 2].copy()
+    obs["gt"] = np.where(obs.l_linenumber % 3 == 0, 2, 1)
+    obs["chrom"] = obs.l_partkey % 5
+    obs["pos"] = obs.l_partkey * 31 + 1
+    g = (
+        obs.groupby(["l_suppkey", "chrom", "pos"]).gt.max().rename("g").reset_index()
+    )
+    children = g[g.l_suppkey % 3 == 0]
+    gi = g.set_index(["l_suppkey", "chrom", "pos"]).g
+    ref = {}
+    for r in children.itertuples():
+        f = int(gi.get((r.l_suppkey - 2, r.chrom, r.pos), 0))
+        m = int(gi.get((r.l_suppkey - 1, r.chrom, r.pos), 0))
+        trio = r.l_suppkey // 3
+        tot, dn = ref.get(trio, (0, 0))
+        ref[trio] = (tot + 1, dn + (1 if (r.g >= 1 and f == 0 and m == 0) else 0))
+    got = run(spark, "freq_denovo", SF_SMALL).set_index("trio_id")
+    assert len(got) == len(ref)
+    for trio, (tot, dn) in ref.items():
+        row = got.loc[trio]
+        assert (int(row.n_sites), int(row.n_denovo)) == (tot, dn)
+        assert int(row.denovo_ppm) == 1_000_000 * dn // tot
+    # compound het on the shared _GT_CTE synthesis
+    li["g3"] = li.l_orderkey % 3
+    li["gg"] = np.where(li.g3 == 0, 2, np.where(li.g3 == 1, 1, 0))
+    gt2 = (
+        li.groupby([li.l_partkey.rename("site"), (li.l_suppkey % 10).rename("samp")])
+        .gg.min()
+        .reset_index()
+    )
+    gt2["gene"] = gt2.site % 100
+    agg = gt2.groupby(["gene", "samp"]).agg(
+        n_sites=("gg", "size"), n_het=("gg", lambda s: int((s == 1).sum()))
+    )
+    want = agg[agg.n_het >= 2]
+    got2 = run(spark, "freq_compound_het", SF_SMALL).set_index(["gene_id", "sample_id"])
+    assert len(got2) == len(want)
+    for (gene, samp), r in want.iterrows():
+        row = got2.loc[(gene, samp)]
+        assert (int(row.n_sites), int(row.n_het)) == (int(r.n_sites), int(r.n_het))

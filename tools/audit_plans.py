@@ -109,6 +109,9 @@ BNLJ_OK = {
     "agg_session_gap_sensitivity",  # 3-row threshold spine + 1-row
                          # user-count broadcasts
     "qa_freshness",      # 1-row anchor-date scalar onto the 3-row board
+    "store_zone_map_skip",  # calendar-bounded month probe spine (~84
+                         # rows) broadcast against the file manifest —
+                         # the audit's documented design
     "graph_paths3",      # 1-row trigram total scalar (ppm denominator)
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins

@@ -18998,6 +18998,382 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(e, ncells=8, nprobe=2, n_queries=5, topk=3, m=4, k=8)
 
 
+@q(
+    "emb_semantic_dedup",
+    """WITH q AS (
+         SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS e
+         FROM embeddings),
+       cents AS (
+         SELECT vec_id AS cell_id, e AS ce FROM q ORDER BY vec_id
+         LIMIT (SELECT GREATEST(8, CAST(FLOOR(sqrt(COUNT(*))) AS BIGINT)) FROM q)),
+       scored AS (
+         SELECT q.vec_id, cents.cell_id,
+                list_sum(list_transform(list_zip(q.e, cents.ce),
+                    s -> s[1] * s[2])) AS cd
+         FROM q CROSS JOIN cents),
+       assigned AS (
+         SELECT vec_id, cell_id FROM (
+           SELECT vec_id, cell_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cd DESC, cell_id) AS r
+           FROM scored) WHERE r = 1),
+       v AS (
+         SELECT vec_id, cell_id, e,
+                list_sum(list_transform(e, x -> x * x)) AS n2
+         FROM assigned JOIN q USING (vec_id)),
+       flag AS (
+         SELECT a.cell_id, b.vec_id AS b_id,
+                CASE WHEN list_sum(list_transform(list_zip(a.e, b.e),
+                              s -> s[1] * s[2])) > 0
+                      AND list_sum(list_transform(list_zip(a.e, b.e),
+                              s -> s[1] * s[2]))
+                          * list_sum(list_transform(list_zip(a.e, b.e),
+                              s -> s[1] * s[2])) * 10000
+                          >= 9025 * a.n2 * b.n2
+                     THEN 1 ELSE 0 END AS dup
+         FROM v a JOIN v b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+       ps AS (
+         SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(dup) AS BIGINT) AS n_dup_pairs,
+                CAST(COUNT(DISTINCT CASE WHEN dup = 1 THEN b_id END) AS BIGINT)
+                    AS n_removed
+         FROM flag GROUP BY cell_id),
+       cv AS (SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+              FROM assigned GROUP BY cell_id)
+       SELECT cv.cell_id, cv.n_vecs,
+              COALESCE(ps.n_pairs, 0) AS n_pairs,
+              COALESCE(ps.n_dup_pairs, 0) AS n_dup_pairs,
+              COALESCE(ps.n_removed, 0) AS n_removed
+       FROM cv LEFT JOIN ps USING (cell_id)""",
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3+ SemDeDup (Abbas et al. 2023): embedding-space near-dup
+    removal for training corpora — cluster into √n cells, test cosine ≥
+    0.95 only WITHIN cells, drop the higher id of each duplicate pair.
+    Per-cell stats out: n_vecs / n_pairs / n_dup_pairs / n_removed.
+    Scale: the cluster step cuts the pair space from n² to ~n·√n and
+    the pair join shuffles on cell_id only; the cosine test is
+    all-integer (dot²·10⁴ ≥ 95²·‖a‖²·‖b‖², scale-100 quantization keeps
+    every product inside BIGINT) so both engines agree bit-exactly."""
+    from varda_spark.operators.similarity import semantic_dedup
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold_pct=95)
+
+
+@q(
+    "dedup_substring_spans",
+    """WITH words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       sp AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                       i -> md5(array_to_string(w[i:i+7], ' ')))) AS h
+         FROM words),
+       hs AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_spans,
+              CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_spans,
+              CAST((1000000 * SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END))
+                   // COUNT(*) AS BIGINT) AS dup_ppm
+       FROM sp JOIN hs USING (h)
+       GROUP BY doc_id""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2+ substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): document-level dedup
+    misses REPEATED PASSAGES inside otherwise-distinct documents
+    (boilerplate, licenses, quoted chunks). Every 8-token span is
+    hashed (md5 — identical in both engines); a span position is
+    duplicated when its hash occurs in ≥2 distinct documents; output is
+    each doc's duplicated-span fraction in ppm — the signal a span-
+    removal pass would act on. Scale: one explode to n·(len−7) span
+    rows, one groupBy on the hash (shuffle key = fixed-width digest, no
+    skew: natural-language spans are near-unique), and the count join
+    reuses the same hash partitioning — the paper's suffix-array global
+    scan re-expressed as two keyed aggregates."""
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.trim("text"), " ").alias("w"))
+    sp = w.filter(F.size("w") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 7),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, F.lit(8)))),
+            )
+        ).alias("h"),
+    )
+    hs = sp.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        sp.join(hs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("CAST((1000000 * n_dup_spans) DIV n_spans AS BIGINT)"),
+        )
+    )
+
+
+@q(
+    "store_zone_map_skip",
+    """WITH files AS (
+         SELECT l_orderkey // 1024 AS file_id,
+                MIN(CAST(l_shipdate AS DATE)) AS mn,
+                MAX(CAST(l_shipdate AS DATE)) AS mx
+         FROM lineitem GROUP BY 1),
+       months AS (
+         SELECT DISTINCT CAST(date_trunc('month', CAST(l_shipdate AS DATE))
+                              AS DATE) AS m0
+         FROM lineitem)
+       SELECT CAST(year(m0) * 100 + month(m0) AS BIGINT) AS ym,
+              CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(SUM(CASE WHEN mx < m0 OR mn > last_day(m0)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+              CAST((1000000 * SUM(CASE WHEN mx < m0 OR mn > last_day(m0)
+                                       THEN 1 ELSE 0 END))
+                   // COUNT(*) AS BIGINT) AS skip_ppm
+       FROM months CROSS JOIN files
+       GROUP BY 1""",
+)
+def store_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ zone-map (min/max data-skipping) effectiveness audit — the
+    number that decides whether a table needs re-clustering: per file
+    (~1024-orderkey stripes, the ingestion order), the l_shipdate
+    min/max zone map; per query month, how many files a month-range
+    predicate prunes without reading. Because orderkey order correlates
+    with date, skipping is high — the audit quantifies exactly how
+    much, and a falling skip_ppm is the trigger for store_compaction /
+    sort_zorder maintenance. Scale: file stats are one keyed agg (at
+    100 TB, one row per parquet file — this IS the manifest); the
+    month probe set is calendar-bounded (~84 rows) and broadcast, so
+    the audit never shuffles the manifest."""
+    li = read_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(F.expr("l_orderkey DIV 1024").alias("file_id")).agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("mn"),
+        F.max(F.col("l_shipdate").cast("date")).alias("mx"),
+    )
+    months = li.select(
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).cast("date").alias("m0")
+    ).distinct()
+    skipped = F.when((F.col("mx") < F.col("m0")) | (F.col("mn") > F.last_day("m0")), 1).otherwise(0)
+    return (
+        files.crossJoin(F.broadcast(months))
+        .groupBy((F.year("m0") * 100 + F.month("m0")).cast("bigint").alias("ym"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(skipped).cast("bigint").alias("n_skipped"),
+        )
+        .withColumn(
+            "skip_ppm",
+            F.expr("CAST((1000000 * n_skipped) DIV n_files AS BIGINT)"),
+        )
+    )
+
+
+@q(
+    "freq_denovo",
+    """WITH obs AS (
+         SELECT l_suppkey AS sample_id,
+                CAST(l_partkey % 5 AS VARCHAR) AS chromosome,
+                CAST(l_partkey * 31 + 1 AS BIGINT) AS position,
+                CASE WHEN l_linenumber % 3 = 0 THEN 2
+                     WHEN l_linenumber % 3 = 1 THEN 1 END AS gt
+         FROM lineitem WHERE l_linenumber % 3 <> 2),
+       g AS (
+         SELECT sample_id, chromosome, position, CAST(MAX(gt) AS BIGINT) AS gt
+         FROM obs GROUP BY sample_id, chromosome, position),
+       child AS (
+         SELECT CAST(sample_id / 3 AS BIGINT) AS trio_id,
+                sample_id, chromosome, position, gt AS cgt
+         FROM g WHERE sample_id % 3 = 0),
+       j AS (
+         SELECT c.trio_id, c.cgt,
+                COALESCE(f.gt, 0) AS fgt, COALESCE(m.gt, 0) AS mgt
+         FROM child c
+         LEFT JOIN g f ON f.sample_id = c.sample_id - 2
+                      AND f.chromosome = c.chromosome AND f.position = c.position
+         LEFT JOIN g m ON m.sample_id = c.sample_id - 1
+                      AND m.chromosome = c.chromosome AND m.position = c.position)
+       SELECT trio_id,
+              CAST(COUNT(*) AS BIGINT) AS n_sites,
+              CAST(SUM(CASE WHEN cgt >= 1 AND fgt = 0 AND mgt = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_denovo,
+              CAST((1000000 * SUM(CASE WHEN cgt >= 1 AND fgt = 0 AND mgt = 0
+                                       THEN 1 ELSE 0 END))
+                   // COUNT(*) AS BIGINT) AS denovo_ppm
+       FROM j GROUP BY trio_id""",
+)
+def freq_denovo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-domain de novo candidate screen: per family trio, child
+    sites carrying an alt allele that NEITHER parent carries (missing
+    parent site = homozygous-reference, the dataset's absence
+    semantics — same trio synthesis and join shape as freq_trio_mendel,
+    which certifies the plumbing). The de novo rate per trio is the
+    first-pass filter for rare-disease analysis and doubles as a
+    contamination screen (a swapped child's rate explodes). Plan: one
+    keyed genotype dedup, two site-keyed left joins sharing one
+    (chromosome, position) shuffle, one per-trio rollup — all keyed
+    aggregates, nothing driver-side."""
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = li.filter(F.expr("l_linenumber % 3 <> 2")).select(
+        F.col("l_suppkey").alias("sample_id"),
+        F.expr("CAST(l_partkey % 5 AS STRING)").alias("chromosome"),
+        F.expr("CAST(l_partkey * 31 + 1 AS BIGINT)").alias("position"),
+        F.expr(
+            "CASE WHEN l_linenumber % 3 = 0 THEN 2"
+            " WHEN l_linenumber % 3 = 1 THEN 1 END"
+        ).alias("gt"),
+    )
+    g = obs.groupBy("sample_id", "chromosome", "position").agg(
+        F.max("gt").cast("bigint").alias("gt")
+    )
+    child = g.filter(F.expr("sample_id % 3 = 0")).select(
+        F.expr("CAST(sample_id / 3 AS BIGINT)").alias("trio_id"),
+        "sample_id",
+        "chromosome",
+        "position",
+        F.col("gt").alias("cgt"),
+    )
+    f = g.select(
+        F.col("sample_id").alias("f_id"),
+        F.col("chromosome").alias("f_chr"),
+        F.col("position").alias("f_pos"),
+        F.col("gt").alias("f_gt"),
+    )
+    m = g.select(
+        F.col("sample_id").alias("m_id"),
+        F.col("chromosome").alias("m_chr"),
+        F.col("position").alias("m_pos"),
+        F.col("gt").alias("m_gt"),
+    )
+    j = (
+        child.join(
+            f,
+            (F.col("f_id") == F.col("sample_id") - 2)
+            & (F.col("f_chr") == F.col("chromosome"))
+            & (F.col("f_pos") == F.col("position")),
+            "left",
+        )
+        .join(
+            m,
+            (F.col("m_id") == F.col("sample_id") - 1)
+            & (F.col("m_chr") == F.col("chromosome"))
+            & (F.col("m_pos") == F.col("position")),
+            "left",
+        )
+        .select(
+            "trio_id",
+            "cgt",
+            F.coalesce("f_gt", F.lit(0)).alias("fgt"),
+            F.coalesce("m_gt", F.lit(0)).alias("mgt"),
+        )
+    )
+    dn = F.when((F.col("cgt") >= 1) & (F.col("fgt") == 0) & (F.col("mgt") == 0), 1).otherwise(0)
+    return (
+        j.groupBy("trio_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+            F.sum(dn).cast("bigint").alias("n_denovo"),
+        )
+        .withColumn(
+            "denovo_ppm",
+            F.expr("CAST((1000000 * n_denovo) DIV n_sites AS BIGINT)"),
+        )
+    )
+
+
+@q(
+    "freq_compound_het",
+    "WITH " + _GT_CTE + """
+       SELECT CAST(site_id % 100 AS BIGINT) AS gene_id,
+              CAST(sample_id AS BIGINT) AS sample_id,
+              CAST(COUNT(*) AS BIGINT) AS n_sites,
+              CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het
+       FROM gt GROUP BY 1, 2
+       HAVING SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) >= 2""",
+)
+def freq_compound_het(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-domain compound-heterozygote candidate screen: genes where
+    a sample carries ≥2 distinct heterozygous sites — phase-unaware,
+    the recessive-disease shortlist every clinical pipeline computes
+    before phasing. Gene model = site_id % 100 (the synthetic gene
+    map; output stays bounded at genes×samples). One keyed aggregate
+    over the shared genotype synthesis (_GT_CTE), HAVING pushed after
+    the partial agg — map-side combine does the heavy lifting."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = (
+        li.groupBy(
+            F.col("l_partkey").alias("site_id"),
+            (F.col("l_suppkey") % 10).alias("sample_id"),
+        )
+        .agg(
+            F.min(
+                F.when(F.col("l_orderkey") % 3 == 0, 2)
+                .when(F.col("l_orderkey") % 3 == 1, 1)
+                .otherwise(0)
+            ).alias("g")
+        )
+    )
+    return (
+        gt.groupBy(
+            (F.col("site_id") % 100).cast("bigint").alias("gene_id"),
+            F.col("sample_id").cast("bigint").alias("sample_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("n_het"),
+        )
+        .filter(F.col("n_het") >= 2)
+    )
+
+
+@q(
+    "agg_event_transitions",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events)
+       SELECT prev_type, event_type AS next_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST((1000000 * COUNT(*)) //
+                   SUM(COUNT(*)) OVER (PARTITION BY prev_type)
+                   AS BIGINT) AS row_ppm
+       FROM seq WHERE prev_type IS NOT NULL
+       GROUP BY prev_type, event_type""",
+)
+def agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+/I-family event-type transition matrix: per user, each event's
+    LAG neighbor under the deterministic (ts, event_id) order gives the
+    (prev → next) edge; counts roll up globally and row_ppm normalizes
+    each source row — the empirical Markov kernel behind funnel /
+    next-action models (graph_markov_stationary consumes exactly this
+    shape). Plan: one window shuffle on user_id (bounded per-user
+    partitions), one keyed agg over a types² (≤25-row) result, one
+    tiny window for the row sums. Integer ppm via BIGINT DIV ≡ //."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return counts.withColumn("_tot", F.sum("n").over(wrow)).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("CAST((1000000 * n) DIV _tot AS BIGINT)").alias("row_ppm"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"

@@ -823,6 +823,84 @@ def pq_adc_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold_pct: int = 95,
+    n_centroids: int | None = None,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 100,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate removal. Vectors cluster into √n cells (argmax
+    integer dot vs the √n lowest-key seed vectors — the sim_ivf_scaled
+    discipline), then only WITHIN-cell pairs are tested for cosine ≥
+    threshold; the higher id of each duplicate pair is removable.
+    Returns per-cell stats: (cell_id, n_vecs, n_pairs, n_dup_pairs,
+    n_removed).
+
+    Scale shape: clustering makes the pair space n·√n instead of n²
+    (the SemDeDup design point — at 100 TB cells are further capped and
+    the per-cell join shuffles on cell_id only). The cosine test is
+    all-integer: dot > 0 AND dot²·10⁴ ≥ thr²·‖a‖²·‖b‖² with scale=100
+    quantization, so every product fits BIGINT (dot ≤ 64·10⁴ →
+    dot²·10⁴ ≤ 4.1e15) and the oracle twins bit-exactly — no float
+    cosine anywhere."""
+    q_ = emb.select(key, quantized(vec, scale).alias("_q"))
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(8, math.isqrt(q_.count()))
+    cents = (
+        q_.orderBy(key).limit(n_centroids)
+        .select(F.col(key).alias("cell_id"), F.col("_q").alias("_qc"))
+    )
+    assigned = _assign_to_centroids_dot(q_, cents, key).withColumn(
+        "_n2",
+        F.aggregate("_q", F.lit(0).cast("bigint"), lambda a, x: a + x * x),
+    )
+    a = assigned.select(
+        "cell_id", F.col(key).alias("a_id"), F.col("_q").alias("_qa"),
+        F.col("_n2").alias("_na"),
+    )
+    b = assigned.select(
+        "cell_id", F.col(key).alias("b_id"), F.col("_q").alias("_qb"),
+        F.col("_n2").alias("_nb"),
+    )
+    thr2 = threshold_pct * threshold_pct
+    dot = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "cell_id", "b_id",
+            (
+                (dot > 0)
+                & (dot * dot * F.lit(10000) >= F.lit(thr2) * F.col("_na") * F.col("_nb"))
+            ).cast("bigint").alias("dup"),
+        )
+    )
+    pstats = pairs.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("dup").cast("bigint").alias("n_dup_pairs"),
+        F.countDistinct(F.when(F.col("dup") == 1, F.col("b_id"))).cast("bigint").alias("n_removed"),
+    )
+    vstats = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    return vstats.join(pstats, "cell_id", "left").select(
+        "cell_id",
+        "n_vecs",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     ncells: int = 8,
