@@ -322,3 +322,87 @@ def test_denovo_and_compound_het_match_pandas(spark):
     for (gene, samp), r in want.iterrows():
         row = got2.loc[(gene, samp)]
         assert (int(row.n_sites), int(row.n_het)) == (int(r.n_sites), int(r.n_het))
+
+
+def test_table_stats_match_pandas(spark):
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    o["price_usd"] = np.floor(o.o_totalprice).astype(np.int64)
+    o["d"] = o.o_orderdate.astype("datetime64[ns]").dt.date
+    got = run(spark, "store_table_stats").set_index("col_name")
+    for name, col in [
+        ("o_orderkey", o.o_orderkey),
+        ("o_custkey", o.o_custkey),
+        ("o_orderstatus", o.o_orderstatus),
+        ("price_usd", o.price_usd),
+        ("o_orderdate", o.d),
+    ]:
+        row = got.loc[name]
+        assert int(row.n_rows) == len(o)
+        assert int(row.n_nulls) == int(col.isna().sum())
+        assert int(row.ndv) == col.nunique()
+        assert row.min_val == str(col.min())
+        assert row.max_val == str(col.max())
+
+
+def test_mad_outliers_match_pandas(spark):
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    o["usd"] = np.floor(o.o_totalprice).astype(np.int64)
+    o["d"] = o.o_orderdate.astype("datetime64[ns]").dt.date
+    daily = o.groupby("d").usd.sum().reset_index().rename(columns={"usd": "x"})
+    nd = len(daily)
+    # lower median by deterministic (value, day) rank
+    med = int(daily.sort_values(["x", "d"]).iloc[(nd + 1) // 2 - 1].x)
+    daily["dev"] = (daily.x - med).abs()
+    mad = int(daily.sort_values(["dev", "d"]).iloc[(nd + 1) // 2 - 1].dev)
+    want = daily[daily.dev > 5 * mad]
+    got = run(spark, "agg_mad_outliers")
+    assert len(got) == len(want)
+    assert (got.med == med).all() and (got.mad == mad).all()
+    assert set(got.d) == set(want.d)
+
+
+def test_ibs_pairs_match_pandas(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").toPandas()
+    li["g3"] = li.l_orderkey % 3
+    li["gg"] = np.where(li.g3 == 0, 2, np.where(li.g3 == 1, 1, 0))
+    gt = (
+        li.groupby([li.l_partkey.rename("site"), (li.l_suppkey % 10).rename("samp")])
+        .gg.min()
+        .reset_index()
+    )
+    piv = gt.pivot(index="site", columns="samp", values="gg")
+    got = run(spark, "freq_ibs_pairs", SF_SMALL).set_index(["sample_a", "sample_b"])
+    import itertools
+
+    for a, b in itertools.combinations(sorted(piv.columns), 2):
+        both = piv[[a, b]].dropna()
+        diff = (both[a] - both[b]).abs()
+        row = got.loc[(a, b)]
+        n, i0, i1, i2 = (
+            len(both),
+            int((diff == 2).sum()),
+            int((diff == 1).sum()),
+            int((diff == 0).sum()),
+        )
+        assert (int(row.n_shared), int(row.ibs0), int(row.ibs1), int(row.ibs2)) == (
+            n, i0, i1, i2,
+        )
+        assert int(row.similarity_ppm) == 1_000_000 * (2 * i2 + i1) // (2 * n)
+
+
+def test_bollinger_breach_matches_pandas(spark):
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    o["usd"] = np.floor(o.o_totalprice).astype(np.int64)
+    o["d"] = o.o_orderdate.astype("datetime64[ns]").dt.date
+    daily = o.groupby("d").usd.sum().sort_index()
+    x = daily.to_numpy()
+    got = run(spark, "win_bollinger_breach").sort_values("d").reset_index(drop=True)
+    assert len(got) == len(daily)
+    for i in range(len(x)):
+        lo = max(0, i - 19)
+        w = x[lo : i + 1].astype(object)  # python ints: no overflow
+        n, s, q = len(w), sum(w), sum(v * v for v in w)
+        diff = n * int(x[i]) - s
+        strict = diff * diff > 4 * (n * q - s * s)
+        assert int(got.breach_hi[i]) == int(diff > 0 and strict)
+        assert int(got.breach_lo[i]) == int(diff < 0 and strict)

@@ -55,6 +55,10 @@ GLOBAL_ONE_TASK_OK = {
                          # agg_abc_class, documented in the docstring
     "agg_hist_quantile", # cumulative window over the ~120-row value-
                          # domain-bounded histogram (documented)
+    "agg_mad_outliers",  # two rank windows over the DAY-grain revenue
+                         # table (calendar-bounded ~2.4k rows, documented)
+    "win_bollinger_breach",  # one 20-row frame over the DAY-grain
+                         # revenue table (calendar-bounded, documented)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -112,6 +116,8 @@ BNLJ_OK = {
     "store_zone_map_skip",  # calendar-bounded month probe spine (~84
                          # rows) broadcast against the file manifest —
                          # the audit's documented design
+    "agg_mad_outliers",  # 1-row day-count / median / MAD scalars
+                         # broadcast back across the day table
     "graph_paths3",      # 1-row trigram total scalar (ppm denominator)
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins

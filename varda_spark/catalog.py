@@ -42,6 +42,10 @@ REGISTRY: dict[str, Q] = {}
 
 def q(name: str, sql: str | None):
     def deco(fn):
+        # a silent re-registration would orphan the first key's oracle
+        # AND invalidate any driver hash certified under the old
+        # semantics (the round-7 win_bollinger near-miss)
+        assert name not in REGISTRY, f"duplicate catalog key: {name}"
         REGISTRY[name] = Q(fn, sql)
         return fn
 
@@ -19371,6 +19375,287 @@ def agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_type",
         "n",
         F.expr("CAST((1000000 * n) DIV _tot AS BIGINT)").alias("row_ppm"),
+    )
+
+
+@q(
+    "store_table_stats",
+    """WITH s AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice) AS BIGINT) AS price_usd,
+                CAST(o_orderdate AS DATE) AS d
+         FROM orders)
+       SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+              CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+              CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+              CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+       FROM s
+       UNION ALL
+       SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+              CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+       FROM s
+       UNION ALL
+       SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+              CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+              MIN(o_orderstatus), MAX(o_orderstatus)
+       FROM s
+       UNION ALL
+       SELECT 'price_usd', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(*) - COUNT(price_usd) AS BIGINT),
+              CAST(COUNT(DISTINCT price_usd) AS BIGINT),
+              CAST(MIN(price_usd) AS VARCHAR), CAST(MAX(price_usd) AS VARCHAR)
+       FROM s
+       UNION ALL
+       SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(*) - COUNT(d) AS BIGINT),
+              CAST(COUNT(DISTINCT d) AS BIGINT),
+              CAST(MIN(d) AS VARCHAR), CAST(MAX(d) AS VARCHAR)
+       FROM s""",
+)
+def store_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ ANALYZE-TABLE-style column statistics collection: per column,
+    row count / null count / exact NDV / min / max (as canonical
+    strings) — the numbers a cost-based optimizer and a zone-map
+    builder both feed on. ONE scan: Spark computes all five columns'
+    stats in a single aggregate (Catalyst expands the multi-distinct
+    into one pass) and unpivots the 1-row result via an inline array —
+    at 100 TB this is the standard stats job, scan-bound with map-side
+    partials; no per-column rescans (the oracle's UNION ALL is the
+    semantic spec, not the plan)."""
+    o = read_table(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)").alias("price_usd"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            e
+            for c in ["o_orderkey", "o_custkey", "o_orderstatus", "price_usd", "d"]
+            for e in (
+                F.count(c).alias(f"_c_{c}"),
+                F.countDistinct(c).alias(f"_ndv_{c}"),
+                F.min(c).cast("string").alias(f"_mn_{c}"),
+                F.max(c).cast("string").alias(f"_mx_{c}"),
+            )
+        ],
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "price_usd", "o_orderdate"]
+    srcs = ["o_orderkey", "o_custkey", "o_orderstatus", "price_usd", "d"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("_n").cast("bigint").alias("n_rows"),
+                (F.col("_n") - F.col(f"_c_{src}")).cast("bigint").alias("n_nulls"),
+                F.col(f"_ndv_{src}").cast("bigint").alias("ndv"),
+                F.col(f"_mn_{src}").alias("min_val"),
+                F.col(f"_mx_{src}").alias("max_val"),
+            )
+            for name, src in zip(cols, srcs)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@q(
+    "agg_mad_outliers",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS d,
+                CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+       med AS (
+         SELECT x AS m FROM (
+           SELECT x, ROW_NUMBER() OVER (ORDER BY x, d) AS rn FROM daily) r
+         CROSS JOIN n WHERE rn = (nd + 1) // 2),
+       dev AS (
+         SELECT d, x, ABS(x - m) AS dv FROM daily CROSS JOIN med),
+       mad AS (
+         SELECT dv AS md FROM (
+           SELECT dv, ROW_NUMBER() OVER (ORDER BY dv, d) AS rn FROM dev) r
+         CROSS JOIN n WHERE rn = (nd + 1) // 2)
+       SELECT d, x AS revenue_usd, m AS med, md AS mad, dv AS dev
+       FROM dev CROSS JOIN med CROSS JOIN mad
+       WHERE dv > 5 * md""",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue anomaly detection via median absolute
+    deviation — the outlier screen that, unlike z-scores, one whale
+    order can't poison (median and MAD have 50% breakdown). Lower
+    medians by deterministic (value, day) rank — integer-exact, no
+    interpolation, so both engines agree bit-for-bit. Plan: one keyed
+    day rollup (map-side partials), then two rank windows over the
+    CALENDAR-BOUNDED day table (~2.4k rows at any sf — whitelisted) and
+    1-row median/MAD scalars broadcast back across the days."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).cast("bigint").alias("x")
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    ranked = daily.withColumn(
+        "rn", F.row_number().over(Window.orderBy("x", "d"))
+    ).crossJoin(F.broadcast(nd))
+    med = ranked.filter(F.expr("rn = (nd + 1) DIV 2")).select(F.col("x").alias("m"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "d", "x", F.abs(F.col("x") - F.col("m")).alias("dv"), "m"
+    )
+    ranked2 = dev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("dv", "d"))
+    ).crossJoin(F.broadcast(nd))
+    mad = ranked2.filter(F.expr("rn = (nd + 1) DIV 2")).select(F.col("dv").alias("md"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("dv") > 5 * F.col("md"))
+        .select(
+            "d",
+            F.col("x").alias("revenue_usd"),
+            F.col("m").alias("med"),
+            F.col("md").alias("mad"),
+            F.col("dv").alias("dev"),
+        )
+    )
+
+
+@q(
+    "freq_ibs_pairs",
+    "WITH " + _GT_CTE + """
+       SELECT CAST(a.sample_id AS BIGINT) AS sample_a,
+              CAST(b.sample_id AS BIGINT) AS sample_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared,
+              CAST(SUM(CASE WHEN ABS(a.g - b.g) = 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ibs0,
+              CAST(SUM(CASE WHEN ABS(a.g - b.g) = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ibs1,
+              CAST(SUM(CASE WHEN a.g = b.g THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ibs2,
+              CAST((1000000 * (2 * SUM(CASE WHEN a.g = b.g THEN 1 ELSE 0 END)
+                               + SUM(CASE WHEN ABS(a.g - b.g) = 1
+                                          THEN 1 ELSE 0 END)))
+                   // (2 * COUNT(*)) AS BIGINT) AS similarity_ppm
+       FROM gt a JOIN gt b
+         ON a.site_id = b.site_id AND a.sample_id < b.sample_id
+       GROUP BY 1, 2""",
+)
+def freq_ibs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-domain identity-by-state sharing (plink --genome's IBS
+    half): per sample pair over co-observed sites, the counts of sites
+    where dosages differ by 2 / 1 / 0 and the classic similarity
+    (2·IBS2 + IBS1) / (2·shared) in ppm — duplicate-sample and
+    close-relative detection that complements freq_kinship's moment
+    estimator. Plan: the genotype synthesis shuffles once on site_id;
+    the pair join is site-keyed (fan-out = samples² per site, bounded
+    at 10 samples) and rolls straight into a 45-row keyed agg with
+    map-side partials — never an all-pairs-of-rows join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gt = (
+        li.groupBy(
+            F.col("l_partkey").alias("site_id"),
+            (F.col("l_suppkey") % 10).alias("sample_id"),
+        )
+        .agg(
+            F.min(
+                F.when(F.col("l_orderkey") % 3 == 0, 2)
+                .when(F.col("l_orderkey") % 3 == 1, 1)
+                .otherwise(0)
+            ).alias("g")
+        )
+    )
+    a = gt.select("site_id", F.col("sample_id").alias("sample_a"), F.col("g").alias("ga"))
+    b = gt.select("site_id", F.col("sample_id").alias("sample_b"), F.col("g").alias("gb"))
+    j = a.join(b, "site_id").filter(F.col("sample_a") < F.col("sample_b"))
+    d = F.abs(F.col("ga") - F.col("gb"))
+    out = j.groupBy(
+        F.col("sample_a").cast("bigint").alias("sample_a"),
+        F.col("sample_b").cast("bigint").alias("sample_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        F.sum(F.when(d == 2, 1).otherwise(0)).cast("bigint").alias("ibs0"),
+        F.sum(F.when(d == 1, 1).otherwise(0)).cast("bigint").alias("ibs1"),
+        F.sum(F.when(d == 0, 1).otherwise(0)).cast("bigint").alias("ibs2"),
+    )
+    return out.withColumn(
+        "similarity_ppm",
+        F.expr("CAST((1000000 * (2 * ibs2 + ibs1)) DIV (2 * n_shared) AS BIGINT)"),
+    )
+
+
+@q(
+    "win_bollinger_breach",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS d,
+                CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+       w AS (
+         SELECT d, x,
+                CAST(COUNT(*) OVER win AS BIGINT) AS n20,
+                CAST(SUM(x) OVER win AS BIGINT) AS s20,
+                CAST(SUM(x * x) OVER win AS BIGINT) AS q20
+         FROM daily
+         WINDOW win AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       SELECT d, x AS revenue_usd, n20,
+              CASE WHEN n20 * x - s20 > 0
+                    AND CAST(n20 * x - s20 AS HUGEINT)
+                        * CAST(n20 * x - s20 AS HUGEINT)
+                        > 4 * (CAST(n20 AS HUGEINT) * CAST(q20 AS HUGEINT)
+                               - CAST(s20 AS HUGEINT) * CAST(s20 AS HUGEINT))
+                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS breach_hi,
+              CASE WHEN n20 * x - s20 < 0
+                    AND CAST(n20 * x - s20 AS HUGEINT)
+                        * CAST(n20 * x - s20 AS HUGEINT)
+                        > 4 * (CAST(n20 AS HUGEINT) * CAST(q20 AS HUGEINT)
+                               - CAST(s20 AS HUGEINT) * CAST(s20 AS HUGEINT))
+                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS breach_lo
+       FROM w""",
+)
+def win_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ Bollinger-band breach detection with NO square root: a day
+    breaches the ±2σ band iff (n·x − Σx)² > k²·(n·Σx² − (Σx)²) — the
+    band test squared and cleared of denominators, so the whole thing
+    is integer arithmetic (HUGEINT ↔ DECIMAL(38,0) for the squares,
+    which overflow BIGINT once daily revenue passes ~3e9 at high sf)
+    and bit-exact across engines. One keyed day rollup then one
+    ordered 20-row frame over the CALENDAR-BOUNDED day table (~2.4k
+    rows at any sf — whitelisted global window, same argument as
+    win_rolling_slope)."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).cast("bigint").alias("x")
+    )
+    win = Window.orderBy("d").rowsBetween(-19, 0)
+    w = daily.select(
+        "d",
+        "x",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n20"),
+        F.sum("x").over(win).cast("bigint").alias("s20"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("bigint").alias("q20"),
+    )
+    lhs = (
+        "CAST(n20 * x - s20 AS DECIMAL(19,0)) * CAST(n20 * x - s20 AS DECIMAL(19,0))"
+    )
+    rhs = (
+        "4 * (CAST(n20 AS DECIMAL(38,0)) * CAST(q20 AS DECIMAL(38,0))"
+        " - CAST(s20 AS DECIMAL(19,0)) * CAST(s20 AS DECIMAL(19,0)))"
+    )
+    return w.select(
+        "d",
+        F.col("x").alias("revenue_usd"),
+        "n20",
+        F.expr(
+            f"CAST(CASE WHEN n20 * x - s20 > 0 AND {lhs} > {rhs}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("breach_hi"),
+        F.expr(
+            f"CAST(CASE WHEN n20 * x - s20 < 0 AND {lhs} > {rhs}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("breach_lo"),
     )
 
 
