@@ -93,6 +93,10 @@ HEADLINE = LEGACY20 + [
     "sim_pq_adc_topk",     # PQ encode + ADC lookup-table top-k (codes-only scan)
     "freq_pgs_score",      # polygenic score: weight join + sample-keyed sum
     "store_compaction_plan",  # per-partition running-sum file bin packing
+    # round-7 additions
+    "sim_ivfpq",           # composed IVF routing + in-cell PQ/ADC scan
+    "emb_semantic_dedup",  # SemDeDup: sqrt(n)-cell clustered cosine dedup
+    "dedup_substring_spans",  # repeated 8-token passages across documents
 ]
 
 

@@ -406,3 +406,17 @@ def test_bollinger_breach_matches_pandas(spark):
         strict = diff * diff > 4 * (n * q - s * s)
         assert int(got.breach_hi[i]) == int(diff > 0 and strict)
         assert int(got.breach_lo[i]) == int(diff < 0 and strict)
+
+
+def test_exact_percentiles_match_numpy(spark):
+    c = spark.read.parquet(f"{SF_001}/customer.parquet").toPandas()
+    c["cents"] = np.floor(c.c_acctbal * 100).astype(np.int64)
+    got = run(spark, "agg_exact_percentiles").set_index("segment")
+    for seg, grp in c.groupby("c_mktsegment"):
+        v = np.sort(grp.cents.to_numpy())
+        n = len(v)
+        row = got.loc[seg]
+        assert int(row.n) == n
+        for p, col in [(50, "p50_cents"), (90, "p90_cents"), (99, "p99_cents")]:
+            idx = -(-p * n // 100)  # ceil(p*n/100), 1-based
+            assert int(row[col]) == int(v[idx - 1]), (seg, p)

@@ -11148,27 +11148,27 @@ _DRIVER_RECERT = [
     "freq_roh",
 ]
 
-# Staged round-8 window: the 35 oracle-twinned keys still never
-# driver-sampled after the live R7 window above (win_rsi/win_stochastic
-# deferred to R9 — same indicator family as win_macd, which is in) plus
-# the 15 _DRIVER_RECERT keys = 50. Promote to _DRIVER_PRIORITY at
-# round-8 open; refresh this list at round-7 close to fold in round-7
-# additions (displacing breadth keys to R9 as needed).
+# Staged round-8 window (refreshed at round-7 close): the round-6 and
+# round-7 additions (17) + 18 older never-sampled breadth keys + the 15
+# _DRIVER_RECERT keys = 50. The remaining ~20 never-sampled breadth
+# keys (win_rsi, win_stochastic, agg_peak_concurrency, qa_freshness, …)
+# form R9. Promote to _DRIVER_PRIORITY at round-8 open.
 _DRIVER_PRIORITY_R8 = [
     # round-6 additions
     "sim_pq_codes", "sim_pq_adc_topk", "freq_pgs_score", "freq_sex_check",
     "agg_k_anonymity", "store_compaction_plan",
-    # remaining never-sampled breadth
+    # round-7 additions
+    "sim_ivfpq", "emb_semantic_dedup", "dedup_substring_spans",
+    "store_zone_map_skip", "freq_denovo", "freq_compound_het",
+    "agg_event_transitions", "store_table_stats", "agg_mad_outliers",
+    "freq_ibs_pairs", "win_bollinger_breach",
+    # older never-sampled breadth
     "graph_assortativity", "win_macd", "agg_decile_lift",
     "win_seasonal_decompose", "agg_distinct_growth", "agg_forecast_mase",
     "agg_target_encode", "win_interpolate", "agg_growth_accounting",
     "join_grid_knn", "graph_markov_stationary", "agg_retention_dn",
     "stream_watermark_audit", "agg_ltv_curve", "agg_price_index",
-    "graph_paths3", "agg_standardize", "sql_api3", "agg_peak_concurrency",
-    "qa_column_diversity", "join_pit_scd2", "win_rolling_slope",
-    "agg_skyline", "agg_chainladder", "agg_recency_score",
-    "join_absence_sla", "graph_degree_ccdf", "agg_session_gap_sensitivity",
-    "qa_freshness",
+    "graph_paths3", "agg_standardize", "sql_api3",
     # re-certification set (_DRIVER_RECERT)
     "join_interval", "freq_variant", "freq_selected", "freq_keys",
     "freq_annotate", "freq_zygosity", "join_nearest", "agg_coverage",
@@ -19656,6 +19656,63 @@ def win_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CASE WHEN n20 * x - s20 < 0 AND {lhs} > {rhs}"
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("breach_lo"),
+    )
+
+
+@q(
+    "agg_exact_percentiles",
+    """WITH v AS (
+         SELECT c_mktsegment AS segment,
+                CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+         FROM customer),
+       r AS (
+         SELECT segment, cents,
+                ROW_NUMBER() OVER (PARTITION BY segment
+                                   ORDER BY cents) AS rn,
+                COUNT(*) OVER (PARTITION BY segment) AS n
+         FROM v)
+       SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+              CAST(MIN(CASE WHEN rn = (50 * n + 99) // 100
+                            THEN cents END) AS BIGINT) AS p50_cents,
+              CAST(MIN(CASE WHEN rn = (90 * n + 99) // 100
+                            THEN cents END) AS BIGINT) AS p90_cents,
+              CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100
+                            THEN cents END) AS BIGINT) AS p99_cents
+       FROM r GROUP BY segment""",
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ EXACT grouped percentiles — the ground-truth companion to the
+    sketch keys (agg_approx_pct, agg_hist_quantile): per segment, the
+    lower-percentile p50/p90/p99 of the balance in integer cents, idx =
+    ceil(p·n/100) by rank — no interpolation, no floats, so both
+    engines agree on the exact member value. Plan: one rank window per
+    GROUP (partitioned, distributed — this is the exact-percentile
+    shape that scales: the global-sort variant would not), then one
+    keyed agg folding the three picked ranks. At 100 TB exact grouped
+    percentiles are a real ask (SLA reporting); the documented
+    trade-off vs the mergeable sketches is one sort-shuffle of the
+    group's rows."""
+    c = read_table(spark, sf_dir, "customer")
+    v = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("segment").orderBy("cents")
+    wn = Window.partitionBy("segment")
+    r = v.select(
+        "segment",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"), F.col("cents"))
+    ).cast("bigint")
+    return r.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(50).alias("p50_cents"),
+        pick(90).alias("p90_cents"),
+        pick(99).alias("p99_cents"),
     )
 
 
