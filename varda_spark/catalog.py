@@ -11161,14 +11161,14 @@ _DRIVER_PRIORITY_R8 = [
     "sim_ivfpq", "emb_semantic_dedup", "dedup_substring_spans",
     "store_zone_map_skip", "freq_denovo", "freq_compound_het",
     "agg_event_transitions", "store_table_stats", "agg_mad_outliers",
-    "freq_ibs_pairs", "win_bollinger_breach",
+    "freq_ibs_pairs", "win_bollinger_breach", "agg_exact_percentiles",
     # older never-sampled breadth
     "graph_assortativity", "win_macd", "agg_decile_lift",
     "win_seasonal_decompose", "agg_distinct_growth", "agg_forecast_mase",
     "agg_target_encode", "win_interpolate", "agg_growth_accounting",
     "join_grid_knn", "graph_markov_stationary", "agg_retention_dn",
     "stream_watermark_audit", "agg_ltv_curve", "agg_price_index",
-    "graph_paths3", "agg_standardize", "sql_api3",
+    "graph_paths3", "agg_standardize",
     # re-certification set (_DRIVER_RECERT)
     "join_interval", "freq_variant", "freq_selected", "freq_keys",
     "freq_annotate", "freq_zygosity", "join_nearest", "agg_coverage",
@@ -19597,20 +19597,20 @@ def freq_ibs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT d, x,
                 CAST(COUNT(*) OVER win AS BIGINT) AS n20,
                 CAST(SUM(x) OVER win AS BIGINT) AS s20,
-                CAST(SUM(x * x) OVER win AS BIGINT) AS q20
+                SUM(CAST(x AS HUGEINT) * x) OVER win AS q20
          FROM daily
          WINDOW win AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
        SELECT d, x AS revenue_usd, n20,
               CASE WHEN n20 * x - s20 > 0
                     AND CAST(n20 * x - s20 AS HUGEINT)
                         * CAST(n20 * x - s20 AS HUGEINT)
-                        > 4 * (CAST(n20 AS HUGEINT) * CAST(q20 AS HUGEINT)
+                        > 4 * (CAST(n20 AS HUGEINT) * q20
                                - CAST(s20 AS HUGEINT) * CAST(s20 AS HUGEINT))
                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS breach_hi,
               CASE WHEN n20 * x - s20 < 0
                     AND CAST(n20 * x - s20 AS HUGEINT)
                         * CAST(n20 * x - s20 AS HUGEINT)
-                        > 4 * (CAST(n20 AS HUGEINT) * CAST(q20 AS HUGEINT)
+                        > 4 * (CAST(n20 AS HUGEINT) * q20
                                - CAST(s20 AS HUGEINT) * CAST(s20 AS HUGEINT))
                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS breach_lo
        FROM w""",
@@ -19635,13 +19635,15 @@ def win_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.count(F.lit(1)).over(win).cast("bigint").alias("n20"),
         F.sum("x").over(win).cast("bigint").alias("s20"),
-        F.sum(F.col("x") * F.col("x")).over(win).cast("bigint").alias("q20"),
+        # x² fits BIGINT but the 20-day frame SUM does not once daily
+        # revenue passes ~7e8 (hit at sf5) — accumulate in DECIMAL(38,0)
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x")).over(win).alias("q20"),
     )
     lhs = (
         "CAST(n20 * x - s20 AS DECIMAL(19,0)) * CAST(n20 * x - s20 AS DECIMAL(19,0))"
     )
     rhs = (
-        "4 * (CAST(n20 AS DECIMAL(38,0)) * CAST(q20 AS DECIMAL(38,0))"
+        "4 * (CAST(n20 AS DECIMAL(38,0)) * q20"
         " - CAST(s20 AS DECIMAL(19,0)) * CAST(s20 AS DECIMAL(19,0)))"
     )
     return w.select(
