@@ -182,7 +182,7 @@ def test_substring_spans_matches_python(spark):
     for r in docs.itertuples():
         w = r.text.strip().split(" ")
         hs = [
-            hashlib.md5(" ".join(w[i : i + 8]).encode()).hexdigest()
+            hashlib.md5(" ".join(w[i : i + 8]).encode()).hexdigest()[:16]
             for i in range(len(w) - 7)
         ]
         doc_spans[r.doc_id] = hs

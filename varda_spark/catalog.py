@@ -19073,7 +19073,8 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
        sp AS (
          SELECT doc_id,
                 unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
-                       i -> md5(array_to_string(w[i:i+7], ' ')))) AS h
+                       i -> substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16)))
+                    AS h
          FROM words),
        hs AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
        SELECT doc_id,
@@ -19090,7 +19091,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Training Data Makes Language Models Better"): document-level dedup
     misses REPEATED PASSAGES inside otherwise-distinct documents
     (boilerplate, licenses, quoted chunks). Every 8-token span is
-    hashed (md5 — identical in both engines); a span position is
+    hashed (64-bit md5 prefix — identical in both engines, and half
+    the shuffle payload of the full digest); a span position is
     duplicated when its hash occurs in ≥2 distinct documents; output is
     each doc's duplicated-span fraction in ppm — the signal a span-
     removal pass would act on. Scale: one explode to n·(len−7) span
@@ -19105,7 +19107,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("w") - 7),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, F.lit(8)))),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("w", i, F.lit(8)))), 1, 16
+                ),
             )
         ).alias("h"),
     )
