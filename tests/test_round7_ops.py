@@ -420,3 +420,57 @@ def test_exact_percentiles_match_numpy(spark):
         for p, col in [(50, "p50_cents"), (90, "p90_cents"), (99, "p99_cents")]:
             idx = -(-p * n // 100)  # ceil(p*n/100), 1-based
             assert int(row[col]) == int(v[idx - 1]), (seg, p)
+
+
+def test_recall_eval_matches_numpy(spark):
+    """recall@3 of IVF-PQ vs a literal numpy exact-L2 ground truth,
+    with the approx side replayed through the same numpy composition
+    as test_ivfpq_matches_numpy_composition."""
+    ids, X = _quantized_embeddings(spark, SF_001)
+    m, k, ncells, nprobe, topk = 4, 8, 8, 2, 3
+    dsub = X.shape[1] // m
+    C, Cv, cids = X[:k], X[:ncells], ids[:ncells]
+    codes = np.zeros((len(X), m), dtype=np.int64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        Cj = C[:, j * dsub : (j + 1) * dsub]
+        codes[:, j] = ((S[:, None, :] - Cj[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    dots = X @ Cv.T
+    cell = cids[dots.argmax(axis=1)]
+    got = run(spark, "sim_recall_eval").set_index("query_id")
+    assert len(got) == 5
+    for qi in range(5):
+        d2 = ((X - X[qi][None, :]) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d2))[:topk]])
+        probe = set(cids[np.lexsort((cids, -dots[qi]))[:nprobe]])
+        cand = np.where(np.isin(cell, list(probe)))[0]
+        lut = np.stack(
+            [
+                (
+                    (X[qi, j * dsub : (j + 1) * dsub][None, :] - C[:, j * dsub : (j + 1) * dsub])
+                    ** 2
+                ).sum(axis=1)
+                for j in range(m)
+            ]
+        )
+        adc = sum(lut[j][codes[:, j]] for j in range(m))
+        approx = set(ids[cand[np.lexsort((ids[cand], adc[cand]))[:topk]]])
+        hits = len(exact & approx)
+        row = got.loc[ids[qi]]
+        assert int(row.n_exact) == topk
+        assert int(row.n_hits) == hits
+        assert int(row.recall_ppm) == 1_000_000 * hits // topk
+
+
+def test_bpe_pair_counts_match_python(spark):
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    cnt = Counter()
+    for t in docs.text:
+        for w in t.strip().split(" "):
+            for i in range(len(w) - 1):
+                cnt[w[i : i + 2]] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = run(spark, "text_bpe_pair_counts").sort_values("rank")
+    assert [(r.pair, int(r.n)) for r in got.itertuples()] == want

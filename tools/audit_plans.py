@@ -59,6 +59,8 @@ GLOBAL_ONE_TASK_OK = {
                          # table (calendar-bounded ~2.4k rows, documented)
     "win_bollinger_breach",  # one 20-row frame over the DAY-grain
                          # revenue table (calendar-bounded, documented)
+    "text_bpe_pair_counts",  # rank window over the charset²-bounded
+                         # pair-count table (≤ a few hundred rows)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:

@@ -11162,13 +11162,13 @@ _DRIVER_PRIORITY_R8 = [
     "store_zone_map_skip", "freq_denovo", "freq_compound_het",
     "agg_event_transitions", "store_table_stats", "agg_mad_outliers",
     "freq_ibs_pairs", "win_bollinger_breach", "agg_exact_percentiles",
+    "sim_recall_eval", "text_bpe_pair_counts",
     # older never-sampled breadth
     "graph_assortativity", "win_macd", "agg_decile_lift",
     "win_seasonal_decompose", "agg_distinct_growth", "agg_forecast_mase",
     "agg_target_encode", "win_interpolate", "agg_growth_accounting",
     "join_grid_knn", "graph_markov_stationary", "agg_retention_dn",
     "stream_watermark_audit", "agg_ltv_curve", "agg_price_index",
-    "graph_paths3", "agg_standardize",
     # re-certification set (_DRIVER_RECERT)
     "join_interval", "freq_variant", "freq_selected", "freq_keys",
     "freq_annotate", "freq_zygosity", "join_nearest", "agg_coverage",
@@ -18928,9 +18928,9 @@ def store_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 7 additions
 # =====================================================================
 
-@q(
-    "sim_ivfpq",
-    _PQ_CB + """,
+# the IVF-PQ CTE chain (coarse cells, routing, LUTs, ADC ranking) is
+# shared by sim_ivfpq and sim_recall_eval
+_IVFPQ_CTES = """,
        cents AS (
          SELECT vec_id AS cell_id, e AS ce FROM q ORDER BY vec_id LIMIT 8),
        assign AS (
@@ -18978,7 +18978,12 @@ def store_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT query_id, vec_id, cell_id, adc,
                 ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc, vec_id) AS rank
-         FROM adc)
+         FROM adc)"""
+
+
+@q(
+    "sim_ivfpq",
+    _PQ_CB + _IVFPQ_CTES + """
        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cell_id,
               CAST(adc AS BIGINT) AS adc
        FROM ranked WHERE rank <= 3""",
@@ -19000,6 +19005,112 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(e, ncells=8, nprobe=2, n_queries=5, topk=3, m=4, k=8)
+
+
+@q(
+    "sim_recall_eval",
+    _PQ_CB + _IVFPQ_CTES + """,
+       approx AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 3),
+       exd AS (
+         SELECT queries.query_id, q.vec_id,
+                list_sum(list_transform(list_zip(q.e, queries.qe),
+                    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+         FROM q CROSS JOIN queries),
+       exr AS (
+         SELECT query_id, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2, vec_id) AS r
+         FROM exd),
+       ex AS (SELECT query_id, vec_id FROM exr WHERE r <= 3)
+       SELECT ex.query_id,
+              CAST(COUNT(*) AS BIGINT) AS n_exact,
+              CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits,
+              CAST((1000000 * SUM(CASE WHEN a.vec_id IS NOT NULL
+                                       THEN 1 ELSE 0 END))
+                   // COUNT(*) AS BIGINT) AS recall_ppm
+       FROM ex LEFT JOIN approx a USING (query_id, vec_id)
+       GROUP BY ex.query_id""",
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ ANN index QUALITY evaluation — recall@3 of the IVF-PQ index
+    against the exact integer-L2 ground truth for the same probe set:
+    the number a production ANN deployment watches when tuning nprobe /
+    m / k (speed is meaningless without it). Exact side is linear in n
+    for the fixed probe set (closure-shipped queries, per-batch local
+    top-k, bounded final window — exact_l2_topk); approx side is the
+    certified sim_ivfpq; the comparison is a 15-row join. The engine
+    evaluating its own index, end to end, bit-exactly."""
+    from varda_spark.operators.similarity import exact_l2_topk, ivf_pq_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = exact_l2_topk(e, n_queries=5, topk=3).select("query_id", "vec_id")
+    ap = ivf_pq_topk(e, ncells=8, nprobe=2, n_queries=5, topk=3, m=4, k=8).select(
+        "query_id", F.col("vec_id").alias("a_vec")
+    )
+    j = ex.join(
+        ap,
+        (ex.query_id == ap.query_id) & (ex.vec_id == ap.a_vec),
+        "left",
+    ).select(ex.query_id.alias("qid"), "vec_id", "a_vec")
+    return (
+        j.groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.when(F.col("a_vec").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("CAST((1000000 * n_hits) DIV n_exact AS BIGINT)"),
+        )
+    )
+
+
+@q(
+    "text_bpe_pair_counts",
+    """WITH words AS (
+         SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents),
+       pairs AS (
+         SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                       i -> substr(w, i, 2))) AS pair
+         FROM words WHERE len(w) >= 2),
+       cnt AS (
+         SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair),
+       rk AS (
+         SELECT pair, n,
+                ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+         FROM cnt)
+       SELECT CAST(rank AS BIGINT) AS rank, pair, n
+       FROM rk WHERE rank <= 50""",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ the first iteration of BPE tokenizer training: count every
+    adjacent character pair inside words across the corpus and rank the
+    merge candidates — at 100 TB this keyed count IS the expensive step
+    of byte-pair-encoding training, and its shape (explode → hash agg →
+    TakeOrdered(50)) is exactly what a distributed BPE trainer runs per
+    merge round (Sennrich et al. 2016). Map-side partials collapse the
+    pair space to ≤ charset² before the wire; the top-50 is a
+    TakeOrdered, not a global sort. Pair extraction is 1-based
+    substr(w, i, 2) — identical semantics in both engines."""
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.trim("text"), " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "pair", "n")
+    )
 
 
 @q(

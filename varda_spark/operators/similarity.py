@@ -897,6 +897,62 @@ def semantic_dedup(
     )
 
 
+def exact_l2_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    topk: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact integer-L2 top-k for a FIXED probe set: the ground truth an
+    ANN index (ivf_pq_topk / pq_adc_topk) is evaluated against. The
+    n_queries lowest-key vectors ride the task closure (q·dim ints);
+    the corpus pass is one mapInPandas with per-Arrow-batch local top-k
+    under the total (d², key) order, and the final window ranks only
+    batches·q·topk survivors — linear in n for fixed q, never n·q
+    materialized rows. All-integer; ties → lowest key."""
+    import numpy as np
+
+    q_ = emb.select(key, quantized(vec, scale).alias("_q"))
+    key_t = q_.schema[key].dataType.simpleString()
+    qrows = q_.orderBy(key).limit(n_queries).collect()
+    Qm = np.array([r["_q"] for r in qrows], dtype=np.int64)
+    qids = np.array([r[key] for r in qrows])
+
+    def _scan(batches, Qm=Qm, qids=qids, topk=topk):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            X = np.vstack(pdf["_q"].to_numpy())
+            ids = pdf[key].to_numpy()
+            # d²[q, i] = |x_i|² − 2 q·x_i + |q|²; exact int64
+            d2 = (
+                (X * X).sum(axis=1)[None, :]
+                - 2 * (Qm @ X.T)
+                + (Qm * Qm).sum(axis=1)[:, None]
+            )
+            out = {"query_id": [], key: [], "d2": []}
+            kk = min(topk, n)
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, d2[qi]))[:kk]
+                out["query_id"].extend([qids[qi]] * kk)
+                out[key].extend(ids[order])
+                out["d2"].extend(d2[qi][order])
+            yield pd.DataFrame(out)
+
+    local = q_.mapInPandas(_scan, f"query_id {key_t}, {key} {key_t}, d2 bigint")
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col(key).asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", key, "d2")
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     ncells: int = 8,
