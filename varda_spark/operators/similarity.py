@@ -964,6 +964,7 @@ def ivf_pq_topk(
     key: str = "vec_id",
     vec: str = "embedding",
     scale: int = 1000,
+    codebooks=None,
 ) -> DataFrame:
     """IVF-PQ: the composed production ANN index. IVF routes (each query
     probes its nprobe best coarse cells), PQ compresses (the scan inside
@@ -984,6 +985,8 @@ def ivf_pq_topk(
     import numpy as np
 
     subC, dsub, q_ = _pq_codebooks(emb, m, k, key, vec, scale)
+    if codebooks is not None:  # e.g. pq_fit output; same plan shape
+        subC = codebooks
     key_t = q_.schema[key].dataType.simpleString()
     crows = q_.orderBy(key).limit(ncells).collect()
     C2 = np.array([r["_q"] for r in crows], dtype=np.int64)
