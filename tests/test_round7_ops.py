@@ -474,3 +474,51 @@ def test_bpe_pair_counts_match_python(spark):
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     got = run(spark, "text_bpe_pair_counts").sort_values("rank")
     assert [(r.pair, int(r.n)) for r in got.itertuples()] == want
+
+
+def test_dedup_recall_eval_matches_python(spark):
+    """Recall/precision of MinHash banding vs literal python Jaccard
+    and banding replay (md5-based, engine-portable by construction)."""
+    import hashlib
+    from collections import defaultdict
+    from itertools import combinations
+
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    sh = {}
+    for r in docs.itertuples():
+        w = r.text.split(" ")
+        sh[r.doc_id] = {
+            " ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))
+        } if len(w) >= 3 else {" ".join(w)}
+    # exact ground truth at J >= 0.5, restricted to shingle-sharing pairs
+    inv = defaultdict(set)
+    for d, s in sh.items():
+        for g in s:
+            inv[g].add(d)
+    cand_pairs = {
+        (a, b) for ds in inv.values() for a, b in combinations(sorted(ds), 2)
+    }
+    truth = {
+        (a, b)
+        for a, b in cand_pairs
+        if 3 * len(sh[a] & sh[b]) >= len(sh[a]) + len(sh[b])
+    }
+    # minhash banding replay
+    def sig(s, i):
+        return min(hashlib.md5(f"{i}|{g}".encode()).hexdigest() for g in s)
+
+    bands = defaultdict(set)
+    for d, s in sh.items():
+        sigs = [sig(s, i) for i in range(8)]
+        for bi in range(4):
+            bands[f"{bi}|{sigs[2*bi]}|{sigs[2*bi+1]}"].add(d)
+    lsh = {
+        (a, b) for ds in bands.values() for a, b in combinations(sorted(ds), 2)
+    }
+    hits = truth & lsh
+    got = run(spark, "dedup_recall_eval").iloc[0]
+    assert int(got.n_truth) == len(truth)
+    assert int(got.n_cand) == len(lsh)
+    assert int(got.n_hits) == len(hits)
+    assert int(got.recall_ppm) == 1_000_000 * len(hits) // max(len(truth), 1)
+    assert int(got.precision_ppm) == 1_000_000 * len(hits) // max(len(lsh), 1)

@@ -120,6 +120,8 @@ BNLJ_OK = {
                          # the audit's documented design
     "agg_mad_outliers",  # 1-row day-count / median / MAD scalars
                          # broadcast back across the day table
+    "dedup_recall_eval", # 1-row candidate-count scalar joined onto the
+                         # 1-row truth/hit rollup
     "graph_paths3",      # 1-row trigram total scalar (ppm denominator)
     "sample_temperature",  # 1-row min-source-count scalar for thresholds
     "join_bloom",        # 1-row filter-quality stats cross joins

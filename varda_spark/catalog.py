@@ -11162,13 +11162,13 @@ _DRIVER_PRIORITY_R8 = [
     "store_zone_map_skip", "freq_denovo", "freq_compound_het",
     "agg_event_transitions", "store_table_stats", "agg_mad_outliers",
     "freq_ibs_pairs", "win_bollinger_breach", "agg_exact_percentiles",
-    "sim_recall_eval", "text_bpe_pair_counts",
+    "sim_recall_eval", "text_bpe_pair_counts", "dedup_recall_eval",
     # older never-sampled breadth
     "graph_assortativity", "win_macd", "agg_decile_lift",
     "win_seasonal_decompose", "agg_distinct_growth", "agg_forecast_mase",
     "agg_target_encode", "win_interpolate", "agg_growth_accounting",
     "join_grid_knn", "graph_markov_stationary", "agg_retention_dn",
-    "stream_watermark_audit", "agg_ltv_curve", "agg_price_index",
+    "stream_watermark_audit", "agg_ltv_curve",
     # re-certification set (_DRIVER_RECERT)
     "join_interval", "freq_variant", "freq_selected", "freq_keys",
     "freq_annotate", "freq_zygosity", "join_nearest", "agg_coverage",
@@ -19110,6 +19110,103 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 50)
         .select("rank", "pair", "n")
+    )
+
+
+@q(
+    "dedup_recall_eval",
+    """WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+         FROM words),
+       shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       sigs AS (
+         SELECT doc_id,
+                MIN(md5('0|' || shingle)) AS sig_0, MIN(md5('1|' || shingle)) AS sig_1,
+                MIN(md5('2|' || shingle)) AS sig_2, MIN(md5('3|' || shingle)) AS sig_3,
+                MIN(md5('4|' || shingle)) AS sig_4, MIN(md5('5|' || shingle)) AS sig_5,
+                MIN(md5('6|' || shingle)) AS sig_6, MIN(md5('7|' || shingle)) AS sig_7
+         FROM sh GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, band FROM (
+           SELECT doc_id,
+                  ['0|' || sig_0 || '|' || sig_1, '1|' || sig_2 || '|' || sig_3,
+                   '2|' || sig_4 || '|' || sig_5, '3|' || sig_6 || '|' || sig_7] AS bands
+           FROM sigs), UNNEST(bands) AS u(band)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+         FROM shd a JOIN shd b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       truth AS (
+         SELECT doc_a, doc_b
+         FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE 3 * ni >= sa.n_sh + sb.n_sh),
+       nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+              nc.n_cand,
+              CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits,
+              CAST((1000000 * SUM(CASE WHEN c.doc_a IS NOT NULL
+                                       THEN 1 ELSE 0 END))
+                   // GREATEST(COUNT(*), 1) AS BIGINT) AS recall_ppm,
+              CAST((1000000 * SUM(CASE WHEN c.doc_a IS NOT NULL
+                                       THEN 1 ELSE 0 END))
+                   // GREATEST(nc.n_cand, 1) AS BIGINT) AS precision_ppm
+       FROM truth t
+       LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       CROSS JOIN nc
+       GROUP BY nc.n_cand""",
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2+ dedup index QUALITY evaluation — the LSH analog of
+    sim_recall_eval: MinHash banding (8 hashes, 4 bands × 2 rows, the
+    certified dedup_minhash config) scored against the exact-Jaccard
+    ≥50% ground truth from the shared shingle sets. Recall here is the
+    S-curve value 1−(1−s²)⁴ made measurable (≈68% at s=0.5, higher for
+    closer pairs) and precision counts the band-collision false
+    positives the verify stage must absorb — the two numbers that
+    decide bands×rows before a 100 TB dedup run. Ground truth is
+    inverted-index bounded (pairs share ≥1 shingle — never all-pairs);
+    the comparison is a pair-keyed join and a 1-row rollup."""
+    from varda_spark.operators.dedup import minhash_candidates, ngram_jaccard
+
+    d = read_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard(d).filter(F.col("jaccard_pct") >= 50).select("doc_a", "doc_b")
+    cand = minhash_candidates(d, num_hashes=8, bands=4, shingle_n=3).select(
+        F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
+    )
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    j = truth.join(
+        cand, (truth.doc_a == cand.c_a) & (truth.doc_b == cand.c_b), "left"
+    )
+    return (
+        j.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.sum(F.when(F.col("c_a").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.expr(
+                "CAST((1000000 * n_hits) DIV GREATEST(n_truth, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST((1000000 * n_hits) DIV GREATEST(n_cand, 1) AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
     )
 
 
