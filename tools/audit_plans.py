@@ -61,6 +61,9 @@ GLOBAL_ONE_TASK_OK = {
                          # revenue table (calendar-bounded, documented)
     "text_bpe_pair_counts",  # rank window over the charset²-bounded
                          # pair-count table (≤ a few hundred rows)
+    "text_anneal_plan",  # largest-remainder apportionment windows over
+                         # the |sources| rows (source-vocabulary-bounded
+                         # ~21 rows, documented)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -137,6 +140,10 @@ BNLJ_OK = {
     "sim_mips_prune",    # query-sample-sized (~20-row) query+bound
                          # broadcast probing the corpus scan (documented)
     "dedup_cluster_stats",  # 1-row total-doc scalar (share denominator)
+    "agg_kmv_intersect", # 1-row theta / n_common / exact-count scalars
+                         # composed into the single output row
+    "text_anneal_plan",  # 1-row corpus-total (w1, w2) scalar onto the
+                         # |sources| rollup
     "agg_backlog_aging", # 1-row data-derived aging-anchor scalar
     "freq_roh",          # 1-row data-derived genome-span scalar (F_ROH
                          # denominator; replaced the fixed 500 kb span

@@ -19935,6 +19935,365 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Round 7 continuation batch A
+# =====================================================================
+
+@q(
+    "agg_kmv_intersect",
+    """WITH ha AS (
+         SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                              AS BIGINT) AS h
+         FROM orders WHERE o_orderstatus = 'F'),
+       hb AS (
+         SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                              AS BIGINT) AS h
+         FROM orders WHERE o_orderstatus = 'O'),
+       ska AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+       skb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+       th AS (SELECT LEAST((SELECT MAX(h) FROM ska),
+                           (SELECT MAX(h) FROM skb)) AS theta),
+       com AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+         FROM ska JOIN skb ON ska.h = skb.h CROSS JOIN th
+         WHERE ska.h < th.theta),
+       ex AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')),
+       est AS (
+         SELECT theta, n_common, exact_inter,
+                CAST(CAST(n_common AS HUGEINT) * 1152921504606846976 // theta
+                     AS BIGINT) AS est_inter
+         FROM th CROSS JOIN com CROSS JOIN ex)
+       SELECT CAST(128 AS BIGINT) AS k, theta, n_common, est_inter, exact_inter,
+              CASE WHEN exact_inter = 0 THEN NULL
+                   ELSE CAST(CAST(ABS(est_inter - exact_inter) AS HUGEINT)
+                             * 1000000 // exact_inter AS BIGINT)
+              END AS err_ppm
+       FROM est""",
+)
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4+ theta-sketch SET INTERSECTION estimate — the companion to
+    agg_kmv_union (union cardinality) completing the sketch algebra a
+    segmentation engine needs (|A∩B| of two audience segments without
+    a distinct-join): KMV(k=128) per set over the 60-bit md5 hash,
+    theta = min of the two kth-smallest values, estimate = |{common
+    entries < theta}| · 2^60 / theta (Dasgupta et al., DataSketches
+    theta algebra). The exact intersection rides along as the accuracy
+    yardstick (err_ppm) — the half a production run would skip. Scale:
+    each k-smallest is TakeOrdered (per-partition top-k, k·P merge on
+    one reducer — never a global sort); the sketch∧sketch join is two
+    128-row broadcasts; only the yardstick INTERSECT shuffles. The
+    128·2^60 product exceeds int64, so the estimate multiplies in
+    DECIMAL(38,0)/HUGEINT (the win_bollinger_breach overflow lesson);
+    all operands non-negative so truncating division agrees."""
+    o = read_table(spark, sf_dir, "orders")
+    h60 = "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
+    def hashes(status: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .select("o_custkey")
+            .distinct()
+            .select(F.expr(h60).alias("h"))
+        )
+
+    ska = hashes("F").orderBy("h").limit(128)
+    skb = hashes("O").orderBy("h").limit(128)
+    th = (
+        ska.agg(F.max("h").alias("tha"))
+        .crossJoin(F.broadcast(skb.agg(F.max("h").alias("thb"))))
+        .select(F.least("tha", "thb").alias("theta"))
+    )
+    nc = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(th))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    ex = (
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+        .intersect(
+            o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    est = (
+        th.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(ex))
+        .withColumn(
+            "est_inter",
+            F.expr(
+                "CAST(CAST(n_common AS DECIMAL(38,0)) * 1152921504606846976"
+                " DIV theta AS BIGINT)"
+            ),
+        )
+    )
+    return est.select(
+        F.lit(128).cast("bigint").alias("k"),
+        "theta",
+        "n_common",
+        "est_inter",
+        "exact_inter",
+        F.expr(
+            "CASE WHEN exact_inter = 0 THEN NULL"
+            " ELSE CAST(CAST(ABS(est_inter - exact_inter) AS DECIMAL(38,0))"
+            " * 1000000 DIV exact_inter AS BIGINT) END"
+        ).alias("err_ppm"),
+    )
+
+
+@q(
+    "agg_l_diversity",
+    """WITH s AS (
+         SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS qi_year,
+                o_orderpriority AS qi_priority, o_orderstatus AS sens,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM orders GROUP BY 1, 2, 3)
+       SELECT qi_year, qi_priority,
+              CAST(SUM(c) AS BIGINT) AS n,
+              CAST(COUNT(*) AS BIGINT) AS l_distinct,
+              CAST(SUM(CAST(c AS HUGEINT) * c) * 1000000
+                   // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT) AS simpson_ppm,
+              COUNT(*) >= 3 AS meets_l3
+       FROM s GROUP BY qi_year, qi_priority""",
+)
+def agg_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ l-DIVERSITY audit — the release-gate companion to
+    agg_k_anonymity (group SIZE says nothing about whether everyone in
+    the group shares one sensitive value): per quasi-identifier group
+    (order year × priority), the distinct count of the sensitive
+    attribute (status), the Simpson concentration in ppm (Σc²/n² —
+    the entropy-free diversity measure, the agg_simpson discipline:
+    no float log cross-engine), and the l≥3 pass flag. Scale: two
+    keyed aggregates, both with map-side partials — the (QI, sens)
+    pre-aggregate collapses the fact table before the per-group fold,
+    so the shuffle carries |QI|·|sens| rows, not the table. Squares
+    accumulate in HUGEINT/DECIMAL(38,0); all terms non-negative so
+    truncating division agrees."""
+    o = read_table(spark, sf_dir, "orders")
+    s = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("qi_year"),
+        F.col("o_orderpriority").alias("qi_priority"),
+        F.col("o_orderstatus").alias("sens"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return s.groupBy("qi_year", "qi_priority").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.expr(
+            "CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) * 1000000"
+            " DIV (CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c)) AS BIGINT)"
+        ).alias("simpson_ppm"),
+        (F.count(F.lit(1)) >= 3).alias("meets_l3"),
+    )
+
+
+@q(
+    "qa_candidate_keys",
+    """WITH e AS (
+         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+         FROM events),
+       c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY event_id),
+       c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY user_id, ts),
+       c3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM e
+              GROUP BY user_id, event_type, d)
+       SELECT 'event_id' AS candidate, CAST(SUM(c) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) AS BIGINT) AS n_keys,
+              CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_rows,
+              CAST(MAX(c) AS BIGINT) AS max_mult, MAX(c) = 1 AS is_unique
+       FROM c1
+       UNION ALL
+       SELECT 'user_id,ts', CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(c) - COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT), MAX(c) = 1
+       FROM c2
+       UNION ALL
+       SELECT 'user_id,event_type,day', CAST(SUM(c) AS BIGINT),
+              CAST(COUNT(*) AS BIGINT), CAST(SUM(c) - COUNT(*) AS BIGINT),
+              CAST(MAX(c) AS BIGINT), MAX(c) = 1
+       FROM c3""",
+)
+def qa_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA+ candidate-key uniqueness audit — the contract check
+    qa_profile's per-COLUMN stats cannot answer (a composite key's
+    multiplicity is a property of the tuple): for each declared
+    candidate key of the event stream (event_id; (user_id, ts);
+    (user_id, event_type, day)) one row with row count, distinct key
+    count, duplicate-row count and the MAX multiplicity — max_mult is
+    what an upsert/merge planner needs (merge_upsert assumes 1; a
+    2 means last-writer-wins semantics activate). Scale: each
+    candidate is one keyed count + one fold, map-side partials
+    throughout; no distinct-on-driver, no window."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.col("ts").cast("timestamp").cast("date").alias("d"),
+    )
+
+    def audit(name: str, cols: list[str]) -> DataFrame:
+        c = e.groupBy(*cols).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        return c.agg(
+            F.lit(name).alias("candidate"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("dup_rows"),
+            F.max("c").cast("bigint").alias("max_mult"),
+            (F.max("c") == 1).alias("is_unique"),
+        )
+
+    return (
+        audit("event_id", ["event_id"])
+        .unionAll(audit("user_id,ts", ["user_id", "ts"]))
+        .unionAll(audit("user_id,event_type,day", ["user_id", "event_type", "d"]))
+    )
+
+
+@q(
+    "scan_dpp",
+    """SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100
+                  + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS tot
+       FROM orders
+       WHERE month(CAST(o_orderdate AS DATE)) <= 3
+       GROUP BY 1""",
+)
+def scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ DYNAMIC partition pruning — the runtime half of scan
+    elimination (scan_partition_pruned covers the STATIC case where
+    the literal filter is on the partition column): the fact lands
+    partitioned by month key ym, and the query filters on a DIMENSION
+    attribute (quarter) that only reaches ym through a join — no
+    static filter exists at plan time, so Catalyst inserts a
+    dynamicpruning subquery that executes the broadcast dim first and
+    prunes fact partitions with the ym values that survive
+    (tests/test_plans.py asserts `dynamicpruning` in the partition
+    filters). At 100 TB this is the star-join pattern: a date-dim
+    filter eliminating fact partitions without anyone hand-writing
+    the partition predicate. Scratch table session-scoped like
+    scan_partition_pruned's; the oracle states the pruned semantics
+    directly (quarter ≤ Q1 months)."""
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "ym",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint"),
+    )
+    tag = "".join(ch if ch.isalnum() else "_" for ch in spark.sparkContext.applicationId)
+    path = f"/root/repo/spark-warehouse/dpp_orders_{tag}"
+    _sweep_stale_scratch()
+    o.write.mode("overwrite").partitionBy("ym").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        o.select("ym", F.quarter("o_orderdate").alias("qtr")).distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("qtr") == 1)), "ym")
+        .groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).cast("bigint").alias("tot"),
+        )
+    )
+
+
+@q(
+    "text_anneal_plan",
+    """WITH d AS (
+         SELECT source, (n_chars + 3) // 4 AS toks,
+                CASE WHEN (100 * length(regexp_replace(text, '[^A-Za-z ]', '', 'g')))
+                          // GREATEST(length(text), 1) >= 60
+                     THEN (n_chars + 3) // 4 ELSE 0 END AS hq
+         FROM documents),
+       s AS (
+         SELECT source, CAST(SUM(toks) AS BIGINT) AS toks,
+                CAST(SUM(hq) AS BIGINT) AS hq_toks
+         FROM d GROUP BY source),
+       t AS (SELECT SUM(toks) AS w1, SUM(hq_toks) AS w2 FROM s),
+       base AS (
+         SELECT source, toks, hq_toks,
+                CAST(CAST(toks AS HUGEINT) * 1000000 // w1 AS BIGINT) AS f1,
+                CAST(CAST(toks AS HUGEINT) * 1000000 % w1 AS BIGINT) AS r1,
+                CAST(CAST(hq_toks AS HUGEINT) * 250000 // w2 AS BIGINT) AS f2,
+                CAST(CAST(hq_toks AS HUGEINT) * 250000 % w2 AS BIGINT) AS r2
+         FROM s CROSS JOIN t),
+       fin AS (
+         SELECT source, toks, hq_toks, f1, f2,
+                ROW_NUMBER() OVER (ORDER BY r1 DESC, source) AS rn1,
+                ROW_NUMBER() OVER (ORDER BY r2 DESC, source) AS rn2,
+                SUM(f1) OVER () AS tot1, SUM(f2) OVER () AS tot2
+         FROM base)
+       SELECT source, toks, hq_toks,
+              CAST(f1 + CASE WHEN rn1 <= 1000000 - tot1 THEN 1 ELSE 0 END
+                   AS BIGINT) AS p1_tokens,
+              CAST(f2 + CASE WHEN rn2 <= 250000 - tot2 THEN 1 ELSE 0 END
+                   AS BIGINT) AS p2_tokens
+       FROM fin""",
+)
+def text_anneal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K+ two-phase CURRICULUM/anneal mixture plan — the mid-training
+    reweighting step every modern pretraining run ships (phase 1:
+    1M-token budget split ∝ raw tokens; phase 2 "anneal": 250k-token
+    budget split ∝ HIGH-QUALITY tokens only, quality = the integer
+    alpha-ratio heuristic ≥ 60) — composing with text_domain_mix
+    (the report) and text_upsample_plan (the single-phase rebalance).
+    Budgets are EXACT by largest-remainder apportionment: floor the
+    proportional share, then +1 to the largest remainders until the
+    budget is met — Σ p1_tokens = 1,000,000 and Σ p2_tokens = 250,000
+    hold exactly (asserted in tests). Scale: one scan + one keyed agg
+    per source; the apportionment windows run over |sources| rows
+    (value-domain-bounded — whitelisted), never the corpus. Integer
+    arithmetic throughout; the 1e6-scaled multiplies sit in
+    HUGEINT/DECIMAL(38,0)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("(n_chars + 3) DIV 4").alias("toks"),
+        F.expr(
+            "CASE WHEN (100 * length(regexp_replace(text, '[^A-Za-z ]', '')))"
+            " DIV GREATEST(length(text), 1) >= 60"
+            " THEN (n_chars + 3) DIV 4 ELSE 0 END"
+        ).alias("hq"),
+    )
+    s = d.groupBy("source").agg(
+        F.sum("toks").cast("bigint").alias("toks"),
+        F.sum("hq").cast("bigint").alias("hq_toks"),
+    )
+    t = s.agg(F.sum("toks").alias("w1"), F.sum("hq_toks").alias("w2"))
+    base = s.crossJoin(F.broadcast(t)).select(
+        "source", "toks", "hq_toks",
+        F.expr("CAST(CAST(toks AS DECIMAL(38,0)) * 1000000 DIV w1 AS BIGINT)").alias("f1"),
+        F.expr(
+            "CAST(CAST(toks AS DECIMAL(38,0)) * 1000000 % CAST(w1 AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        ).alias("r1"),
+        F.expr("CAST(CAST(hq_toks AS DECIMAL(38,0)) * 250000 DIV w2 AS BIGINT)").alias("f2"),
+        F.expr(
+            "CAST(CAST(hq_toks AS DECIMAL(38,0)) * 250000 % CAST(w2 AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        ).alias("r2"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fin = base.select(
+        "source", "toks", "hq_toks", "f1", "f2",
+        F.row_number().over(Window.orderBy(F.col("r1").desc(), "source")).alias("rn1"),
+        F.row_number().over(Window.orderBy(F.col("r2").desc(), "source")).alias("rn2"),
+        F.sum("f1").over(w_all).alias("tot1"),
+        F.sum("f2").over(w_all).alias("tot2"),
+    )
+    return fin.select(
+        "source", "toks", "hq_toks",
+        F.expr(
+            "CAST(f1 + CASE WHEN rn1 <= 1000000 - tot1 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("p1_tokens"),
+        F.expr(
+            "CAST(f2 + CASE WHEN rn2 <= 250000 - tot2 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("p2_tokens"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
