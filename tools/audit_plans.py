@@ -64,6 +64,8 @@ GLOBAL_ONE_TASK_OK = {
     "text_anneal_plan",  # largest-remainder apportionment windows over
                          # the |sources| rows (source-vocabulary-bounded
                          # ~21 rows, documented)
+    "text_vocab_growth", # cumulative window over the 10-row hash-shard
+                         # spine (shard-count-bounded, documented)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -144,6 +146,9 @@ BNLJ_OK = {
                          # composed into the single output row
     "text_anneal_plan",  # 1-row corpus-total (w1, w2) scalar onto the
                          # |sources| rollup
+    "store_vacuum_plan", # 1-row retention-anchor scalar onto the day table
+    "agg_gk_tau",        # 1-row margin-total scalars composed into the
+                         # single output row
     "agg_backlog_aging", # 1-row data-derived aging-anchor scalar
     "freq_roh",          # 1-row data-derived genome-span scalar (F_ROH
                          # denominator; replaced the fixed 500 kb span

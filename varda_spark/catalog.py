@@ -20294,6 +20294,332 @@ def text_anneal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Round 7 continuation batch B
+# =====================================================================
+
+@q(
+    "emb_knn_classify",
+    """WITH q AS (
+         SELECT vec_id, label,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS e
+         FROM embeddings),
+       qs AS (
+         SELECT vec_id AS query_id, label AS true_label, e AS qe
+         FROM q ORDER BY vec_id LIMIT 50),
+       pairs AS (
+         SELECT qs.query_id, qs.true_label, c.vec_id, c.label,
+                CAST(list_sum(list_transform(list_zip(c.e, qs.qe),
+                     s -> s[1] * s[2])) AS BIGINT) AS dot
+         FROM q c CROSS JOIN qs WHERE c.vec_id <> qs.query_id),
+       knn AS (
+         SELECT query_id, true_label, label FROM (
+           SELECT query_id, true_label, label,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, vec_id) AS rn
+           FROM pairs) WHERE rn <= 5),
+       votes AS (
+         SELECT query_id, true_label, label, CAST(COUNT(*) AS BIGINT) AS c
+         FROM knn GROUP BY 1, 2, 3)
+       SELECT query_id, true_label, label AS pred_label, c AS n_votes,
+              label = true_label AS correct
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY c DESC, label) AS vr
+             FROM votes) WHERE vr = 1""",
+)
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ kNN LABEL EVALUATION — the quality loop every embedding
+    pipeline closes (does the vector space actually predict the
+    label?): the 50 lowest-key vectors are classified by majority vote
+    of their 5 nearest neighbors (integer dot, self excluded; vote
+    ties → lexicographically smallest label, distance ties → lowest
+    id), each row reporting predicted vs true. Composes the sim_*
+    search machinery into the metric a model-selection decision reads
+    (leave-one-out accuracy). Scale: the query matrix ships in the
+    task closure; the corpus pass is ONE mapInPandas int64 matmul per
+    Arrow batch with per-batch local top-5 (query_sample_dot_topk —
+    the pq_adc_topk two-phase discipline; the JVM HOF-dot formulation
+    it replaced measured 38.8 s at sf5 vs 2.1 s), and the final
+    window ranks batches·50·5 survivors — never corpus×corpus.
+    Production swaps the exact scan for sim_ivfpq routing; this key
+    is the ground-truth yardstick."""
+    from varda_spark.operators.similarity import query_sample_dot_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    knn = query_sample_dot_topk(
+        e, n_queries=50, topk=5, key="vec_id", vec="embedding", scale=100,
+        carry=("label",),
+    )
+    truth = (
+        e.orderBy("vec_id")
+        .limit(50)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+        )
+    )
+    votes = (
+        knn.join(F.broadcast(truth), "query_id")
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id", "true_label",
+            F.col("label").alias("pred_label"),
+            F.col("c").alias("n_votes"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+@q(
+    "store_vacuum_plan",
+    """WITH f AS (
+         SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100
+                     + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+                CAST(o_orderdate AS DATE) AS d,
+                CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS bytes
+         FROM orders GROUP BY 1, 2),
+       a AS (SELECT MAX(d) AS anchor FROM f),
+       m AS (SELECT ym, d, bytes, MAX(d) OVER (PARTITION BY ym) AS latest_day
+             FROM f),
+       c AS (
+         SELECT m.*, (d < CAST(anchor - INTERVAL 90 DAY AS DATE)
+                      AND d <> latest_day) AS del
+         FROM m CROSS JOIN a)
+       SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+              CAST(SUM(CASE WHEN del THEN bytes ELSE 0 END) AS BIGINT)
+                   AS bytes_reclaimed,
+              MAX(latest_day) AS latest_day
+       FROM c GROUP BY ym""",
+)
+def store_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ retention VACUUM planner — the garbage-collection half of
+    warehouse maintenance (store_compaction_plan packs small files;
+    THIS decides what expires): day-grain "files" (the compaction
+    key's byte stand-in) older than the 90-day retention horizon are
+    marked deletable EXCEPT each month-partition's latest file, which
+    is pinned as the snapshot anchor a time-travel read needs — the
+    Delta/Iceberg VACUUM rule (age out, but never break the newest
+    snapshot). The horizon anchors on MAX(data date), not wall-clock
+    (the qa_freshness reproducibility discipline). Scale: one keyed
+    agg, one per-month window (calendar-bounded), a 1-row anchor
+    broadcast; the plan emits per partition the file count, deletable
+    count and reclaimed bytes — the manifest the delete job executes."""
+    o = read_table(spark, sf_dir, "orders")
+    f = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint").alias("ym"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum(F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).cast("bigint").alias("bytes"))
+    a = f.agg(F.max("d").alias("anchor"))
+    m = f.withColumn("latest_day", F.max("d").over(Window.partitionBy("ym")))
+    c = m.crossJoin(F.broadcast(a)).withColumn(
+        "del",
+        (F.col("d") < F.date_sub("anchor", 90)) & (F.col("d") != F.col("latest_day")),
+    )
+    return c.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.when(F.col("del"), 1).otherwise(0)).cast("bigint").alias("n_delete"),
+        F.sum(F.when(F.col("del"), F.col("bytes")).otherwise(0)).cast("bigint")
+        .alias("bytes_reclaimed"),
+        F.max("latest_day").alias("latest_day"),
+    )
+
+
+@q(
+    "text_vocab_growth",
+    """WITH tok AS (
+         SELECT doc_id % 10 AS b, unnest(string_split(trim(text), ' ')) AS t
+         FROM documents),
+       occ AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_occ FROM tok GROUP BY b),
+       fs AS (
+         SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+           SELECT t, MIN(b) AS fb FROM tok GROUP BY t) GROUP BY fb),
+       dpb AS (SELECT doc_id % 10 AS b, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+       sp AS (
+         SELECT dpb.b, dpb.n_docs, occ.n_occ, COALESCE(fs.n_new, 0) AS n_new
+         FROM dpb JOIN occ ON dpb.b = occ.b LEFT JOIN fs ON dpb.b = fs.b)
+       SELECT CAST(b AS BIGINT) AS bucket,
+              CAST(SUM(n_docs) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS docs_cum,
+              CAST(SUM(n_occ) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS tokens_cum,
+              CAST(SUM(n_new) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS vocab_cum
+       FROM sp""",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ VOCABULARY GROWTH curve (Heaps' law) — the tokenizer-budget
+    question (how fast does the type count grow with corpus size?)
+    answered the scalable way: corpus prefixes are HASH SHARDS
+    (doc_id % 10 accumulating shard-by-shard), not a global document
+    ordering — so "first seen in prefix b" is MIN(shard) per token,
+    one keyed agg, and no global row-numbering of the corpus exists
+    anywhere. Emits per prefix the cumulative docs, token occurrences
+    and distinct vocabulary — the curve whose flattening says when a
+    bigger tokenizer vocab stops paying. Scale: one tokenize/explode
+    pass, two keyed aggs (token grain — the linear heavy part), and a
+    10-row cumulative window (shard-count-bounded — whitelisted)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 10).alias("b"),
+        F.explode(F.split(F.trim("text"), " ")).alias("t"),
+    )
+    occ = tok.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    fs = (
+        tok.groupBy("t").agg(F.min("b").alias("fb"))
+        .groupBy(F.col("fb").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    dpb = d.groupBy((F.col("doc_id") % 10).alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    sp = (
+        dpb.join(occ, "b")
+        .join(fs, "b", "left")
+        .select("b", "n_docs", "n_occ", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return sp.select(
+        F.col("b").cast("bigint").alias("bucket"),
+        F.sum("n_docs").over(w).cast("bigint").alias("docs_cum"),
+        F.sum("n_occ").over(w).cast("bigint").alias("tokens_cum"),
+        F.sum("n_new").over(w).cast("bigint").alias("vocab_cum"),
+    )
+
+
+@q(
+    "agg_gk_tau",
+    """WITH cells AS (
+         SELECT event_type AS x,
+                CAST(FLOOR(value / 50) AS BIGINT) AS y,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       xm AS (
+         SELECT x, SUM(CAST(c AS HUGEINT) * c) AS sx, SUM(c) AS nx
+         FROM cells GROUP BY x),
+       ym AS (
+         SELECT y, SUM(c) AS ny FROM cells GROUP BY y),
+       tot AS (
+         SELECT (SELECT SUM(c) FROM cells) AS n,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM xm) AS kx,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM ym) AS ky,
+                (SELECT SUM(sx * 1000000 // nx) FROM xm) AS a_xy,
+                (SELECT SUM(CAST(ny AS HUGEINT) * ny) FROM ym) AS sy),
+       rev AS (
+         SELECT SUM(sy2 * 1000000 // ny2) AS a_yx FROM (
+           SELECT y, SUM(CAST(c AS HUGEINT) * c) AS sy2, SUM(c) AS ny2
+           FROM cells GROUP BY y)),
+       xsq AS (
+         SELECT SUM(CAST(nx AS HUGEINT) * nx) AS sxm FROM xm)
+       SELECT CAST(n AS BIGINT) AS n, kx AS n_x, ky AS n_y,
+              CAST((a_xy - sy * 1000000 // n) * 1000000
+                   // (CAST(n AS HUGEINT) * 1000000 - sy * 1000000 // n)
+                   AS BIGINT) AS tau_xy_ppm,
+              CAST((a_yx - sxm * 1000000 // n) * 1000000
+                   // (CAST(n AS HUGEINT) * 1000000 - sxm * 1000000 // n)
+                   AS BIGINT) AS tau_yx_ppm
+       FROM tot CROSS JOIN rev CROSS JOIN xsq""",
+)
+def agg_gk_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ GOODMAN–KRUSKAL TAU — the asymmetric categorical association
+    measure (how much does knowing event_type reduce the error of
+    proportionally predicting the value bucket, and vice versa) that
+    agg_cramers_v's symmetric chi-square cannot give. Entirely in the
+    Simpson/concentration algebra (squares and ratios — no float log,
+    the agg_simpson discipline): tau = (Σ_x Σ_y c²/n_x − Σ_y n_y²/N) /
+    (N − Σ_y n_y²/N), here ppm-QUANTIZED with a fixed truncating-
+    division protocol (each /n_x term scaled by 1e6 then truncated —
+    both engines run the identical integer protocol, so the quantized
+    value is bit-exact; the quantization error is < |X| ppm,
+    documented). Scale: ONE shuffle builds the |X|·|Y| contingency
+    cells with map-side partials; everything after runs on the tiny
+    cell table. Squares in HUGEINT/DECIMAL(38,0) — n²·1e6 exceeds
+    int64 past ~3M rows."""
+    e = read_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("x"),
+        F.expr("CAST(FLOOR(value / 50) AS BIGINT)").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    big = "CAST(c AS DECIMAL(38,0))"
+    xm = cells.groupBy("x").agg(
+        F.expr(f"SUM({big} * c)").alias("sx"), F.sum("c").alias("nx")
+    )
+    ymt = cells.groupBy("y").agg(
+        F.expr("SUM(CAST(c AS DECIMAL(38,0)) * c)").alias("sy2"),
+        F.sum("c").alias("ny"),
+    )
+    a_xy = xm.agg(
+        F.expr("SUM(sx * 1000000 DIV CAST(nx AS DECIMAL(38,0)))").alias("a_xy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_x"),
+        F.expr("SUM(CAST(nx AS DECIMAL(38,0)) * nx)").alias("sxm"),
+    )
+    a_yx = ymt.agg(
+        F.expr("SUM(sy2 * 1000000 DIV CAST(ny AS DECIMAL(38,0)))").alias("a_yx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_y"),
+        F.expr("SUM(CAST(ny AS DECIMAL(38,0)) * ny)").alias("sy"),
+    )
+    n = cells.agg(F.sum("c").alias("n"))
+    return (
+        n.crossJoin(F.broadcast(a_xy))
+        .crossJoin(F.broadcast(a_yx))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            "n_x",
+            "n_y",
+            F.expr(
+                "CAST((a_xy - sy * 1000000 DIV CAST(n AS DECIMAL(38,0))) * 1000000"
+                " DIV (CAST(n AS DECIMAL(38,0)) * 1000000"
+                " - sy * 1000000 DIV CAST(n AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("tau_xy_ppm"),
+            F.expr(
+                "CAST((a_yx - sxm * 1000000 DIV CAST(n AS DECIMAL(38,0))) * 1000000"
+                " DIV (CAST(n AS DECIMAL(38,0)) * 1000000"
+                " - sxm * 1000000 DIV CAST(n AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("tau_yx_ppm"),
+        )
+    )
+
+
+@q(
+    "text_softdedup_weights",
+    """WITH h AS (SELECT doc_id, md5(text) AS hash FROM documents),
+       c AS (SELECT hash, CAST(COUNT(*) AS BIGINT) AS csize
+             FROM h GROUP BY hash)
+       SELECT h.doc_id, c.csize AS cluster_size,
+              CAST(1000000 // c.csize AS BIGINT) AS weight_ppm
+       FROM h JOIN c ON h.hash = c.hash""",
+)
+def text_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+ SOFT deduplication (SoftDedup: reweight, don't remove — each
+    exact-duplicate cluster keeps ALL members at loss weight 1/c, so
+    no document is discarded but duplicated content contributes one
+    document's worth of gradient): per doc, its content-hash cluster
+    size and the ppm loss weight. The keep-or-drop alternatives are
+    dedup_exact / dedup_keep_best; this is the third policy modern
+    pretraining runs choose when near-boundary duplicates carry
+    distinct metadata. Scale: one hash-groupBy (map-side partials) +
+    one hash-keyed join back — both shuffles on the 32-char digest,
+    uniform by construction (no skew: cluster sizes are small by
+    definition of content hashing)."""
+    d = read_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("hash"))
+    c = h.groupBy("hash").agg(F.count(F.lit(1)).cast("bigint").alias("csize"))
+    return h.join(c, "hash").select(
+        "doc_id",
+        F.col("csize").alias("cluster_size"),
+        F.expr("CAST(1000000 DIV csize AS BIGINT)").alias("weight_ppm"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"

@@ -953,6 +953,69 @@ def exact_l2_topk(
     )
 
 
+def query_sample_dot_topk(
+    emb: DataFrame,
+    n_queries: int = 50,
+    topk: int = 5,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 100,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact max-dot top-k of a lowest-key query sample vs the full
+    corpus in ONE scan — the similarity twin of exact_l2_topk: the
+    q×dim integer query matrix rides the task closure, each Arrow
+    batch is one int64 matmul (Xb @ Qᵀ), the kernel keeps the local
+    top-k per query under the total (dot DESC, key ASC) order with
+    SELF-matches excluded, and the final window ranks batches·q·topk
+    survivors — linear in n for fixed q, never n·q materialized rows.
+    ``carry`` columns (e.g. a label) ride along per neighbor row."""
+    import numpy as np
+
+    q_ = emb.select(key, *carry, quantized(vec, scale).alias("_q"))
+    key_t = q_.schema[key].dataType.simpleString()
+    qrows = q_.orderBy(key).limit(n_queries).collect()
+    Qm = np.array([r["_q"] for r in qrows], dtype=np.int64)
+    qids = np.array([r[key] for r in qrows])
+
+    def _scan(batches, Qm=Qm, qids=qids, topk=topk, carry=carry):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            X = np.vstack(pdf["_q"].to_numpy())
+            ids = pdf[key].to_numpy()
+            dots = X @ Qm.T  # n × q, exact int64
+            out = {"query_id": [], key: [], "dot": []}
+            for c in carry:
+                out[c] = []
+            kk = min(topk, n)
+            cvals = {c: pdf[c].to_numpy() for c in carry}
+            for qi in range(len(qids)):
+                col = dots[:, qi].copy()
+                col[ids == qids[qi]] = np.iinfo(np.int64).min + 1  # self out
+                order = np.lexsort((ids, -col))[:kk]
+                out["query_id"].extend([qids[qi]] * kk)
+                out[key].extend(ids[order])
+                out["dot"].extend(col[order])
+                for c in carry:
+                    out[c].extend(cvals[c][order])
+            yield pd.DataFrame(out)
+
+    carry_t = "".join(
+        f", {c} {q_.schema[c].dataType.simpleString()}" for c in carry
+    )
+    local = q_.mapInPandas(_scan, f"query_id {key_t}, {key} {key_t}, dot bigint{carry_t}")
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col(key).asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", key, "dot", *carry)
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     ncells: int = 8,
