@@ -19289,12 +19289,12 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        i -> substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16)))
                     AS h
          FROM words),
-       hs AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+       hs AS (SELECT h, MIN(doc_id) <> MAX(doc_id) AS dup FROM sp GROUP BY h)
        SELECT doc_id,
               CAST(COUNT(*) AS BIGINT) AS n_spans,
-              CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_dup_spans,
-              CAST((1000000 * SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END))
+              CAST((1000000 * SUM(CASE WHEN dup THEN 1 ELSE 0 END))
                    // COUNT(*) AS BIGINT) AS dup_ppm
        FROM sp JOIN hs USING (h)
        GROUP BY doc_id""",
@@ -19306,15 +19306,27 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate, licenses, quoted chunks). Every 8-token span is
     hashed (64-bit md5 prefix — identical in both engines, and half
     the shuffle payload of the full digest); a span position is
-    duplicated when its hash occurs in ≥2 distinct documents; output is
-    each doc's duplicated-span fraction in ppm — the signal a span-
-    removal pass would act on. Scale: one explode to n·(len−7) span
-    rows, one groupBy on the hash (shuffle key = fixed-width digest, no
-    skew: natural-language spans are near-unique), and the count join
-    reuses the same hash partitioning — the paper's suffix-array global
-    scan re-expressed as two keyed aggregates."""
+    duplicated when its hash occurs in ≥2 distinct documents —
+    detected as MIN(doc)≠MAX(doc), which aggregates with plain
+    map-side partials (the countDistinct formulation this replaced
+    pays a two-phase expand; min≠max is equivalent for the
+    ≥2-distinct question). The document scan is REPARTITIONED to
+    2×cores before the span explode — the expensive md5-per-span
+    generation otherwise runs at the parquet file-count's parallelism
+    (2 tasks at sf1: the r7 profile showed 19 s of a 21 s wall in
+    that 2-task stage; with the spread it reads 4.7 s at sf1,
+    32.9→17.6 s at sf5). Scale: one explode to n·(len−7) span rows,
+    one groupBy on the hash (no skew: natural-language spans are
+    near-unique), and the flag join reuses the same hash partitioning
+    — the paper's suffix-array global scan re-expressed as two keyed
+    aggregates."""
     d = read_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.split(F.trim("text"), " ").alias("w"))
+    par = spark.sparkContext.defaultParallelism * 2
+    w = (
+        d.select("doc_id", F.trim("text").alias("t"))
+        .repartition(par)
+        .select("doc_id", F.split("t", " ").alias("w"))
+    )
     sp = w.filter(F.size("w") >= 8).select(
         "doc_id",
         F.explode(
@@ -19326,13 +19338,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    hs = sp.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    hs = sp.groupBy("h").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("dup")
+    )
     return (
         sp.join(hs, "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint").alias("n_dup_spans"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_spans"),
         )
         .withColumn(
             "dup_ppm",
@@ -20246,6 +20260,9 @@ def text_anneal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value-domain-bounded — whitelisted), never the corpus. Integer
     arithmetic throughout; the 1e6-scaled multiplies sit in
     HUGEINT/DECIMAL(38,0)."""
+    # NOTE: unlike dedup_substring_spans, a pre-repartition does NOT pay
+    # here — the regex is one pass per char (comparable to the shuffle
+    # cost of shipping the text), measured 10.5→12.7 s at sf5 with it
     d = read_table(spark, sf_dir, "documents").select(
         "source",
         F.expr("(n_chars + 3) DIV 4").alias("toks"),
