@@ -47,7 +47,16 @@ def shingles(df: DataFrame, n: int = 3, text: str = "text", out: str = "shingle"
     semantics. The explicit CASE matters: sequence(1, 0) DESCENDS in
     Spark, which would both fabricate rows and trip ANSI element_at
     out-of-bounds on short documents.
+
+    The input is REPARTITIONED to 2×cores first: the tokenize+explode
+    multiplies each doc into ~len(w) rows, so its CPU otherwise runs at
+    the parquet FILE-COUNT's parallelism (8 tasks at sf5 — the
+    dedup_substring_spans lesson; dedup_minhash 45.6→18 s,
+    text_ngram_novelty 93.6→39 s at sf5). The repartition ships only
+    the raw (key, text) bytes, two orders of magnitude less than the
+    shingle stream it unlocks parallelism for.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
     df = df.withColumn("_w", tokens(text))
     parts = ", ".join(f"element_at(_w, i + {j})" for j in range(n))
     return df.withColumn(
