@@ -1,0 +1,129 @@
+"""Independent reference checks for the round-7 continuation batch C.
+
+numpy/pandas references sharing no SQL text with either engine twin
+(the test_round5/6/7_ops discipline).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from varda_spark.catalog import REGISTRY
+
+SF_001 = "/root/testdata/sf0.01"
+
+
+def run(spark, key, sf=SF_001):
+    return REGISTRY[key].fn(spark, sf).toPandas()
+
+
+def test_kcenter_matches_numpy_greedy(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype(np.float64) * 10000
+    ).astype(np.int64)
+    ids = emb.vec_id.to_numpy()
+    # independent greedy farthest-point loop
+    chosen = [0]  # ids sorted ascending -> index 0 is the lowest vec_id
+    expect = [(1, int(ids[0]), 0)]
+    for step in range(2, 9):
+        d2 = np.min(
+            ((X[:, None, :] - X[chosen][None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        j = int(np.lexsort((ids, -d2))[0])
+        chosen.append(j)
+        expect.append((step, int(ids[j]), int(d2[j])))
+    got = run(spark, "emb_kcenter_coreset").sort_values("step")
+    assert list(map(tuple, got[["step", "vec_id", "dist2"]].to_numpy())) == expect
+    # selection invariants: strictly shrinking coverage radius after step 2
+    radii = [e[2] for e in expect[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_partition_skew_matches_pandas(spark):
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    od = pd.to_datetime(o.o_orderdate)
+    sizes = (
+        o.assign(ym=od.dt.year * 100 + od.dt.month)
+        .groupby("ym")
+        .size()
+        .reset_index(name="n")
+        .sort_values(["n", "ym"])
+        .reset_index(drop=True)
+    )
+    n = len(sizes)
+    t = int(sizes.n.sum())
+    x = sizes.n.to_numpy()
+    p50 = int(x[(n + 1) // 2 - 1])
+    s_rank = int((np.arange(1, n + 1) * x).sum())
+    gini = (2 * s_rank - (n + 1) * t) * 1_000_000 // (n * t)
+    got = run(spark, "store_partition_skew").iloc[0]
+    assert int(got.n_partitions) == n
+    assert int(got.total_rows) == t
+    assert int(got.min_rows) == int(x[0])
+    assert int(got.max_rows) == int(x[-1])
+    assert int(got.p50_rows) == p50
+    assert int(got.skew_ppm) == int(x[-1]) * 1_000_000 // p50
+    assert int(got.gini_ppm) == gini
+
+
+def test_cluster_advisor_matches_pandas(spark):
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    od = pd.to_datetime(o.o_orderdate)
+    m = (od.dt.year * 12 + od.dt.month).to_numpy()
+    cands = {
+        "date": (od.dt.normalize() - pd.Timestamp("1970-01-01")).dt.days.to_numpy(),
+        "custkey": o.o_custkey.to_numpy(),
+        "price": np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64),
+    }
+    months = np.sort(np.unique(m))
+    rank = {mm: i + 1 for i, mm in enumerate(months)}
+    got = run(spark, "store_cluster_advisor").set_index("cand")
+    for cand, v in cands.items():
+        v = v.astype(np.int64)
+        fid = (v - v.min()) * 20 // (v.max() - v.min() + 1)
+        df = pd.DataFrame({"f": fid, "m": m}).groupby("f").m.agg(["min", "max"])
+        reads = sum(rank[hi] - rank[lo] + 1 for lo, hi in df.to_numpy())
+        row = got.loc[cand]
+        assert int(row.n_files) == len(df)
+        assert int(row.n_queries) == len(months)
+        assert int(row.files_read) == reads
+        assert int(row.avg_files_read_ppm) == reads * 1_000_000 // (
+            len(months) * len(df)
+        )
+    # the advisor's whole point: date-clustering dominates for a monthly
+    # workload
+    assert (
+        got.loc["date"].avg_files_read_ppm
+        < got.loc["custkey"].avg_files_read_ppm
+    )
+    assert got.loc["date"].avg_files_read_ppm < got.loc["price"].avg_files_read_ppm
+
+
+def test_domain_score_matches_python(spark):
+    d = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    tok = d.text.str.strip().str.split()
+    df_counts: Counter = Counter()
+    for ts, lang in zip(tok, d.lang):
+        if lang == "en":
+            df_counts.update(set(ts))
+    seed = set(
+        t for t, _ in sorted(df_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    )
+    got = run(spark, "text_domain_score").set_index("doc_id")
+    assert len(got) == len(d)
+    for doc_id, ts in zip(d.doc_id, tok):
+        distinct = set(ts)
+        hits = len(distinct & seed)
+        row = got.loc[doc_id]
+        assert int(row.n_distinct) == len(distinct)
+        assert int(row.seed_hits) == hits
+        assert int(row.score_ppm) == hits * 1_000_000 // len(distinct)

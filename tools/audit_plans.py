@@ -66,6 +66,10 @@ GLOBAL_ONE_TASK_OK = {
                          # ~21 rows, documented)
     "text_vocab_growth", # cumulative window over the 10-row hash-shard
                          # spine (shard-count-bounded, documented)
+    "store_partition_skew",  # rank/total windows over the month-partition
+                         # list (calendar-bounded ~80 rows, documented)
+    "store_cluster_advisor",  # rank window over the distinct-month spine
+                         # (calendar-bounded ~80 rows, documented)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -153,6 +157,10 @@ BNLJ_OK = {
     "freq_roh",          # 1-row data-derived genome-span scalar (F_ROH
                          # denominator; replaced the fixed 500 kb span
                          # that drifted with sf — ADVICE r5)
+    "store_cluster_advisor",  # 1-row n_queries scalar cross join
+    "text_domain_score", # 1-row 50-token seed-array broadcast (the whole
+                         # point: membership test in codegen, no explode
+                         # join on the corpus side)
 }
 
 

@@ -20637,6 +20637,328 @@ def text_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy k-center as k chained CTEs (DuckDB lacks an
+    argmax-per-iteration recursive form that is portable; k is a fixed
+    small constant so the unroll is the honest twin). Distances use the
+    proven list_zip + list_transform struct-index idiom."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(list_zip({a}, {b}),"
+            " s -> (s[1]-s[2])*(s[1]-s[2])), 'sum')"
+        )
+
+    parts = [
+        "WITH qv AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e"
+        " FROM embeddings)",
+        "c1 AS (SELECT vec_id, e FROM qv ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT qv.vec_id, qv.e, {dist('qv.e', 'c1.e')} AS md"
+        " FROM qv CROSS JOIN c1)",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"c{j} AS (SELECT vec_id, e, md FROM d{j-1}"
+            " ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if j < k:
+            parts.append(
+                f"d{j} AS (SELECT d.vec_id, d.e,"
+                f" LEAST(d.md, {dist('d.e', f'c{j}.e')}) AS md"
+                f" FROM d{j-1} d CROSS JOIN c{j})"
+            )
+    sel = [
+        "SELECT CAST(1 AS BIGINT) AS step, vec_id,"
+        " CAST(0 AS BIGINT) AS dist2 FROM c1"
+    ]
+    for j in range(2, k + 1):
+        sel.append(f"SELECT CAST({j} AS BIGINT), vec_id, CAST(md AS BIGINT) FROM c{j}")
+    return ",\n  ".join(parts) + "\n  " + "\n  UNION ALL ".join(sel)
+
+
+@q("emb_kcenter_coreset", _kcenter_oracle(8))
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ coreset / diversity selection — greedy k-center (Gonzalez
+    1985 farthest-point traversal; Sener & Savarese ICLR 2018 pick
+    training subsets with exactly this loop): the 8 maximally-spread
+    embedding vectors, i.e. the anchor set a curation pipeline keeps
+    when it wants coverage rather than density (the complement of
+    emb_semantic_dedup, which removes the DENSE near-duplicates).
+    Exactness: integer L2 squared on the floor(x*1e4) grid, ties to the
+    lowest vec_id — both engines run the identical deterministic greedy.
+    Scale: k-1 corpus scans, each one mapInPandas pass whose batches
+    reduce to ONE (id, dist2, vec) candidate row before the wire
+    (batch-local argmax of the min-distance; the <=k x dim center
+    matrix ships in the closure), then a TakeOrdered over the per-batch
+    survivors — driver state is k rows, never a pairwise materialization
+    (operators/similarity.py kcenter_greedy)."""
+    from varda_spark.operators.similarity import kcenter_greedy
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(e, k=8)
+
+
+@q(
+    "store_partition_skew",
+    """WITH p AS (
+         SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100
+                     + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+                CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM orders GROUP BY 1),
+       r AS (
+         SELECT ym, n_rows,
+                CAST(ROW_NUMBER() OVER (ORDER BY n_rows, ym) AS HUGEINT) AS i,
+                CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                CAST(SUM(n_rows) OVER () AS HUGEINT) AS t
+         FROM p),
+       s AS (
+         SELECT CAST(MAX(n) AS BIGINT) AS n_partitions,
+                CAST(MAX(t) AS BIGINT) AS total_rows,
+                CAST(MIN(n_rows) AS BIGINT) AS min_rows,
+                CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+                CAST(MAX(CASE WHEN i = (n + 1) // 2 THEN n_rows END) AS BIGINT)
+                  AS p50_rows,
+                SUM(i * n_rows) AS s_rank
+         FROM r)
+       SELECT n_partitions, total_rows, min_rows, max_rows, p50_rows,
+              CAST(CAST(max_rows AS HUGEINT) * 1000000 // p50_rows AS BIGINT)
+                AS skew_ppm,
+              CAST((2 * s_rank - (CAST(n_partitions AS HUGEINT) + 1) * total_rows)
+                   * 1000000
+                   // (CAST(n_partitions AS HUGEINT) * total_rows) AS BIGINT)
+                AS gini_ppm
+       FROM s""",
+)
+def store_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ partition-size skew audit — the input a repartitioning /
+    salting decision reads: per month-partition row counts summarized as
+    max/median skew ratio and the Gini concentration of partition sizes
+    (straggler risk in one number; a balanced layout reads ~0 ppm, one
+    hot partition drives it toward 1e6). Exactness: the median is the
+    deterministic LOWER median (rank (n+1)//2 under (n_rows, ym) order)
+    and the Gini uses the exact rank formula (2*sum(i*x) - (n+1)*total)
+    / (n*total) in HUGEINT/DECIMAL(38,0), ppm-truncated — no float.
+    Scale: one keyed agg with map-side partials builds the month table;
+    every window after runs over the CALENDAR-BOUNDED partition list
+    (~80 rows at any sf — whitelisted one-task window, the
+    store_compaction_plan argument)."""
+    o = read_table(spark, sf_dir, "orders")
+    p = o.groupBy(
+        F.expr(
+            "CAST(year(CAST(o_orderdate AS DATE)) * 100"
+            " + month(CAST(o_orderdate AS DATE)) AS BIGINT)"
+        ).alias("ym")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    D = "DECIMAL(38,0)"
+    w = Window.orderBy("n_rows", "ym")
+    wall = Window.partitionBy()
+    r = p.select(
+        "n_rows",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("n_rows").over(wall).cast("bigint").alias("t"),
+    )
+    s = r.agg(
+        F.max("n").cast("bigint").alias("n_partitions"),
+        F.max("t").cast("bigint").alias("total_rows"),
+        F.min("n_rows").cast("bigint").alias("min_rows"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+        F.expr("CAST(MAX(CASE WHEN i = (n + 1) DIV 2 THEN n_rows END) AS BIGINT)")
+        .alias("p50_rows"),
+        F.expr(f"SUM(CAST(i AS {D}) * n_rows)").alias("s_rank"),
+    )
+    return s.select(
+        "n_partitions",
+        "total_rows",
+        "min_rows",
+        "max_rows",
+        "p50_rows",
+        F.expr(
+            f"CAST(CAST(max_rows AS {D}) * 1000000 DIV p50_rows AS BIGINT)"
+        ).alias("skew_ppm"),
+        F.expr(
+            f"CAST((2 * s_rank - (CAST(n_partitions AS {D}) + 1) * total_rows)"
+            f" * 1000000 DIV (CAST(n_partitions AS {D}) * total_rows) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+@q(
+    "store_cluster_advisor",
+    """WITH o AS (
+         SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                  AS vdate,
+                CAST(o_custkey AS BIGINT) AS vkey,
+                CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+                  AS vcents,
+                CAST(year(CAST(o_orderdate AS DATE)) * 12
+                     + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m
+         FROM orders),
+       u AS (
+         SELECT 'date' AS cand, vdate AS v, m FROM o
+         UNION ALL SELECT 'custkey', vkey, m FROM o
+         UNION ALL SELECT 'price', vcents, m FROM o),
+       mm AS (SELECT cand, MIN(v) AS vmin, MAX(v) AS vmax FROM u GROUP BY cand),
+       fl AS (
+         SELECT u.cand,
+                CAST((u.v - mm.vmin) * 20 // (mm.vmax - mm.vmin + 1) AS BIGINT)
+                  AS file_id,
+                u.m
+         FROM u JOIN mm ON u.cand = mm.cand),
+       f AS (SELECT cand, file_id, MIN(m) AS mlo, MAX(m) AS mhi
+             FROM fl GROUP BY cand, file_id),
+       mo AS (SELECT m, CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT) AS r
+              FROM (SELECT DISTINCT m FROM o)),
+       ov AS (
+         SELECT f.cand, CAST(COUNT(*) AS BIGINT) AS n_files,
+                CAST(SUM(hi.r - lo.r + 1) AS BIGINT) AS files_read
+         FROM f JOIN mo lo ON f.mlo = lo.m JOIN mo hi ON f.mhi = hi.m
+         GROUP BY f.cand),
+       nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM mo)
+       SELECT cand, n_files, n_queries, files_read,
+              CAST(files_read * 1000000 // (n_queries * n_files) AS BIGINT)
+                AS avg_files_read_ppm
+       FROM ov CROSS JOIN nq""",
+)
+def store_cluster_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ sort-order / clustering advisor — which sort key should the
+    writer cluster on? For each candidate (order date, customer key,
+    order value in cents) the key simulates a 20-file equal-width
+    range-partitioned layout, records each file's month zone map
+    (min/max month actually landing in the file), and scores the
+    monthly-predicate workload: how many files must a month query read,
+    as ppm of files x queries. Date-clustered reads ~5% (one file per
+    month); key- or value-clustered layouts read 100% — the number that
+    justifies re-clustering before a 100 TB scan-heavy workload (the
+    decision half of store_zone_map_skip's audit). Exactness: file ids
+    by integer width bucketing ((v-min)*20 DIV (range+1)), overlap
+    counted by month-RANK difference (both span endpoints are observed
+    months by construction, so the equi-joins are exact) — no float.
+    Scale: the 3x stack explodes once (one scan), files build in one
+    keyed agg; the month spine (~80 rows, calendar-bounded rank window,
+    whitelisted) broadcasts into equi-joins; the final 1-row n_queries
+    scalar is a broadcast cross join (whitelisted BNLJ)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("vdate"),
+        F.col("o_custkey").cast("bigint").alias("vkey"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").alias(
+            "vcents"
+        ),
+        F.expr(
+            "CAST(year(CAST(o_orderdate AS DATE)) * 12"
+            " + month(CAST(o_orderdate AS DATE)) AS BIGINT)"
+        ).alias("m"),
+    )
+    u = o.selectExpr(
+        "stack(3, 'date', vdate, 'custkey', vkey, 'price', vcents) AS (cand, v)",
+        "m",
+    )
+    mm = u.groupBy("cand").agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    fl = u.join(F.broadcast(mm), "cand").select(
+        "cand",
+        F.expr("CAST((v - vmin) * 20 DIV (vmax - vmin + 1) AS BIGINT)").alias(
+            "file_id"
+        ),
+        "m",
+    )
+    f = fl.groupBy("cand", "file_id").agg(
+        F.min("m").alias("mlo"), F.max("m").alias("mhi")
+    )
+    mo = (
+        o.select("m")
+        .distinct()
+        .withColumn("r", F.row_number().over(Window.orderBy("m")).cast("bigint"))
+    )
+    lo = mo.select(F.col("m").alias("mlo"), F.col("r").alias("rlo"))
+    hi = mo.select(F.col("m").alias("mhi"), F.col("r").alias("rhi"))
+    ov = (
+        f.join(F.broadcast(lo), "mlo")
+        .join(F.broadcast(hi), "mhi")
+        .groupBy("cand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.expr("rhi - rlo + 1")).cast("bigint").alias("files_read"),
+        )
+    )
+    nq = mo.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    return (
+        ov.crossJoin(F.broadcast(nq))
+        .select(
+            "cand",
+            "n_files",
+            "n_queries",
+            "files_read",
+            F.expr(
+                "CAST(files_read * 1000000 DIV (n_queries * n_files) AS BIGINT)"
+            ).alias("avg_files_read_ppm"),
+        )
+    )
+
+
+@q(
+    "text_domain_score",
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS t
+         FROM documents WHERE lang = 'en'),
+       df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY t),
+       seed AS (SELECT t FROM df ORDER BY df DESC, t LIMIT 50),
+       a AS (
+         SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS t
+         FROM documents),
+       h AS (
+         SELECT a.doc_id, CAST(COUNT(s.t) AS BIGINT) AS seed_hits
+         FROM a LEFT JOIN seed s ON a.t = s.t GROUP BY a.doc_id),
+       nd AS (
+         SELECT doc_id,
+                CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
+                  AS n_distinct
+         FROM documents)
+       SELECT nd.doc_id, nd.n_distinct, h.seed_hits,
+              CAST(h.seed_hits * 1000000 // nd.n_distinct AS BIGINT) AS score_ppm
+       FROM nd JOIN h ON nd.doc_id = h.doc_id""",
+)
+def text_domain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ target-domain importance scoring (the DSIR idea, Xie et al.
+    2023, with hashed-ngram features reduced to the seed-vocabulary
+    membership its importance weights rank by): score every document by
+    its distinct-token overlap with the 50 highest-document-frequency
+    tokens of the TARGET domain (here lang='en' stands in for the
+    curated seed corpus) — the cheap first-pass filter that decides
+    which of 100 TB of crawl even reaches quality scoring. Exactness:
+    seed set is deterministic (df DESC, token ASC, exact integer
+    counts); per-doc score is distinct-hit count ppm of distinct
+    tokens, truncating DIV. Scale: seed fits in one TakeOrdered(50) and
+    ships as a 1-row broadcast array; scoring is then ONE scan with
+    array_intersect in codegen — no explode join on the big side, no
+    shuffle after the seed build."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    en = d.filter(F.col("lang") == "en").select(F.explode(toks).alias("t"))
+    seed = (
+        en.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("t").asc())
+        .limit(50)
+        .agg(F.collect_list("t").alias("seed"))
+    )
+    return (
+        d.select("doc_id", toks.alias("ts"))
+        .crossJoin(F.broadcast(seed))
+        .select(
+            "doc_id",
+            F.size("ts").cast("bigint").alias("n_distinct"),
+            F.size(F.array_intersect("ts", "seed")).cast("bigint").alias("seed_hits"),
+        )
+        .withColumn(
+            "score_ppm", F.expr("CAST(seed_hits * 1000000 DIV n_distinct AS BIGINT)")
+        )
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"

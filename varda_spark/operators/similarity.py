@@ -1102,3 +1102,62 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", key, "cell_id", "adc")
     )
+
+
+def kcenter_greedy(
+    emb: DataFrame,
+    k: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 10000,
+) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez 1985;
+    Sener & Savarese ICLR 2018 use exactly this traversal to pick
+    maximally-diverse training subsets): seed at the lowest key, then
+    k-1 rounds each adding the point FARTHEST (exact integer L2 squared
+    on the floor(x*scale) grid, ties to the lowest key) from the set
+    chosen so far.
+
+    Scale: one corpus scan per round via mapInPandas — the <=k x dim
+    int64 center matrix rides the task closure, each Arrow batch reduces
+    to ONE candidate row (the batch-local argmax of the min-distance to
+    the centers), and the global argmax is a TakeOrdered over the
+    per-batch survivors; driver state is k rows by construction (the
+    sim_kmeans discipline). The quantized corpus is localCheckpoint-ed
+    once so the k-1 scans skip re-reading parquet and re-quantizing.
+
+    Returns k rows (step, <key>, dist2): the selection order and the
+    selected point's exact min-L2-squared coverage radius at selection
+    time (step 1 is the seed, dist2 0).
+    """
+    import numpy as np
+
+    q_ = emb.select(key, quantized(vec, scale).alias("_q")).localCheckpoint()
+    key_t = q_.schema[key].dataType.simpleString()
+    seed = q_.orderBy(key).limit(1).collect()[0]
+    centers = np.array([seed["_q"]], dtype=np.int64)
+    picks = [(1, seed[key], 0)]
+    for step in range(2, k + 1):
+
+        def _scan(batches, C=centers):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack(pdf["_q"].to_numpy()).astype(np.int64)
+                ids = pdf[key].to_numpy()
+                # exact int64: |x-c|^2 <= dim * (2*scale)^2 ~ 2.6e10
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+                j = int(np.lexsort((ids, -d2))[0])
+                yield pd.DataFrame(
+                    {key: [ids[j]], "_d2": [int(d2[j])], "_q": [list(X[j])]}
+                )
+
+        cand = q_.mapInPandas(_scan, f"{key} {key_t}, _d2 bigint, _q array<bigint>")
+        best = cand.orderBy(F.col("_d2").desc(), F.col(key).asc()).limit(1).collect()[0]
+        centers = np.vstack([centers, np.array(best["_q"], dtype=np.int64)])
+        picks.append((step, best[key], int(best["_d2"])))
+    return emb.sparkSession.createDataFrame(
+        picks, f"step bigint, {key} {key_t}, dist2 bigint"
+    )
