@@ -127,3 +127,82 @@ def test_domain_score_matches_python(spark):
         assert int(row.n_distinct) == len(distinct)
         assert int(row.seed_hits) == hits
         assert int(row.score_ppm) == hits * 1_000_000 // len(distinct)
+
+
+def test_hamming_topk_matches_numpy(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    bits = (X >= 0).astype(np.uint8)  # n x 64 sign bits
+    got = run(spark, "sim_hamming_topk")
+    assert len(got) == 15
+    for qi in range(5):
+        ham = (bits ^ bits[qi]).sum(axis=1)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda i: (ham[i], ids[i]),
+        )[:3]
+        sub = got[got.query_id == ids[qi]].sort_values("rank")
+        assert list(sub.vec_id) == [int(ids[i]) for i in order]
+        assert list(sub.hamming) == [int(ham[i]) for i in order]
+
+
+def test_diff_in_diff_matches_pandas(spark):
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_001}/customer.parquet").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["treat"] = (j.c_mktsegment == "BUILDING").astype(int)
+    j["post"] = (pd.to_datetime(j.o_orderdate) >= pd.Timestamp("1998-01-01")).astype(
+        int
+    )
+    j["cents"] = np.round(j.o_totalprice.to_numpy() * 100).astype(np.int64)
+    got = run(spark, "agg_diff_in_diff").iloc[0]
+    means = {}
+    for t in (0, 1):
+        for p in (0, 1):
+            cell = j[(j.treat == t) & (j.post == p)]
+            assert int(got[f"n{t}{p}"]) == len(cell)
+            means[(t, p)] = int(cell.cents.sum()) * 1000 // len(cell)
+            assert int(got[f"m{t}{p}"]) == means[(t, p)]
+    assert int(got.did_millicents) == (means[(1, 1)] - means[(1, 0)]) - (
+        means[(0, 1)] - means[(0, 0)]
+    )
+
+
+def test_price_elasticity_matches_pandas(spark):
+    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
+    sd = pd.to_datetime(li.l_shipdate)
+    li = li.assign(
+        m=sd.dt.year * 12 + sd.dt.month,
+        qty=np.round(li.l_quantity.to_numpy()).astype(np.int64),
+        cents=np.round(li.l_extendedprice.to_numpy() * 100).astype(np.int64),
+    )
+    mth = (
+        li.groupby("m")
+        .agg(q=("qty", "sum"), r=("cents", "sum"))
+        .sort_index()
+        .reset_index()
+    )
+    mth["p"] = mth.r * 1000 // mth.q
+    got = run(spark, "agg_price_elasticity").set_index("m")
+    n_expected = 0
+    for i in range(1, len(mth)):
+        q2, q1 = int(mth.q[i]), int(mth.q[i - 1])
+        p2, p1 = int(mth.p[i]), int(mth.p[i - 1])
+        if p2 == p1:
+            continue
+        n_expected += 1
+        # python // floors; the engines truncate toward zero — emulate
+        num = (q2 - q1) * (p2 + p1) * 1_000_000
+        den = (p2 - p1) * (q2 + q1)
+        e = abs(num) // abs(den) * (1 if (num >= 0) == (den >= 0) else -1)
+        row = got.loc[int(mth.m[i])]
+        assert int(row.q_units) == q2
+        assert int(row.p_milli) == p2
+        assert int(row.elasticity_ppm) == e
+    assert len(got) == n_expected

@@ -70,6 +70,8 @@ GLOBAL_ONE_TASK_OK = {
                          # list (calendar-bounded ~80 rows, documented)
     "store_cluster_advisor",  # rank window over the distinct-month spine
                          # (calendar-bounded ~80 rows, documented)
+    "agg_price_elasticity",  # LAG window over the ship-month list
+                         # (calendar-bounded ~80 rows, documented)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -161,6 +163,8 @@ BNLJ_OK = {
     "text_domain_score", # 1-row 50-token seed-array broadcast (the whole
                          # point: membership test in codegen, no explode
                          # join on the corpus side)
+    "sim_hamming_topk",  # 5-row query-signature broadcast fan-out
+                         # (two-phase salted top-k bounds every task)
 }
 
 

@@ -20959,6 +20959,259 @@ def text_domain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_W32 = [1 << (31 - i) for i in range(32)]
+
+
+@q(
+    "sim_hamming_topk",
+    f"""WITH w AS (
+         SELECT vec_id,
+                list_aggregate(list_transform(
+                    list_zip(embedding[1:32], {_W32}),
+                    s -> CASE WHEN CAST(s[1] AS DOUBLE) >= 0
+                         THEN s[2] ELSE 0 END), 'sum') AS w1,
+                list_aggregate(list_transform(
+                    list_zip(embedding[33:64], {_W32}),
+                    s -> CASE WHEN CAST(s[1] AS DOUBLE) >= 0
+                         THEN s[2] ELSE 0 END), 'sum') AS w2
+         FROM embeddings),
+       qs AS (SELECT vec_id AS query_id, w1 AS q1, w2 AS q2
+              FROM w ORDER BY vec_id LIMIT 5),
+       d AS (
+         SELECT qs.query_id, w.vec_id,
+                CAST(bit_count(xor(w.w1, qs.q1))
+                     + bit_count(xor(w.w2, qs.q2)) AS BIGINT) AS hamming
+         FROM w CROSS JOIN qs WHERE w.vec_id != qs.query_id),
+       r AS (
+         SELECT query_id, vec_id, hamming,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY hamming, vec_id) AS BIGINT) AS rank
+         FROM d)
+       SELECT query_id, rank, vec_id, hamming FROM r WHERE rank <= 3""",
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ binary-embedding ANN (sign hashing a la Charikar 2002 SimHash
+    for vectors / 'binary embeddings' in production vector stores): each
+    64-dim vector compresses to TWO int64 words of sign bits (8 bytes a
+    vector — even smaller than PQ codes), and search is Hamming top-k =
+    bit_count(xor) in whole-stage codegen, no arithmetic on the floats
+    at query time. The sign test is the only float op and involves no
+    arithmetic, so both engines agree bit-exactly; packing is an
+    order-independent weighted SUM of bits (no sequential fold). Scale:
+    encode is one scan; the 5-query probe table broadcasts (whitelisted
+    tiny BNLJ fan-out, 5x rows); top-3 is TWO-PHASE — a (query, vec_id
+    mod 64)-salted window takes local top-3, the final window ranks only
+    the <= 5*64*3 survivors — so no single task ever sees a full
+    query's candidate list (the query_sample_dot_topk discipline in
+    pure DataFrame ops)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    lits = ", ".join(str(x) for x in _W32)
+
+    def word(lo: int) -> str:
+        return (
+            f"aggregate(zip_with(slice(embedding, {lo}, 32), array({lits}),"
+            " (x, p) -> CASE WHEN CAST(x AS DOUBLE) >= 0"
+            " THEN p ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+
+    w = e.select(
+        "vec_id", F.expr(word(1)).alias("w1"), F.expr(word(33)).alias("w2")
+    )
+    qs = (
+        w.orderBy("vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("w1").alias("q1"),
+            F.col("w2").alias("q2"),
+        )
+    )
+    d = (
+        w.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "CAST(bit_count(w1 ^ q1) + bit_count(w2 ^ q2) AS BIGINT)"
+            ).alias("hamming"),
+            F.expr("pmod(vec_id, 64)").alias("_salt"),
+        )
+    )
+    w1 = Window.partitionBy("query_id", "_salt").orderBy("hamming", "vec_id")
+    local = d.withColumn("_r", F.row_number().over(w1)).filter(F.col("_r") <= 3)
+    w2_ = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w2_).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", "hamming")
+    )
+
+
+@q(
+    "agg_diff_in_diff",
+    """WITH j AS (
+         SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treat,
+                CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+                     THEN 1 ELSE 0 END AS post,
+                CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+                  AS cents
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       g AS (
+         SELECT treat, post, CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM j GROUP BY treat, post),
+       m AS (
+         SELECT CAST(MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS BIGINT)
+                  AS n11,
+                CAST(MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS BIGINT)
+                  AS n10,
+                CAST(MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS BIGINT)
+                  AS n01,
+                CAST(MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS BIGINT)
+                  AS n00,
+                CAST(MAX(CASE WHEN treat = 1 AND post = 1
+                          THEN s * 1000 // n END) AS BIGINT) AS m11,
+                CAST(MAX(CASE WHEN treat = 1 AND post = 0
+                          THEN s * 1000 // n END) AS BIGINT) AS m10,
+                CAST(MAX(CASE WHEN treat = 0 AND post = 1
+                          THEN s * 1000 // n END) AS BIGINT) AS m01,
+                CAST(MAX(CASE WHEN treat = 0 AND post = 0
+                          THEN s * 1000 // n END) AS BIGINT) AS m00
+         FROM g)
+       SELECT n11, n10, n01, n00, m11, m10, m01, m00,
+              (m11 - m10) - (m01 - m00) AS did_millicents
+       FROM m""",
+)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ difference-in-differences estimator (Card & Krueger 1994 —
+    THE quasi-experimental workhorse): effect of the post-1998 period on
+    BUILDING-segment customers' mean order value, net of the secular
+    trend in the other segments — (treated post - pre) minus (control
+    post - pre). Exactness: the four cell means are milli-cent-quantized
+    with the shared truncating-division protocol (HUGEINT /
+    DECIMAL(38,0), both engines truncate toward zero — proven signed),
+    so the estimator is an exact integer. Scale: one custkey equi-join
+    (segment is a dimension attribute) + ONE 4-cell keyed agg with
+    map-side partials; everything after is a 1-row reshape."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    D = "DECIMAL(38,0)"
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.expr("CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END").alias(
+            "treat"
+        ),
+        F.expr(
+            "CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END"
+        ).alias("post"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    g = j.groupBy("treat", "post").agg(
+        F.expr(f"SUM(CAST(cents AS {D}))").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cells = []
+    for t, p, tag in ((1, 1, "11"), (1, 0, "10"), (0, 1, "01"), (0, 0, "00")):
+        cells.append(
+            F.expr(
+                f"CAST(MAX(CASE WHEN treat = {t} AND post = {p} THEN n END)"
+                " AS BIGINT)"
+            ).alias(f"n{tag}")
+        )
+    for t, p, tag in ((1, 1, "11"), (1, 0, "10"), (0, 1, "01"), (0, 0, "00")):
+        cells.append(
+            F.expr(
+                f"CAST(MAX(CASE WHEN treat = {t} AND post = {p}"
+                " THEN s * 1000 DIV n END) AS BIGINT)"
+            ).alias(f"m{tag}")
+        )
+    return g.agg(*cells).withColumn(
+        "did_millicents", F.expr("(m11 - m10) - (m01 - m00)")
+    )
+
+
+@q(
+    "agg_price_elasticity",
+    """WITH mth AS (
+         SELECT CAST(year(CAST(l_shipdate AS DATE)) * 12
+                     + month(CAST(l_shipdate AS DATE)) AS BIGINT) AS m,
+                CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT))
+                     AS BIGINT) AS q_units,
+                CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+                     AS BIGINT) AS HUGEINT)) AS HUGEINT) AS r_cents
+         FROM lineitem GROUP BY 1),
+       pm AS (
+         SELECT m, q_units,
+                CAST(r_cents * 1000 // q_units AS BIGINT) AS p_milli
+         FROM mth),
+       lg AS (
+         SELECT m, q_units, p_milli,
+                LAG(q_units) OVER (ORDER BY m) AS qp,
+                LAG(p_milli) OVER (ORDER BY m) AS pp
+         FROM pm)
+       SELECT m, q_units, p_milli,
+              CAST(CAST((q_units - qp) AS HUGEINT) * (p_milli + pp) * 1000000
+                   // ((p_milli - pp) * CAST((q_units + qp) AS HUGEINT))
+                   AS BIGINT) AS elasticity_ppm
+       FROM lg WHERE qp IS NOT NULL AND p_milli != pp""",
+)
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ arc price elasticity of demand (the midpoint formula —
+    %change in quantity over %change in unit price between consecutive
+    ship months), the econ analytics twin of win_dod_growth: per month,
+    units shipped, milli-cent unit price (revenue DIV units), and
+    elasticity vs the prior month. No float: the midpoint ratio
+    ((dQ*(P1+P2)) / (dP*(Q1+Q2))) is computed ppm-quantized entirely in
+    HUGEINT/DECIMAL(38,0) with the shared signed truncating division;
+    months where the unit price did not move are excluded (undefined
+    elasticity) rather than emitted as NULL. Scale: one keyed agg with
+    map-side partials builds the month table; the LAG window runs over
+    the CALENDAR-BOUNDED ~80-row month list (whitelisted one-task
+    window, the store_partition_skew argument)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    D = "DECIMAL(38,0)"
+    mth = li.groupBy(
+        F.expr(
+            "CAST(year(CAST(l_shipdate AS DATE)) * 12"
+            " + month(CAST(l_shipdate AS DATE)) AS BIGINT)"
+        ).alias("m")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("q_units"),
+        F.expr(
+            "SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100"
+            f" AS BIGINT) AS {D}))"
+        ).alias("r_cents"),
+    )
+    pm = mth.select(
+        "m",
+        "q_units",
+        F.expr("CAST(r_cents * 1000 DIV q_units AS BIGINT)").alias("p_milli"),
+    )
+    w = Window.orderBy("m")
+    lg = pm.select(
+        "m",
+        "q_units",
+        "p_milli",
+        F.lag("q_units").over(w).alias("qp"),
+        F.lag("p_milli").over(w).alias("pp"),
+    )
+    return lg.filter(F.col("qp").isNotNull() & (F.col("p_milli") != F.col("pp"))).select(
+        "m",
+        "q_units",
+        "p_milli",
+        F.expr(
+            f"CAST(CAST((q_units - qp) AS {D}) * (p_milli + pp) * 1000000"
+            f" DIV ((p_milli - pp) * CAST((q_units + qp) AS {D})) AS BIGINT)"
+        ).alias("elasticity_ppm"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
