@@ -97,6 +97,10 @@ HEADLINE = LEGACY20 + [
     "sim_ivfpq",           # composed IVF routing + in-cell PQ/ADC scan
     "emb_semantic_dedup",  # SemDeDup: sqrt(n)-cell clustered cosine dedup
     "dedup_substring_spans",  # repeated 8-token passages across documents
+    # round-7 continuation additions
+    "emb_kcenter_coreset",  # greedy k-center diversity selection (8 rounds)
+    "sim_hamming_topk",     # binary sign-hash Hamming top-k (8 B/vector)
+    "store_cluster_advisor",  # sort-order advisor over simulated layouts
 ]
 
 
