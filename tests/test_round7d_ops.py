@@ -206,3 +206,150 @@ def test_price_elasticity_matches_pandas(spark):
         assert int(row.p_milli) == p2
         assert int(row.elasticity_ppm) == e
     assert len(got) == n_expected
+
+
+def test_shapley_attribution_matches_python(spark):
+    from itertools import combinations
+
+    ev = spark.read.parquet(f"{SF_001}/events.parquet").toPandas()
+    bits = {"view": 1, "click": 2, "signup": 4, "error": 8}
+    masks: dict = {}
+    conv: dict = {}
+    for uid, et in zip(ev.user_id, ev.event_type):
+        masks[uid] = masks.get(uid, 0) | bits.get(et, 0)
+        conv[uid] = conv.get(uid, 0) or (et == "purchase")
+    cu = Counter(
+        masks[u] for u in masks if conv[u] and masks[u] != 0
+    )
+
+    def v(S):
+        return sum(c for m, c in cu.items() if (m & S) == m)
+
+    import math
+
+    got = run(spark, "agg_shapley_attribution").set_index("channel")
+    total = v(15)
+    sum_scaled = 0
+    for ch, b in bits.items():
+        others = [x for x in bits.values() if x != b]
+        sc = 0
+        for k in range(4):
+            for sub in combinations(others, k):
+                S = sum(sub)
+                sc += math.factorial(k) * math.factorial(3 - k) * (v(S | b) - v(S))
+        row = got.loc[ch]
+        assert int(row.shapley_scaled) == sc
+        assert int(row.total_conv) == total
+        assert int(row.shapley_ppm) == (
+            sc * 1_000_000 // (24 * total) if total else 0
+        )
+        sum_scaled += sc
+    # efficiency axiom: the shares exactly exhaust the attributable total
+    assert sum_scaled == 24 * (total - v(0))
+
+
+def test_tdt_matches_python(spark):
+    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
+    li = li[li.l_linenumber % 3 != 2]
+    li = li.assign(
+        chrom=(li.l_partkey % 5).astype(str),
+        pos=li.l_partkey * 31 + 1,
+        gt=np.where(li.l_linenumber % 3 == 0, 2, 1),
+    )
+    g = (
+        li.groupby(["l_suppkey", "chrom", "pos"])
+        .gt.max()
+        .to_dict()
+    )
+    sites: dict = {}
+    for (sid, chrom, pos), cgt in g.items():
+        if sid % 3 != 0:
+            continue
+        fgt = g.get((sid - 2, chrom, pos), 0)
+        mgt = g.get((sid - 1, chrom, pos), 0)
+        hom = (fgt == 2) + (mgt == 2)
+        cap = (fgt >= 1) + (mgt >= 1)
+        if not (hom <= cgt <= cap):
+            continue  # Mendel error: excluded from TDT
+        h = (fgt == 1) + (mgt == 1)
+        b = cgt - hom
+        B, C = sites.get((chrom, pos), (0, 0))
+        sites[(chrom, pos)] = (B + b, C + (h - b))
+    got = run(spark, "freq_tdt").set_index(["chromosome", "position"])
+    expected = {k: v for k, v in sites.items() if v[0] + v[1] > 0}
+    assert len(got) == len(expected)
+    for (chrom, pos), (B, C) in expected.items():
+        row = got.loc[(chrom, pos)]
+        assert int(row.b) == B and int(row.c) == C
+        assert int(row.n_informative) == B + C
+        assert int(row.tdt_chi2_ppm) == (B - C) * (B - C) * 1_000_000 // (B + C)
+
+
+def test_group_kfold_no_leakage_and_balance(spark):
+    import hashlib
+
+    c = spark.read.parquet(f"{SF_001}/customer.parquet").toPandas()
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    folds = {
+        ck: int(hashlib.md5(str(ck).encode()).hexdigest()[:15], 16) % 5
+        for ck in c.c_custkey
+    }
+    n_groups = Counter(folds.values())
+    n_rows = Counter(folds[ck] for ck in o.o_custkey)
+    total = sum(n_rows.values())
+    got = run(spark, "sample_group_kfold").set_index("fold")
+    assert len(got) == 5
+    for f in range(5):
+        row = got.loc[f]
+        assert int(row.n_groups) == n_groups[f]
+        assert int(row.n_rows) == n_rows[f]
+        assert int(row.rows_ppm) == n_rows[f] * 1_000_000 // total
+        assert int(row.dev_ppm) == n_rows[f] * 1_000_000 // total - 200_000
+    # partition property: folds exhaust the groups and the rows
+    assert int(got.n_groups.sum()) == len(c)
+    assert int(got.n_rows.sum()) == len(o)
+
+
+def test_conductance_matches_python_lpa(spark):
+    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
+    lp = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    edges = set()
+    for _, grp in lp.groupby("l_orderkey"):
+        ps = sorted(grp.l_partkey)
+        for i in range(len(ps)):
+            for jj in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[jj]))
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {v: v for v in adj}
+    for _ in range(2):
+        new = {}
+        for v, ns in adj.items():
+            cnt = Counter(lab[n] for n in ns)
+            top = max(cnt.values())
+            new[v] = min(l for l, cc in cnt.items() if cc == top)
+        lab = new
+    m2 = 2 * len(edges)
+    vol: Counter = Counter()
+    cut: Counter = Counter()
+    nm: Counter = Counter()
+    for v, ns in adj.items():
+        vol[lab[v]] += len(ns)
+        nm[lab[v]] += 1
+    for a, b in edges:
+        if lab[a] != lab[b]:
+            cut[lab[a]] += 1
+            cut[lab[b]] += 1
+    got = run(spark, "graph_conductance").set_index("community")
+    assert len(got) == len(vol)
+    for c_ in vol:
+        row = got.loc[c_]
+        assert int(row.n_members) == nm[c_]
+        assert int(row.vol) == vol[c_]
+        assert int(row.cut_edges) == cut.get(c_, 0)
+        den = min(vol[c_], m2 - vol[c_])
+        assert int(row.conductance_ppm) == (
+            cut.get(c_, 0) * 1_000_000 // den if den else 0
+        )

@@ -165,6 +165,11 @@ BNLJ_OK = {
                          # join on the corpus side)
     "sim_hamming_topk",  # 5-row query-signature broadcast fan-out
                          # (two-phase salted top-k bounds every task)
+    "agg_shapley_attribution",  # 16-row subset spine (mask & s) theta
+                         # join against the <=15-row mask rollup +
+                         # 1-row total — the whole lattice is tiny
+    "sample_group_kfold",  # 1-row total-rows scalar onto the 5-row board
+    "graph_conductance", # 1-row 2m edge-count scalar (same as modularity)
 }
 
 

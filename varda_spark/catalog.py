@@ -21212,6 +21212,419 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_shapley_attribution",
+    """WITH u AS (
+         SELECT user_id,
+                bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                       WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END)
+                  AS mask,
+                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         FROM events GROUP BY user_id),
+       um AS (
+         SELECT mask, CAST(COUNT(*) AS BIGINT) AS cu
+         FROM u WHERE conv = 1 AND mask != 0 GROUP BY mask),
+       sp AS (SELECT unnest(range(0, 16)) AS s),
+       v AS (
+         SELECT sp.s, CAST(SUM(COALESCE(um.cu, 0)) AS BIGINT) AS vv
+         FROM sp LEFT JOIN um ON (um.mask & sp.s) = um.mask
+         GROUP BY sp.s),
+       ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2),
+              ('signup', 4), ('error', 8)) AS t(channel, bit)),
+       sh AS (
+         SELECT ch.channel, ch.bit,
+                SUM((CASE bit_count(CAST(v0.s AS BIGINT))
+                     WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+                    * (v1.vv - v0.vv)) AS shapley_scaled
+         FROM ch JOIN v v0 ON (v0.s & ch.bit) = 0
+                 JOIN v v1 ON v1.s = v0.s + ch.bit
+         GROUP BY ch.channel, ch.bit),
+       tot AS (SELECT vv AS total_conv FROM v WHERE s = 15)
+       SELECT channel, CAST(bit AS BIGINT) AS bit,
+              CAST(shapley_scaled AS BIGINT) AS shapley_scaled,
+              CAST(total_conv AS BIGINT) AS total_conv,
+              CAST(COALESCE(shapley_scaled * 1000000
+                   // NULLIF(24 * total_conv, 0), 0) AS BIGINT) AS shapley_ppm
+       FROM sh CROSS JOIN tot""",
+)
+def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ EXACT Shapley-value marketing attribution (Shapley 1953; the
+    game-theoretic answer to win_attribution's first/last-touch rules):
+    each non-purchase channel's fair share of converting users, where
+    the coalition value v(S) counts converting users whose touched
+    channel set fits inside S. With 4 channels the full 2^4 lattice is
+    enumerable, so this is the exact Shapley sum (weights k!(3-k)! over
+    a common /4! denominator — pure integers; the efficiency axiom
+    sum_i phi_i = v(full) holds exactly and is asserted in pytest), not
+    a sampling approximation. Scale: the corpus-sized work is ONE
+    user-keyed agg (bit_or mask + conversion flag, map-side partials);
+    everything after runs on the <=15-row mask rollup joined against a
+    16-row subset spine (whitelisted tiny BNLJ). At 100 TB attribution
+    cost is the user rollup, exactly as it should be."""
+    e = read_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2"
+            " WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END)"
+        ).alias("mask"),
+        F.expr(
+            "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        ).alias("conv"),
+    )
+    um = (
+        u.filter("conv = 1 AND mask != 0")
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    )
+    sp = spark.range(0, 16).select(F.col("id").alias("s"))
+    v = (
+        sp.join(F.broadcast(um), F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.expr("CAST(SUM(COALESCE(cu, 0)) AS BIGINT)").alias("vv"))
+    )
+    ch = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit bigint",
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("vv").alias("vv0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("vv").alias("vv1"))
+    sh = (
+        ch.join(F.broadcast(v0), F.expr("(s0 & bit) = 0"))
+        .join(F.broadcast(v1), F.expr("s1 = s0 + bit"))
+        .groupBy("channel", "bit")
+        .agg(
+            F.expr(
+                "SUM((CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                " WHEN 2 THEN 2 ELSE 6 END) * (vv1 - vv0))"
+            ).alias("shapley_scaled")
+        )
+    )
+    tot = v.filter("s = 15").select(F.col("vv").alias("total_conv"))
+    return sh.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.col("bit").cast("bigint").alias("bit"),
+        F.col("shapley_scaled").cast("bigint").alias("shapley_scaled"),
+        F.col("total_conv").cast("bigint").alias("total_conv"),
+        F.expr(
+            "CAST(COALESCE(shapley_scaled * 1000000"
+            " DIV NULLIF(24 * total_conv, 0), 0) AS BIGINT)"
+        ).alias("shapley_ppm"),
+    )
+
+
+@q(
+    "freq_tdt",
+    """WITH obs AS (
+         SELECT l_suppkey AS sample_id,
+                CAST(l_partkey % 5 AS VARCHAR) AS chromosome,
+                CAST(l_partkey * 31 + 1 AS BIGINT) AS position,
+                CASE WHEN l_linenumber % 3 = 0 THEN 2
+                     WHEN l_linenumber % 3 = 1 THEN 1 END AS gt
+         FROM lineitem WHERE l_linenumber % 3 <> 2),
+       g AS (
+         SELECT sample_id, chromosome, position, CAST(MAX(gt) AS BIGINT) AS gt
+         FROM obs GROUP BY sample_id, chromosome, position),
+       child AS (
+         SELECT sample_id, chromosome, position, gt AS cgt
+         FROM g WHERE sample_id % 3 = 0),
+       j AS (
+         SELECT c.chromosome, c.position, c.cgt,
+                COALESCE(f.gt, 0) AS fgt, COALESCE(m.gt, 0) AS mgt
+         FROM child c
+         LEFT JOIN g f ON f.sample_id = c.sample_id - 2
+                      AND f.chromosome = c.chromosome AND f.position = c.position
+         LEFT JOIN g m ON m.sample_id = c.sample_id - 1
+                      AND m.chromosome = c.chromosome AND m.position = c.position),
+       k AS (
+         SELECT chromosome, position,
+                (CASE WHEN fgt = 1 THEN 1 ELSE 0 END
+                 + CASE WHEN mgt = 1 THEN 1 ELSE 0 END) AS h,
+                cgt - (CASE WHEN fgt = 2 THEN 1 ELSE 0 END
+                       + CASE WHEN mgt = 2 THEN 1 ELSE 0 END) AS b
+         FROM j
+         WHERE cgt >= (CASE WHEN fgt = 2 THEN 1 ELSE 0 END
+                       + CASE WHEN mgt = 2 THEN 1 ELSE 0 END)
+           AND cgt <= (CASE WHEN fgt >= 1 THEN 1 ELSE 0 END
+                       + CASE WHEN mgt >= 1 THEN 1 ELSE 0 END)),
+       s AS (
+         SELECT chromosome, position,
+                CAST(SUM(b) AS BIGINT) AS b,
+                CAST(SUM(h - b) AS BIGINT) AS c,
+                CAST(SUM(h) AS BIGINT) AS n_informative
+         FROM k GROUP BY chromosome, position)
+       SELECT chromosome, position, b, c, n_informative,
+              CAST(CAST((b - c) AS HUGEINT) * (b - c) * 1000000
+                   // n_informative AS BIGINT) AS tdt_chi2_ppm
+       FROM s WHERE n_informative > 0""",
+)
+def freq_tdt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varda-domain transmission disequilibrium test (Spielman et al.
+    1993) per site: within Mendelian-CONSISTENT trios (freq_trio_mendel's
+    transmission-interval filter — TDT excludes Mendel errors by
+    definition), the alt-allele transmissions from heterozygous parents
+    are b = child dosage minus the hom-alt parents' forced contribution
+    and c = (het parents) - b, both exact integers; the McNemar-form TDT
+    statistic (b-c)^2/(b+c) is emitted ppm-quantized (HUGEINT /
+    DECIMAL(38,0) interior). The family-based association test that is
+    immune to population stratification — the reason trios are collected
+    at all. Scale: same shape as freq_trio_mendel (one genotype dedup,
+    two site-keyed left joins sharing the (chromosome, position)
+    shuffle, one site-keyed agg with map-side partials)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = li.filter(F.expr("l_linenumber % 3 <> 2")).select(
+        F.col("l_suppkey").alias("sample_id"),
+        F.expr("CAST(l_partkey % 5 AS STRING)").alias("chromosome"),
+        F.expr("CAST(l_partkey * 31 + 1 AS BIGINT)").alias("position"),
+        F.expr(
+            "CASE WHEN l_linenumber % 3 = 0 THEN 2"
+            " WHEN l_linenumber % 3 = 1 THEN 1 END"
+        ).alias("gt"),
+    )
+    g = obs.groupBy("sample_id", "chromosome", "position").agg(
+        F.max("gt").cast("bigint").alias("gt")
+    )
+    child = g.filter("sample_id % 3 = 0").select(
+        "sample_id", "chromosome", "position", F.col("gt").alias("cgt")
+    )
+    f = g.select(
+        F.col("sample_id").alias("f_id"),
+        F.col("chromosome").alias("f_chr"),
+        F.col("position").alias("f_pos"),
+        F.col("gt").alias("f_gt"),
+    )
+    m = g.select(
+        F.col("sample_id").alias("m_id"),
+        F.col("chromosome").alias("m_chr"),
+        F.col("position").alias("m_pos"),
+        F.col("gt").alias("m_gt"),
+    )
+    j = (
+        child.join(
+            f,
+            (F.col("f_id") == F.col("sample_id") - 2)
+            & (F.col("f_chr") == F.col("chromosome"))
+            & (F.col("f_pos") == F.col("position")),
+            "left",
+        )
+        .join(
+            m,
+            (F.col("m_id") == F.col("sample_id") - 1)
+            & (F.col("m_chr") == F.col("chromosome"))
+            & (F.col("m_pos") == F.col("position")),
+            "left",
+        )
+        .select(
+            "chromosome",
+            "position",
+            "cgt",
+            F.coalesce(F.col("f_gt"), F.lit(0)).alias("fgt"),
+            F.coalesce(F.col("m_gt"), F.lit(0)).alias("mgt"),
+        )
+    )
+    hom = "(CASE WHEN fgt = 2 THEN 1 ELSE 0 END + CASE WHEN mgt = 2 THEN 1 ELSE 0 END)"
+    cap = "(CASE WHEN fgt >= 1 THEN 1 ELSE 0 END + CASE WHEN mgt >= 1 THEN 1 ELSE 0 END)"
+    k = j.filter(F.expr(f"cgt >= {hom} AND cgt <= {cap}")).select(
+        "chromosome",
+        "position",
+        F.expr(
+            "(CASE WHEN fgt = 1 THEN 1 ELSE 0 END"
+            " + CASE WHEN mgt = 1 THEN 1 ELSE 0 END)"
+        ).alias("h"),
+        F.expr(f"cgt - {hom}").alias("b"),
+    )
+    s = k.groupBy("chromosome", "position").agg(
+        F.sum("b").cast("bigint").alias("b"),
+        F.expr("CAST(SUM(h - b) AS BIGINT)").alias("c"),
+        F.sum("h").cast("bigint").alias("n_informative"),
+    )
+    return s.filter("n_informative > 0").select(
+        "chromosome",
+        "position",
+        "b",
+        "c",
+        "n_informative",
+        F.expr(
+            "CAST(CAST((b - c) AS DECIMAL(38,0)) * (b - c) * 1000000"
+            " DIV n_informative AS BIGINT)"
+        ).alias("tdt_chi2_ppm"),
+    )
+
+
+@q(
+    "sample_group_kfold",
+    """WITH c AS (
+         SELECT c_custkey,
+                CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 5 AS fold
+         FROM customer),
+       j AS (
+         SELECT c.fold, c.c_custkey, o.o_orderkey
+         FROM c LEFT JOIN orders o ON o.o_custkey = c.c_custkey),
+       g AS (
+         SELECT fold, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_groups,
+                CAST(COUNT(o_orderkey) AS BIGINT) AS n_rows
+         FROM j GROUP BY fold),
+       t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM g)
+       SELECT CAST(fold AS BIGINT) AS fold, n_groups, n_rows,
+              CAST(n_rows * 1000000 // total AS BIGINT) AS rows_ppm,
+              CAST(n_rows * 1000000 // total - 200000 AS BIGINT) AS dev_ppm
+       FROM g CROSS JOIN t""",
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ GROUP k-fold assignment (the sklearn GroupKFold contract,
+    hash-deterministic): every customer lands in exactly one of 5 folds
+    by md5, so no group ever straddles a train/validation boundary (the
+    leakage sample_split's row-hash cannot prevent when rows share an
+    entity), and the fold board reports per-fold group count, row count,
+    and the ppm deviation from the ideal 20% — the balance audit that
+    says whether group sizes skewed a fold. Scale: fold assignment is a
+    pure Column over the dimension; the LEFT join to facts shuffles on
+    custkey once; the 5-row board and its 1-row total compose via a
+    broadcast cross join (whitelisted). distinct-count runs per fold
+    over disjoint custkeys — expand is fold-bounded."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15), 16, 10)"
+            " % 5"
+        ).alias("fold"),
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    g = j.groupBy("fold").agg(
+        F.countDistinct("c_custkey").cast("bigint").alias("n_groups"),
+        F.count("o_orderkey").cast("bigint").alias("n_rows"),
+    )
+    t = g.agg(F.sum("n_rows").cast("bigint").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        F.col("fold").cast("bigint").alias("fold"),
+        "n_groups",
+        "n_rows",
+        F.expr("CAST(n_rows * 1000000 DIV total AS BIGINT)").alias("rows_ppm"),
+        F.expr("CAST(n_rows * 1000000 DIV total - 200000 AS BIGINT)").alias(
+            "dev_ppm"
+        ),
+    )
+
+
+@q(
+    "graph_conductance",
+    f"""WITH {_COORDER_EDGES_SQL},
+       nodes AS (
+         SELECT DISTINCT v FROM (
+           SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)),
+       adj AS (
+         SELECT pa AS v, pb AS n FROM e
+         UNION ALL SELECT pb AS v, pa AS n FROM e),
+       l0 AS (SELECT v, v AS lab FROM nodes),
+       r1 AS (
+         SELECT v, lab FROM (
+           SELECT a.v, l.lab, COUNT(*) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY a.v
+                       ORDER BY COUNT(*) DESC, l.lab) AS rn
+           FROM adj a JOIN l0 l ON l.v = a.n
+           GROUP BY a.v, l.lab) WHERE rn = 1),
+       r2 AS (
+         SELECT v, lab FROM (
+           SELECT a.v, l.lab, COUNT(*) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY a.v
+                       ORDER BY COUNT(*) DESC, l.lab) AS rn
+           FROM adj a JOIN r1 l ON l.v = a.n
+           GROUP BY a.v, l.lab) WHERE rn = 1),
+       deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+       vol AS (
+         SELECT l.lab, CAST(SUM(d.d) AS BIGINT) AS vol,
+                CAST(COUNT(*) AS BIGINT) AS n_members
+         FROM r2 l JOIN deg d ON d.v = l.v GROUP BY l.lab),
+       m1 AS (SELECT CAST(COUNT(*) AS BIGINT) * 2 AS m2 FROM e),
+       ecut AS (
+         SELECT la.lab AS lab_a, lb.lab AS lab_b
+         FROM e JOIN r2 la ON la.v = e.pa JOIN r2 lb ON lb.v = e.pb
+         WHERE la.lab != lb.lab),
+       cutc AS (
+         SELECT lab, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+           SELECT lab_a AS lab FROM ecut
+           UNION ALL SELECT lab_b AS lab FROM ecut)
+         GROUP BY lab)
+       SELECT CAST(vol.lab AS BIGINT) AS community, vol.n_members, vol.vol,
+              CAST(COALESCE(cutc.cut, 0) AS BIGINT) AS cut_edges,
+              CAST(CASE WHEN LEAST(vol.vol, m1.m2 - vol.vol) = 0 THEN 0
+                   ELSE COALESCE(cutc.cut, 0) * 1000000
+                        // LEAST(vol.vol, m1.m2 - vol.vol) END AS BIGINT)
+                AS conductance_ppm
+       FROM vol LEFT JOIN cutc ON cutc.lab = vol.lab CROSS JOIN m1""",
+)
+def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph community QUALITY, the cut view: conductance phi(C) =
+    cut(C) / min(vol(C), 2m - vol(C)) per label-propagation community
+    (Kannan, Vempala & Vetta 2004 — THE standard community-goodness
+    score next to graph_modularity's null-model view; low phi = a real
+    cluster, phi near 1e6 ppm = a random slice). Communities are the
+    exact 2-round synchronous LPA of graph_labelprop (same deterministic
+    tie-break), so the two quality keys grade the SAME partition.
+    All-integer: cut and volume are counts, the ratio is ppm-truncated;
+    a community spanning the whole graph reports 0 by convention.
+    Scale: LPA rounds shuffle on |E| (localCheckpoint between rounds);
+    scoring adds one degree agg, one two-sided label join of the edge
+    list, and a 1-row 2m scalar cross join (whitelisted BNLJ)."""
+    e = _coorder_edges(spark, sf_dir).localCheckpoint()
+    adj = (
+        e.select(F.col("pa").alias("v"), F.col("pb").alias("n"))
+        .unionAll(e.select(F.col("pb").alias("v"), F.col("pa").alias("n")))
+        .localCheckpoint()
+    )
+    labels = adj.select("v").distinct().select("v", F.col("v").alias("lab"))
+    for _ in range(2):
+        nb = (
+            adj.join(labels.select(F.col("v").alias("n"), "lab"), "n")
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
+        labels = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+            .localCheckpoint()
+        )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    vol = (
+        labels.join(deg, "v")
+        .groupBy("lab")
+        .agg(
+            F.sum("d").cast("bigint").alias("vol"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )
+    m1 = e.agg(F.expr("CAST(COUNT(*) AS BIGINT) * 2").alias("m2"))
+    la = labels.select(F.col("v").alias("pa"), F.col("lab").alias("lab_a"))
+    lb = labels.select(F.col("v").alias("pb"), F.col("lab").alias("lab_b"))
+    ecut = (
+        e.join(la, "pa").join(lb, "pb").filter(F.col("lab_a") != F.col("lab_b"))
+    )
+    cutc = (
+        ecut.select(F.col("lab_a").alias("lab"))
+        .unionAll(ecut.select(F.col("lab_b").alias("lab")))
+        .groupBy("lab")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cut"))
+    )
+    return (
+        vol.join(cutc, "lab", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            F.col("lab").cast("bigint").alias("community"),
+            "n_members",
+            "vol",
+            F.expr("CAST(COALESCE(cut, 0) AS BIGINT)").alias("cut_edges"),
+            F.expr(
+                "CAST(CASE WHEN LEAST(vol, m2 - vol) = 0 THEN 0"
+                " ELSE COALESCE(cut, 0) * 1000000"
+                " DIV LEAST(vol, m2 - vol) END AS BIGINT)"
+            ).alias("conductance_ppm"),
+        )
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
