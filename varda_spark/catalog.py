@@ -9911,10 +9911,13 @@ def graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (v, label) count + one argmax window per node — all shuffle-
     bounded by |E|; Spark side localCheckpoints between rounds to keep
     lineage flat (the dedup_components discipline)."""
-    e = _coorder_edges(spark, sf_dir)
+    # checkpoint the EDGE list, not the doubled adjacency: caching 2|E|
+    # rows OOMs an 8 g heap at sf5 (~60M edges) — the graph_conductance
+    # lesson; adj is a cheap projection over e's cached blocks.
+    e = _coorder_edges(spark, sf_dir).localCheckpoint()
     adj = e.select(F.col("pa").alias("v"), F.col("pb").alias("n")).unionAll(
         e.select(F.col("pb").alias("v"), F.col("pa").alias("n"))
-    ).localCheckpoint()
+    )
     labels = adj.select("v").distinct().select("v", F.col("v").alias("lab"))
     for _ in range(2):
         nb = adj.join(
@@ -11881,9 +11884,11 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     two broadcast-joinable label maps and a 1-row scalar (BNLJ
     whitelist)."""
     e = _coorder_edges(spark, sf_dir).localCheckpoint()
+    # adj stays a projection over e's cached blocks — caching the doubled
+    # adjacency too OOMs an 8 g heap at sf5 (the graph_conductance lesson)
     adj = e.select(F.col("pa").alias("v"), F.col("pb").alias("n")).unionAll(
         e.select(F.col("pb").alias("v"), F.col("pa").alias("n"))
-    ).localCheckpoint()
+    )
     labels = adj.select("v").distinct().select("v", F.col("v").alias("lab"))
     for _ in range(2):
         nb = adj.join(
@@ -21568,10 +21573,12 @@ def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring adds one degree agg, one two-sided label join of the edge
     list, and a 1-row 2m scalar cross join (whitelisted BNLJ)."""
     e = _coorder_edges(spark, sf_dir).localCheckpoint()
-    adj = (
-        e.select(F.col("pa").alias("v"), F.col("pb").alias("n"))
-        .unionAll(e.select(F.col("pb").alias("v"), F.col("pa").alias("n")))
-        .localCheckpoint()
+    # adj is a cheap projection over the CHECKPOINTED edge list — caching
+    # it too doubles the cached graph (2|E| rows) and OOMs an 8 g heap at
+    # sf5 (~60M edges); recomputing the union per round costs one extra
+    # pass over e's cached blocks.
+    adj = e.select(F.col("pa").alias("v"), F.col("pb").alias("n")).unionAll(
+        e.select(F.col("pb").alias("v"), F.col("pa").alias("n"))
     )
     labels = adj.select("v").distinct().select("v", F.col("v").alias("lab"))
     for _ in range(2):
