@@ -353,3 +353,66 @@ def test_conductance_matches_python_lpa(spark):
         assert int(row.conductance_ppm) == (
             cut.get(c_, 0) * 1_000_000 // den if den else 0
         )
+
+
+def test_hamming_recall_matches_numpy(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    Q = np.floor(X * 10000).astype(np.int64)
+    ids = emb.vec_id.to_numpy()
+    bits = (X >= 0).astype(np.uint8)
+    got = run(spark, "sim_hamming_recall").set_index("query_id")
+    assert len(got) == 5
+    for qi in range(5):
+        ham = (bits ^ bits[qi]).sum(axis=1)
+        others = [i for i in range(len(ids)) if ids[i] != ids[qi]]
+        approx = set(
+            ids[i] for i in sorted(others, key=lambda i: (ham[i], ids[i]))[:3]
+        )
+        d2 = ((Q - Q[qi]) ** 2).sum(axis=1)
+        exact = set(
+            ids[i] for i in sorted(others, key=lambda i: (d2[i], ids[i]))[:3]
+        )
+        row = got.loc[ids[qi]]
+        hits = len(exact & approx)
+        assert int(row.n_exact) == 3
+        assert int(row.n_hits) == hits
+        assert int(row.recall_ppm) == 1_000_000 * hits // 3
+
+
+def test_atr_matches_pandas(spark):
+    ev = spark.read.parquet(f"{SF_001}/events.parquet").toPandas()
+    ev = ev.assign(
+        d=pd.to_datetime(ev.ts).dt.normalize(),
+        cents=np.floor(ev.value * 100).astype(np.int64),
+    )
+    got = run(spark, "win_atr")
+    n_rows = 0
+    for et, grp in ev.groupby("event_type"):
+        days = []
+        for d, g in grp.sort_values(["ts", "event_id"]).groupby("d"):
+            days.append(
+                (d, int(g.cents.max()), int(g.cents.min()), int(g.cents.iloc[-1]))
+            )
+        days.sort()
+        trs = []
+        for i, (d, hi, lo, cl) in enumerate(days):
+            if i == 0:
+                tr = hi - lo
+            else:
+                pc = days[i - 1][3]
+                tr = max(hi - lo, abs(hi - pc), abs(lo - pc))
+            trs.append(tr)
+            frame = trs[max(0, i - 13) : i + 1]
+            atr = sum(frame) // len(frame)
+            row = got[(got.event_type == et) & (got.d == d.date())]
+            assert len(row) == 1
+            assert int(row.tr_cents.iloc[0]) == tr
+            assert int(row.atr_cents.iloc[0]) == atr
+            n_rows += 1
+    assert len(got) == n_rows

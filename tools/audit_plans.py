@@ -170,6 +170,8 @@ BNLJ_OK = {
                          # 1-row total — the whole lattice is tiny
     "sample_group_kfold",  # 1-row total-rows scalar onto the 5-row board
     "graph_conductance", # 1-row 2m edge-count scalar (same as modularity)
+    "sim_hamming_recall",  # the sim_hamming_topk 5-row probe broadcast
+                         # inside the approx side (same whitelist reason)
 }
 
 

@@ -21632,6 +21632,187 @@ def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sim_hamming_recall",
+    f"""WITH w AS (
+         SELECT vec_id,
+                list_aggregate(list_transform(
+                    list_zip(embedding[1:32], {_W32}),
+                    s -> CASE WHEN CAST(s[1] AS DOUBLE) >= 0
+                         THEN s[2] ELSE 0 END), 'sum') AS w1,
+                list_aggregate(list_transform(
+                    list_zip(embedding[33:64], {_W32}),
+                    s -> CASE WHEN CAST(s[1] AS DOUBLE) >= 0
+                         THEN s[2] ELSE 0 END), 'sum') AS w2
+         FROM embeddings),
+       hq AS (SELECT vec_id AS query_id, w1 AS q1, w2 AS q2
+              FROM w ORDER BY vec_id LIMIT 5),
+       hd AS (
+         SELECT hq.query_id, w.vec_id,
+                bit_count(xor(w.w1, hq.q1))
+                + bit_count(xor(w.w2, hq.q2)) AS hamming
+         FROM w CROSS JOIN hq WHERE w.vec_id != hq.query_id),
+       hr AS (
+         SELECT query_id, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY hamming, vec_id) AS rank
+         FROM hd),
+       approx AS (SELECT query_id, vec_id FROM hr WHERE rank <= 3),
+       qv AS (
+         SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+         FROM embeddings),
+       queries AS (SELECT vec_id AS query_id, e AS qe
+                   FROM qv ORDER BY vec_id LIMIT 5),
+       exd AS (
+         SELECT queries.query_id, qv.vec_id,
+                list_sum(list_transform(list_zip(qv.e, queries.qe),
+                    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+         FROM qv CROSS JOIN queries WHERE qv.vec_id != queries.query_id),
+       exr AS (
+         SELECT query_id, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2, vec_id) AS r
+         FROM exd),
+       ex AS (SELECT query_id, vec_id FROM exr WHERE r <= 3)
+       SELECT ex.query_id,
+              CAST(COUNT(*) AS BIGINT) AS n_exact,
+              CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits,
+              CAST((1000000 * SUM(CASE WHEN a.vec_id IS NOT NULL
+                                       THEN 1 ELSE 0 END))
+                   // COUNT(*) AS BIGINT) AS recall_ppm
+       FROM ex LEFT JOIN approx a USING (query_id, vec_id)
+       GROUP BY ex.query_id""",
+)
+def sim_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ binary-index QUALITY evaluation — recall@3 of the 8-byte
+    sign-hash Hamming index (sim_hamming_topk) against the exact
+    self-excluded integer-L2 ground truth for the same probes: the
+    number that says how much ranking quality the 32x compression
+    (64 floats -> 2 words) gave up, next to sim_recall_eval's IVF-PQ
+    recall — together they map the memory/recall frontier this engine
+    offers. Both sides are the certified components; the comparison is
+    a 15-row join. Scale: one signature scan + one exact mapInPandas
+    scan (per-batch local top-k, linear in n for the fixed probe set)."""
+    from varda_spark.operators.similarity import exact_l2_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = exact_l2_topk(
+        e, n_queries=5, topk=3, scale=10000, exclude_self=True
+    ).select("query_id", "vec_id")
+    ap = sim_hamming_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vec")
+    )
+    j = ex.join(
+        ap,
+        (ex.query_id == F.col("a_qid")) & (ex.vec_id == F.col("a_vec")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.expr(
+            "CAST(SUM(CASE WHEN a_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_hits"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN a_vec IS NOT NULL THEN 1 ELSE 0 END))"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+@q(
+    "win_atr",
+    """WITH t AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                CAST(FLOOR(value * 100) AS BIGINT) AS cents, ts, event_id
+         FROM events),
+       o AS (
+         SELECT event_type, d, cents,
+                ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                   ORDER BY ts DESC, event_id DESC) AS rn_close
+         FROM t),
+       agg AS (
+         SELECT event_type, d,
+                CAST(MAX(cents) AS BIGINT) AS high,
+                CAST(MIN(cents) AS BIGINT) AS low,
+                CAST(MAX(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT)
+                  AS close
+         FROM o GROUP BY event_type, d),
+       tr AS (
+         SELECT event_type, d, high, low, close,
+                LAG(close) OVER (PARTITION BY event_type ORDER BY d) AS pc
+         FROM agg),
+       tr2 AS (
+         SELECT event_type, d,
+                CAST(CASE WHEN pc IS NULL THEN high - low
+                     ELSE GREATEST(high - low, ABS(high - pc), ABS(low - pc))
+                     END AS BIGINT) AS tr_cents
+         FROM tr)
+       SELECT event_type, d, tr_cents,
+              CAST(SUM(tr_cents) OVER w
+                   // COUNT(*) OVER w AS BIGINT) AS atr_cents
+       FROM tr2
+       WINDOW w AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
+)
+def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ Average True Range (Wilder 1978, the simple-moving-average
+    variant) per series: true range = max(high-low, |high-prev close|,
+    |low-prev close|) over the deterministic daily OHLC rollup (the
+    win_ohlc synthesis), averaged over a 14-day frame — the volatility
+    band sizing every stop-loss / anomaly threshold reads, completing
+    the TA family beside RSI/MACD/stochastic/Bollinger. All integer
+    cents; the frame average is SUM DIV COUNT over the same frame (no
+    float mean). Plan: one (type, day) rollup, then LAG + one 14-row
+    frame on the (type)-PARTITIONED day-grain table — everything
+    partitioned, calendar-bounded per partition."""
+    e = read_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        F.expr("CAST(ts AS DATE)").alias("d"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    wend = Window.partitionBy("event_type", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    o = t.withColumn("rn_close", F.row_number().over(wend))
+    agg = o.groupBy("event_type", "d").agg(
+        F.max("cents").cast("bigint").alias("high"),
+        F.min("cents").cast("bigint").alias("low"),
+        F.expr("CAST(MAX(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT)")
+        .alias("close"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    tr = agg.withColumn("pc", F.lag("close").over(wd)).select(
+        "event_type",
+        "d",
+        F.expr(
+            "CAST(CASE WHEN pc IS NULL THEN high - low"
+            " ELSE GREATEST(high - low, ABS(high - pc), ABS(low - pc))"
+            " END AS BIGINT)"
+        ).alias("tr_cents"),
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    return tr.select(
+        "event_type",
+        "d",
+        "tr_cents",
+        F.expr(
+            "CAST(SUM(tr_cents) OVER (PARTITION BY event_type ORDER BY d"
+            " ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"
+            " DIV COUNT(*) OVER (PARTITION BY event_type ORDER BY d"
+            " ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ).alias("atr_cents"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"

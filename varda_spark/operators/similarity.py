@@ -904,6 +904,7 @@ def exact_l2_topk(
     key: str = "vec_id",
     vec: str = "embedding",
     scale: int = 1000,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact integer-L2 top-k for a FIXED probe set: the ground truth an
     ANN index (ivf_pq_topk / pq_adc_topk) is evaluated against. The
@@ -911,7 +912,10 @@ def exact_l2_topk(
     the corpus pass is one mapInPandas with per-Arrow-batch local top-k
     under the total (d², key) order, and the final window ranks only
     batches·q·topk survivors — linear in n for fixed q, never n·q
-    materialized rows. All-integer; ties → lowest key."""
+    materialized rows. All-integer; ties → lowest key. With
+    ``exclude_self`` the probe row itself is masked out of its own
+    candidate list (for comparing against indexes that exclude self,
+    e.g. sim_hamming_topk)."""
     import numpy as np
 
     q_ = emb.select(key, quantized(vec, scale).alias("_q"))
@@ -920,7 +924,7 @@ def exact_l2_topk(
     Qm = np.array([r["_q"] for r in qrows], dtype=np.int64)
     qids = np.array([r[key] for r in qrows])
 
-    def _scan(batches, Qm=Qm, qids=qids, topk=topk):
+    def _scan(batches, Qm=Qm, qids=qids, topk=topk, exclude_self=exclude_self):
         import pandas as pd
 
         for pdf in batches:
@@ -938,6 +942,8 @@ def exact_l2_topk(
             out = {"query_id": [], key: [], "d2": []}
             kk = min(topk, n)
             for qi in range(len(qids)):
+                if exclude_self:
+                    d2[qi][ids == qids[qi]] = np.iinfo(np.int64).max - 1
                 order = np.lexsort((ids, d2[qi]))[:kk]
                 out["query_id"].extend([qids[qi]] * kk)
                 out[key].extend(ids[order])
