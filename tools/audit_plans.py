@@ -72,6 +72,9 @@ GLOBAL_ONE_TASK_OK = {
                          # (calendar-bounded ~80 rows, documented)
     "agg_price_elasticity",  # LAG window over the ship-month list
                          # (calendar-bounded ~80 rows, documented)
+    "agg_fdr_bh",        # BH rank/threshold windows over the 25-row
+                         # brand dimension (documented; the sample cap
+                         # window upstream IS brand-partitioned)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -172,6 +175,9 @@ BNLJ_OK = {
     "graph_conductance", # 1-row 2m edge-count scalar (same as modularity)
     "sim_hamming_recall",  # the sim_hamming_topk 5-row probe broadcast
                          # inside the approx side (same whitelist reason)
+    "sim_rrf_fusion",    # the same 5-row query broadcast feeding BOTH
+                         # retrievers (salted two-phase top-k bounds
+                         # every task, as in sim_hamming_topk)
 }
 
 

@@ -21813,6 +21813,555 @@ def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "agg_pvm_bridge",
+    """WITH j AS (
+         SELECT p.p_brand AS brand,
+                CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS yr,
+                CAST(CAST(l.l_quantity AS DECIMAL(18,4)) AS BIGINT) AS units,
+                CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+                  AS cents
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE year(CAST(l.l_shipdate AS DATE)) IN (1996, 1997)),
+       g AS (
+         SELECT brand, yr,
+                CAST(SUM(units) AS BIGINT) AS q,
+                CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS r
+         FROM j GROUP BY brand, yr),
+       pv AS (
+         SELECT brand,
+                CAST(MAX(CASE WHEN yr = 1996 THEN q END) AS BIGINT) AS q0,
+                CAST(MAX(CASE WHEN yr = 1997 THEN q END) AS BIGINT) AS q1,
+                CAST(MAX(CASE WHEN yr = 1996 THEN r END) AS HUGEINT) AS r0,
+                CAST(MAX(CASE WHEN yr = 1997 THEN r END) AS HUGEINT) AS r1
+         FROM g GROUP BY brand
+         HAVING MAX(CASE WHEN yr = 1996 THEN q END) IS NOT NULL
+            AND MAX(CASE WHEN yr = 1997 THEN q END) IS NOT NULL),
+       eff AS (
+         SELECT brand, q0, q1,
+                CAST(r0 AS BIGINT) AS r0_cents,
+                CAST(r1 AS BIGINT) AS r1_cents,
+                r0 * 1000 // q0 AS p0_milli,
+                r1 * 1000 // q1 AS p1_milli
+         FROM pv)
+       SELECT brand, q0, q1, r0_cents, r1_cents,
+              CAST(p0_milli AS BIGINT) AS p0_milli,
+              CAST(p1_milli AS BIGINT) AS p1_milli,
+              CAST(r1_cents - r0_cents AS BIGINT) AS delta_cents,
+              CAST((p1_milli - p0_milli) * CAST(q1 AS HUGEINT) // 1000
+                   AS BIGINT) AS price_eff_cents,
+              CAST(CAST(q1 - q0 AS HUGEINT) * p0_milli // 1000
+                   AS BIGINT) AS volume_eff_cents,
+              CAST((r1_cents - r0_cents)
+                   - (p1_milli - p0_milli) * CAST(q1 AS HUGEINT) // 1000
+                   - CAST(q1 - q0 AS HUGEINT) * p0_milli // 1000
+                   AS BIGINT) AS mix_resid_cents
+       FROM eff""",
+)
+def agg_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ price-volume-mix revenue bridge (the FP&A waterfall: how much
+    of each brand's 1996→1997 revenue change came from unit-price moves
+    vs unit-volume moves, with the quantization cross-term as the
+    explicit mix residual): per brand present in both years, price
+    effect = Δp·q1, volume effect = Δq·p0, residual = Δrev − price −
+    volume, so the three effects reconcile to the delta EXACTLY by
+    construction. Exactness: unit prices are milli-cent-quantized with
+    the shared HUGEINT/DECIMAL(38,0) truncating division; every effect
+    is an integer product DIV 1000. Scale: one partkey equi-join (brand
+    is a part attribute), ONE (brand, year) keyed agg with map-side
+    partials; the pivot and arithmetic run on the 25-row brand
+    dimension."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    D = "DECIMAL(38,0)"
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(F.expr("year(CAST(l_shipdate AS DATE)) IN (1996, 1997)"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.expr("CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT)").alias("yr"),
+            F.expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT)").alias(
+                "units"
+            ),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    g = j.groupBy("brand", "yr").agg(
+        F.expr("CAST(SUM(units) AS BIGINT)").alias("q"),
+        F.expr(f"SUM(CAST(cents AS {D}))").alias("r"),
+    )
+    pv = (
+        g.groupBy("brand")
+        .agg(
+            F.expr("CAST(MAX(CASE WHEN yr = 1996 THEN q END) AS BIGINT)").alias(
+                "q0"
+            ),
+            F.expr("CAST(MAX(CASE WHEN yr = 1997 THEN q END) AS BIGINT)").alias(
+                "q1"
+            ),
+            F.expr(
+                f"CAST(MAX(CASE WHEN yr = 1996 THEN r END) AS {D})"
+            ).alias("r0"),
+            F.expr(
+                f"CAST(MAX(CASE WHEN yr = 1997 THEN r END) AS {D})"
+            ).alias("r1"),
+        )
+        .filter("q0 IS NOT NULL AND q1 IS NOT NULL")
+    )
+    eff = pv.select(
+        "brand",
+        "q0",
+        "q1",
+        F.expr("CAST(r0 AS BIGINT)").alias("r0_cents"),
+        F.expr("CAST(r1 AS BIGINT)").alias("r1_cents"),
+        F.expr("r0 * 1000 DIV q0").alias("p0_milli"),
+        F.expr("r1 * 1000 DIV q1").alias("p1_milli"),
+    )
+    return eff.select(
+        "brand",
+        "q0",
+        "q1",
+        "r0_cents",
+        "r1_cents",
+        F.expr("CAST(p0_milli AS BIGINT)").alias("p0_milli"),
+        F.expr("CAST(p1_milli AS BIGINT)").alias("p1_milli"),
+        F.expr("CAST(r1_cents - r0_cents AS BIGINT)").alias("delta_cents"),
+        F.expr(
+            f"CAST((p1_milli - p0_milli) * CAST(q1 AS {D}) DIV 1000 AS BIGINT)"
+        ).alias("price_eff_cents"),
+        F.expr(
+            f"CAST(CAST(q1 - q0 AS {D}) * p0_milli DIV 1000 AS BIGINT)"
+        ).alias("volume_eff_cents"),
+        F.expr(
+            f"CAST((r1_cents - r0_cents)"
+            f" - (p1_milli - p0_milli) * CAST(q1 AS {D}) DIV 1000"
+            f" - CAST(q1 - q0 AS {D}) * p0_milli DIV 1000 AS BIGINT)"
+        ).alias("mix_resid_cents"),
+    )
+
+
+@q(
+    "agg_fdr_bh",
+    """WITH RECURSIVE samp AS (
+         SELECT p.p_brand AS brand, l.l_orderkey AS ok,
+                CASE WHEN CAST(l.l_discount AS DECIMAL(18,4)) > 0.0500 THEN 1
+                     WHEN CAST(l.l_discount AS DECIMAL(18,4)) < 0.0500 THEN -1
+                     ELSE 0 END AS sgn
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_orderkey % 97 = 1 AND l.l_linenumber = 1),
+       capped AS (
+         SELECT brand, sgn,
+                ROW_NUMBER() OVER (PARTITION BY brand ORDER BY ok) AS rn
+         FROM samp),
+       stats AS (
+         SELECT brand,
+                CAST(SUM(CASE WHEN sgn != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         FROM capped WHERE rn <= 40
+         GROUP BY brand
+         HAVING SUM(CASE WHEN sgn != 0 THEN 1 ELSE 0 END) > 0),
+       kk AS (
+         SELECT brand, n, pos, LEAST(pos, n - pos) AS k FROM stats),
+       bt AS (
+         SELECT brand, n, k, 0 AS i,
+                CAST(1 AS HUGEINT) AS c, CAST(1 AS HUGEINT) AS s
+         FROM kk
+         UNION ALL
+         SELECT brand, n, k, i + 1,
+                c * (n - i) // (i + 1),
+                s + c * (n - i) // (i + 1)
+         FROM bt WHERE i < k),
+       pvals AS (
+         SELECT kk.brand, kk.n, kk.pos,
+                CAST(LEAST(CAST(1000000 AS HUGEINT),
+                     2000000 * bt.s // (CAST(1 AS HUGEINT) << kk.n))
+                     AS BIGINT) AS p_ppm
+         FROM kk JOIN bt ON bt.brand = kk.brand AND bt.i = kk.k),
+       ranked AS (
+         SELECT brand, n AS n_obs, pos AS n_pos, p_ppm,
+                CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, brand) AS BIGINT)
+                  AS rnk,
+                CAST(COUNT(*) OVER () AS BIGINT) AS m
+         FROM pvals),
+       thr AS (
+         SELECT *, MAX(CASE WHEN p_ppm * m <= rnk * 50000 THEN rnk
+                            ELSE 0 END) OVER () AS t
+         FROM ranked)
+       SELECT brand, n_obs, n_pos, p_ppm, rnk, m,
+              rnk <= t AS reject
+       FROM thr""",
+)
+def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D+ Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995)
+    over EXACT two-sided sign-test p-values — the multiple-testing
+    gate every per-segment screening dashboard needs: per brand, H0
+    says the median discount is 0.05; p = min(1, 2·P(Bin(n,1/2) ≤
+    min(pos, neg))) computed with exact integer binomial coefficients
+    (the stepwise C(n,i) = C(n,i-1)·(n-i+1)/i recurrence is
+    always-integer, folded in a JVM HOF here and a recursive CTE in the
+    oracle), ppm-quantized; BH rejects ranks ≤ the largest i with
+    p_(i)·m ≤ i·α (α = 0.05). No float anywhere. Scale: the sample is
+    a PUSHED modulus predicate (~1% of the scan) capped at 40
+    obs/brand by a brand-partitioned window over that 1%; everything
+    after runs on the 25-row brand dimension (whitelisted one-task
+    windows, dimension-bounded — the agg_abc_class argument)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    samp = (
+        li.filter("l_orderkey % 97 = 1 AND l_linenumber = 1")
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("l_orderkey").alias("ok"),
+            F.expr(
+                "CASE WHEN CAST(l_discount AS DECIMAL(18,4)) > 0.0500 THEN 1"
+                " WHEN CAST(l_discount AS DECIMAL(18,4)) < 0.0500 THEN -1"
+                " ELSE 0 END"
+            ).alias("sgn"),
+        )
+    )
+    wcap = Window.partitionBy("brand").orderBy("ok")
+    stats = (
+        samp.withColumn("rn", F.row_number().over(wcap))
+        .filter("rn <= 40")
+        .groupBy("brand")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN sgn != 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n"),
+            F.expr(
+                "CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("pos"),
+        )
+        .filter("n > 0")
+    )
+    # exact binomial tail: s = sum_{i=0..k} C(n,i), folded stepwise so
+    # every intermediate stays an exact BIGINT (max C(40,20)*40 ~ 5.5e12)
+    tail = (
+        "CASE WHEN k = 0 THEN CAST(1 AS BIGINT) ELSE aggregate(sequence(1, k),"
+        " named_struct('c', CAST(1 AS BIGINT), 's', CAST(1 AS BIGINT)),"
+        " (acc, i) -> named_struct("
+        "   'c', acc.c * (n - i + 1) DIV i,"
+        "   's', acc.s + acc.c * (n - i + 1) DIV i),"
+        " acc -> acc.s) END"
+    )
+    pvals = stats.withColumn("k", F.expr("LEAST(pos, n - pos)")).select(
+        "brand",
+        "n",
+        "pos",
+        F.expr(
+            f"CAST(LEAST(CAST(1000000 AS BIGINT),"
+            f" 2000000 * ({tail}) DIV shiftleft(CAST(1 AS BIGINT), CAST(n AS INT)))"
+            f" AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    wall = Window.orderBy("p_ppm", "brand")
+    wfull = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pvals.select(
+        "brand",
+        F.col("n").alias("n_obs"),
+        F.col("pos").alias("n_pos"),
+        "p_ppm",
+        F.row_number().over(wall).cast("bigint").alias("rnk"),
+    ).withColumn("m", F.count(F.lit(1)).over(wfull).cast("bigint"))
+    thr = ranked.withColumn(
+        "t",
+        F.expr("MAX(CASE WHEN p_ppm * m <= rnk * 50000 THEN rnk ELSE 0 END)").over(
+            wfull
+        ),
+    )
+    return thr.select(
+        "brand", "n_obs", "n_pos", "p_ppm", "rnk", "m",
+        F.expr("rnk <= t").alias("reject"),
+    )
+
+
+@q(
+    "store_bloom_advisor",
+    """WITH part_stats AS (
+         SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100
+                     + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS part_ym,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv
+         FROM orders GROUP BY 1)
+       SELECT part_ym, n_rows, ndv,
+              CAST((ndv * 9585 + 999) // 1000 AS BIGINT) AS bloom_bits,
+              CAST(((ndv * 9585 + 999) // 1000 + 7) // 8 AS BIGINT)
+                AS bloom_bytes,
+              CAST((((ndv * 9585 + 999) // 1000) * 693 * 2 + ndv * 1000)
+                   // (ndv * 2000) AS BIGINT) AS k_hashes,
+              ((ndv * 9585 + 999) // 1000 + 7) // 8 <= 1048576 AS recommend
+       FROM part_stats""",
+)
+def store_bloom_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ per-partition bloom-filter sizing advisor (the Parquet
+    bloom_filter_enabled decision a warehouse makes per file): for each
+    month partition of orders, the exact NDV of the point-lookup column
+    (o_custkey) sizes an fpp=1% filter — m = ceil(ndv·9.585) bits
+    (9585/1000 is ln(1/0.01)/ln²2 as an exact rational), k =
+    round(0.693·m/ndv) hashes, with the recommendation gated on the
+    filter fitting a 1 MiB page budget. All integer ceil/round via the
+    shared truncating-DIV protocol. Scale: ONE keyed agg; exact
+    COUNT(DISTINCT) per partition is the expensive-but-honest half
+    (two-phase expand on (partition, custkey)) — the approx_cd sketch
+    path exists for when ±2% suffices."""
+    o = read_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.expr(
+            "CAST(year(CAST(o_orderdate AS DATE)) * 100"
+            " + month(CAST(o_orderdate AS DATE)) AS BIGINT)"
+        ).alias("part_ym")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("ndv"),
+    )
+    return g.select(
+        "part_ym",
+        "n_rows",
+        "ndv",
+        F.expr("CAST((ndv * 9585 + 999) DIV 1000 AS BIGINT)").alias("bloom_bits"),
+        F.expr(
+            "CAST(((ndv * 9585 + 999) DIV 1000 + 7) DIV 8 AS BIGINT)"
+        ).alias("bloom_bytes"),
+        F.expr(
+            "CAST((((ndv * 9585 + 999) DIV 1000) * 693 * 2 + ndv * 1000)"
+            " DIV (ndv * 2000) AS BIGINT)"
+        ).alias("k_hashes"),
+        F.expr(
+            "((ndv * 9585 + 999) DIV 1000 + 7) DIV 8 <= 1048576"
+        ).alias("recommend"),
+    )
+
+
+@q(
+    "sim_rrf_fusion",
+    f"""WITH qz AS (
+         SELECT vec_id,
+                list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv,
+                list_aggregate(list_transform(
+                    list_zip(embedding[1:32], {_W32}),
+                    s -> CASE WHEN CAST(s[1] AS DOUBLE) >= 0
+                         THEN s[2] ELSE 0 END), 'sum') AS w1,
+                list_aggregate(list_transform(
+                    list_zip(embedding[33:64], {_W32}),
+                    s -> CASE WHEN CAST(s[1] AS DOUBLE) >= 0
+                         THEN s[2] ELSE 0 END), 'sum') AS w2
+         FROM embeddings),
+       qs AS (SELECT vec_id AS query_id, qv AS pq, w1 AS b1, w2 AS b2
+              FROM qz ORDER BY vec_id LIMIT 5),
+       dense AS (
+         SELECT query_id, vec_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                     list_aggregate(list_transform(list_zip(qv, pq),
+                         s -> s[1] * s[2]), 'sum') DESC, vec_id)
+                     AS BIGINT) AS ra
+         FROM qz CROSS JOIN qs WHERE vec_id != query_id),
+       binry AS (
+         SELECT query_id, vec_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                     bit_count(xor(w1, b1)) + bit_count(xor(w2, b2)), vec_id)
+                     AS BIGINT) AS rb
+         FROM qz CROSS JOIN qs WHERE vec_id != query_id),
+       fused AS (
+         SELECT COALESCE(d.query_id, b.query_id) AS query_id,
+                COALESCE(d.vec_id, b.vec_id) AS vec_id,
+                COALESCE(d.ra, 0) AS rank_dense,
+                COALESCE(b.rb, 0) AS rank_binary,
+                CAST(CASE WHEN d.ra IS NULL THEN 0
+                     ELSE 1000000 // (60 + d.ra) END
+                   + CASE WHEN b.rb IS NULL THEN 0
+                     ELSE 1000000 // (60 + b.rb) END AS BIGINT) AS rrf_ppm
+         FROM (SELECT * FROM dense WHERE ra <= 10) d
+         FULL OUTER JOIN (SELECT * FROM binry WHERE rb <= 10) b
+           ON d.query_id = b.query_id AND d.vec_id = b.vec_id)
+       SELECT query_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rrf_ppm DESC, vec_id) AS BIGINT) AS rank,
+              vec_id, rrf_ppm, rank_dense, rank_binary
+       FROM fused
+       QUALIFY rank <= 5""",
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ reciprocal-rank fusion (Cormack et al. 2009 — the standard
+    hybrid-retrieval merge): fuse a dense retriever (integer-quantized
+    dot-product top-10) with a binary retriever (sign-bit Hamming
+    top-10) per query, score = Σ 1/(60+rank) ppm-floored, emit the
+    fused top-5 — the two-tower + rerank shape every production RAG
+    stack runs. Exactness: quantization is floor(x·1000) (one
+    deterministic IEEE multiply, no accumulation), dots/hamming are
+    integer, RRF terms are truncating DIV. Scale: BOTH retrievers are
+    one broadcast-5-query scan with the salted two-phase top-k
+    (sim_hamming_topk discipline); the fusion join and final window
+    touch ≤ 5·20 survivor rows."""
+    e = read_table(spark, sf_dir, "embeddings")
+    lits = ", ".join(str(x) for x in _W32)
+
+    def word(lo: int) -> str:
+        return (
+            f"aggregate(zip_with(slice(embedding, {lo}, 32), array({lits}),"
+            " (x, p) -> CASE WHEN CAST(x AS DOUBLE) >= 0"
+            " THEN p ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+
+    z = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qv"),
+        F.expr(word(1)).alias("w1"),
+        F.expr(word(33)).alias("w2"),
+    )
+    qs = (
+        z.orderBy("vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("pq"),
+            F.col("w1").alias("b1"),
+            F.col("w2").alias("b2"),
+        )
+    )
+    cand = z.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("query_id"))
+
+    def two_phase(df: DataFrame, score: str, asc: bool, out: str) -> DataFrame:
+        d = df.select(
+            "query_id",
+            "vec_id",
+            F.expr(score).alias("_s"),
+            F.expr("pmod(vec_id, 64)").alias("_salt"),
+        )
+        order = [F.col("_s").asc() if asc else F.col("_s").desc(), F.col("vec_id")]
+        wloc = Window.partitionBy("query_id", "_salt").orderBy(*order)
+        wglob = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            d.withColumn("_r", F.row_number().over(wloc))
+            .filter(F.col("_r") <= 10)
+            .withColumn(out, F.row_number().over(wglob).cast("bigint"))
+            .filter(F.col(out) <= 10)
+            .select("query_id", "vec_id", out)
+        )
+
+    dense = two_phase(
+        cand,
+        "aggregate(zip_with(qv, pq, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)",
+        asc=False,
+        out="ra",
+    )
+    binry = two_phase(
+        cand,
+        "CAST(bit_count(w1 ^ b1) + bit_count(w2 ^ b2) AS BIGINT)",
+        asc=True,
+        out="rb",
+    )
+    fused = (
+        dense.join(binry, ["query_id", "vec_id"], "full_outer")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr("COALESCE(ra, 0)").alias("rank_dense"),
+            F.expr("COALESCE(rb, 0)").alias("rank_binary"),
+            F.expr(
+                "CAST(CASE WHEN ra IS NULL THEN 0 ELSE 1000000 DIV (60 + ra) END"
+                " + CASE WHEN rb IS NULL THEN 0"
+                " ELSE 1000000 DIV (60 + rb) END AS BIGINT)"
+            ).alias("rrf_ppm"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), F.col("vec_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wq).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "rrf_ppm", "rank_dense", "rank_binary")
+    )
+
+
+@q(
+    "win_adstock",
+    """WITH day AS (
+         SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                     AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY 1, 2),
+       lagd AS (
+         SELECT prio, d, cents,
+                """
+    + ",\n                ".join(
+        f"COALESCE(LAG(cents, {j}) OVER (PARTITION BY prio ORDER BY d), 0)"
+        f" AS l{j}"
+        for j in range(1, 11)
+    )
+    + """
+         FROM day)
+       SELECT prio, d, cents,
+              CAST(cents + """
+    + " + ".join(f"l{j} // {1 << j}" for j in range(1, 11))
+    + """ AS BIGINT) AS adstock_cents,
+              CAST(CASE WHEN cents + """
+    + " + ".join(f"l{j} // {1 << j}" for j in range(1, 11))
+    + """ = 0 THEN 0
+                   ELSE ("""
+    + " + ".join(f"l{j} // {1 << j}" for j in range(1, 11))
+    + """) * 1000000
+                        // (cents + """
+    + " + ".join(f"l{j} // {1 << j}" for j in range(1, 11))
+    + """) END AS BIGINT) AS carryover_ppm
+       FROM lagd""",
+)
+def win_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E+ geometric adstock transform (Broadbent 1979; the carryover
+    term in every media-mix model): per order-priority channel, daily
+    spend plus a half-life-one-day decayed tail of the prior 10 days —
+    adstock_t = Σ_{j=0..10} spend_{t-j} DIV 2^j — and the carryover
+    share of the transformed series. Powers of two make the geometric
+    decay EXACT integer arithmetic (truncating DIV per lag, identical
+    in both engines) instead of a float pow chain. Scale: one (channel,
+    day) keyed rollup with map-side partials, then 10 LAGs in a single
+    window pass over the channel-PARTITIONED day-grain table
+    (calendar-bounded ~2.4k rows per channel)."""
+    o = read_table(spark, sf_dir, "orders")
+    day = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(o_orderdate AS DATE)").alias("d"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("cents")
+    )
+    w = Window.partitionBy("prio").orderBy("d")
+    lagd = day.select(
+        "prio",
+        "d",
+        "cents",
+        *[
+            F.coalesce(F.lag("cents", j).over(w), F.lit(0)).alias(f"l{j}")
+            for j in range(1, 11)
+        ],
+    )
+    tail_expr = " + ".join(f"l{j} DIV {1 << j}" for j in range(1, 11))
+    return lagd.select(
+        "prio",
+        "d",
+        "cents",
+        F.expr(f"CAST(cents + {tail_expr} AS BIGINT)").alias("adstock_cents"),
+        F.expr(
+            f"CAST(CASE WHEN cents + {tail_expr} = 0 THEN 0"
+            f" ELSE ({tail_expr}) * 1000000 DIV (cents + {tail_expr}) END"
+            f" AS BIGINT)"
+        ).alias("carryover_ppm"),
+    )
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"
