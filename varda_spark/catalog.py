@@ -22362,6 +22362,300 @@ def win_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "emb_hard_negatives",
+    f"""WITH qz AS (
+         SELECT vec_id, label,
+                list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings),
+       qs AS (SELECT vec_id AS anchor_id, label AS alabel, qv AS aq
+              FROM qz ORDER BY vec_id LIMIT 5),
+       cand AS (
+         SELECT anchor_id, alabel, vec_id, label,
+                CAST(list_aggregate(list_transform(list_zip(qv, aq),
+                     s -> s[1] * s[2]), 'sum') AS BIGINT) AS dot,
+                label = alabel AS same
+         FROM qz CROSS JOIN qs WHERE vec_id != anchor_id),
+       best AS (
+         SELECT anchor_id, alabel, vec_id, dot, same,
+                ROW_NUMBER() OVER (PARTITION BY anchor_id, same
+                                   ORDER BY dot DESC, vec_id) AS rn
+         FROM cand)
+       SELECT anchor_id,
+              CAST(MAX(alabel) AS BIGINT) AS label,
+              CAST(MAX(CASE WHEN same THEN vec_id END) AS BIGINT) AS pos_id,
+              CAST(MAX(CASE WHEN same THEN dot END) AS BIGINT) AS pos_dot,
+              CAST(MAX(CASE WHEN NOT same THEN vec_id END) AS BIGINT)
+                AS neg_id,
+              CAST(MAX(CASE WHEN NOT same THEN dot END) AS BIGINT) AS neg_dot,
+              CAST(MAX(CASE WHEN same THEN dot END)
+                   - MAX(CASE WHEN NOT same THEN dot END) AS BIGINT) AS margin
+       FROM best WHERE rn = 1 GROUP BY anchor_id""",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ triplet mining for contrastive training (the hard-negative
+    selection step of every embedding-model data pipeline, Schroff et
+    al. 2015 FaceNet semi-hard mining made exact): per anchor, the
+    nearest SAME-label vector is the positive, the nearest
+    DIFFERENT-label vector is the hard negative, and the margin
+    pos_dot − neg_dot is the triplet's difficulty (negative margin =
+    the anchor violates the metric — exactly the triplets worth
+    training on). Exactness: floor(x·1000) quantization, integer dots,
+    integer margin. Scale: one broadcast-5-anchor scan; top-1 per
+    (anchor, same-label) side is the salted two-phase window
+    (sim_hamming_topk discipline), so no task holds a full candidate
+    list; the pivot runs on 10 rows."""
+    e = read_table(spark, sf_dir, "embeddings")
+    z = e.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    qs = (
+        z.orderBy("vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("alabel"),
+            F.col("qv").alias("aq"),
+        )
+    )
+    cand = (
+        z.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "alabel",
+            "vec_id",
+            F.expr(
+                "CAST(aggregate(zip_with(qv, aq, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+            ).alias("dot"),
+            F.expr("label = alabel").alias("same"),
+            F.expr("pmod(vec_id, 64)").alias("_salt"),
+        )
+    )
+    wloc = Window.partitionBy("anchor_id", "same", "_salt").orderBy(
+        F.col("dot").desc(), F.col("vec_id")
+    )
+    wglob = Window.partitionBy("anchor_id", "same").orderBy(
+        F.col("dot").desc(), F.col("vec_id")
+    )
+    best = (
+        cand.withColumn("_r", F.row_number().over(wloc))
+        .filter(F.col("_r") == 1)
+        .withColumn("rn", F.row_number().over(wglob))
+        .filter(F.col("rn") == 1)
+    )
+    return best.groupBy("anchor_id").agg(
+        F.expr("CAST(MAX(alabel) AS BIGINT)").alias("label"),
+        F.expr("CAST(MAX(CASE WHEN same THEN vec_id END) AS BIGINT)").alias(
+            "pos_id"
+        ),
+        F.expr("CAST(MAX(CASE WHEN same THEN dot END) AS BIGINT)").alias(
+            "pos_dot"
+        ),
+        F.expr("CAST(MAX(CASE WHEN NOT same THEN vec_id END) AS BIGINT)").alias(
+            "neg_id"
+        ),
+        F.expr("CAST(MAX(CASE WHEN NOT same THEN dot END) AS BIGINT)").alias(
+            "neg_dot"
+        ),
+        F.expr(
+            "CAST(MAX(CASE WHEN same THEN dot END)"
+            " - MAX(CASE WHEN NOT same THEN dot END) AS BIGINT)"
+        ).alias("margin"),
+    )
+
+
+@q(
+    "text_kn_bigram",
+    """WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+         FROM documents WHERE lang = 'en' AND
+              len(string_split_regex(trim(text), '\\s+')) >= 2),
+       bg AS (
+         SELECT ts[i] AS v, ts[i + 1] AS w
+         FROM toks, unnest(range(1, len(ts))) AS r(i)),
+       cvw AS (
+         SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c_vw
+         FROM bg GROUP BY v, w),
+       cv AS (
+         SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v,
+                CAST(COUNT(*) AS BIGINT) AS n1_fwd
+         FROM cvw GROUP BY v),
+       cw AS (
+         SELECT w, CAST(COUNT(*) AS BIGINT) AS n1_bwd
+         FROM cvw GROUP BY w),
+       tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM cvw),
+       kn AS (
+         SELECT b.v, b.w, b.c_vw, cv.c_v, cv.n1_fwd, cw.n1_bwd, tt.t_types,
+                CAST(1000000 * (GREATEST(4 * CAST(b.c_vw AS HUGEINT) - 3, 0)
+                         * tt.t_types
+                       + 3 * CAST(cv.n1_fwd AS HUGEINT) * cw.n1_bwd)
+                     // (4 * CAST(cv.c_v AS HUGEINT) * tt.t_types)
+                     AS BIGINT) AS p_kn_ppm
+         FROM cvw b
+         JOIN cv ON cv.v = b.v
+         JOIN cw ON cw.w = b.w
+         CROSS JOIN tt)
+       SELECT v, w, c_vw, c_v, n1_fwd, n1_bwd, t_types, p_kn_ppm
+       FROM kn ORDER BY c_vw DESC, v, w LIMIT 50""",
+)
+def text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ Kneser–Ney smoothed bigram language model (Kneser & Ney 1995
+    — the classical n-gram LM every perplexity-based quality filter
+    descends from): p(w|v) = (max(c(vw)−D, 0) + D·N1+(v·)·p_cont(w)) /
+    c(v) with the continuation probability p_cont(w) = N1+(·w)/|types|.
+    The discount D = 0.75 = 3/4 makes the whole formula EXACT integer
+    arithmetic in quarters — numerator and denominator are multiplied
+    through by 4·|types|, then ppm-quantized with the shared truncating
+    DIV (no float anywhere; the oracle twin runs the same rational).
+    Emits the 50 highest-count bigrams with their smoothed
+    probabilities. Scale: bigram generation is one scan with an
+    index-HOF explode (no self-join); the three count tables are keyed
+    aggs with map-side partials; |types| is a 1-row broadcast scalar;
+    top-50 is TakeOrdered."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.col("lang") == "en")
+        .select(F.split(F.trim(F.col("text")), r"\s+").alias("ts"))
+        .filter(F.expr("size(ts) >= 2"))
+    )
+    bg = toks.select(
+        F.expr(
+            "explode(transform(sequence(1, size(ts) - 1),"
+            " i -> named_struct('v', element_at(ts, i),"
+            " 'w', element_at(ts, i + 1))))"
+        ).alias("p")
+    ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    cvw = bg.groupBy("v", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c_vw"))
+    cv = cvw.groupBy("v").agg(
+        F.expr("CAST(SUM(c_vw) AS BIGINT)").alias("c_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n1_fwd"),
+    )
+    cw = cvw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n1_bwd"))
+    tt = cvw.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    D = "DECIMAL(38,0)"
+    kn = (
+        cvw.join(cv, "v")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "v",
+            "w",
+            "c_vw",
+            "c_v",
+            "n1_fwd",
+            "n1_bwd",
+            "t_types",
+            F.expr(
+                f"CAST(1000000 * (GREATEST(4 * CAST(c_vw AS {D}) - 3, 0)"
+                f" * t_types + 3 * CAST(n1_fwd AS {D}) * n1_bwd)"
+                f" DIV (4 * CAST(c_v AS {D}) * t_types) AS BIGINT)"
+            ).alias("p_kn_ppm"),
+        )
+    )
+    return kn.orderBy(F.col("c_vw").desc(), "v", "w").limit(50)
+
+
+def _mmr_oracle_sql(k: int = 5) -> str:
+    """Unrolled k-round MMR greedy as DuckDB CTEs (round r excludes the
+    r-1 already-selected ids and penalizes by the GREATEST pairwise
+    dot to them)."""
+    rounds = []
+    selects = ["SELECT query_id, 1 AS round, vec_id, score FROM s1"]
+    rounds.append(
+        """s1 AS (
+         SELECT query_id, vec_id, rel AS score FROM pool
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, vec_id) = 1)"""
+    )
+    for r in range(2, k + 1):
+        prev = range(1, r)
+        excl = " AND ".join(f"p.vec_id != s{i}.vec_id" for i in prev)
+        joins = "\n         ".join(
+            f"JOIN s{i} ON s{i}.query_id = p.query_id" for i in prev
+        )
+        pjoins = "\n         ".join(
+            f"JOIN pairs d{i} ON d{i}.query_id = p.query_id"
+            f" AND d{i}.da = p.vec_id AND d{i}.db = s{i}.vec_id"
+            for i in prev
+        )
+        pen = (
+            f"GREATEST({', '.join(f'd{i}.d' for i in prev)})"
+            if r > 2
+            else "d1.d"
+        )
+        rounds.append(
+            f"""c{r} AS (
+         SELECT p.query_id, p.vec_id, p.rel - {pen} AS score
+         FROM pool p
+         {joins}
+         {pjoins}
+         WHERE {excl}),
+       s{r} AS (
+         SELECT query_id, vec_id, score FROM c{r}
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id) = 1)"""
+        )
+        selects.append(
+            f"SELECT query_id, {r} AS round, vec_id, score FROM s{r}"
+        )
+    body = ",\n       ".join(rounds)
+    union = "\n       UNION ALL ".join(selects)
+    return f"""WITH qz AS (
+         SELECT vec_id,
+                list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings),
+       qs AS (SELECT vec_id AS query_id, qv AS pq
+              FROM qz ORDER BY vec_id LIMIT 5),
+       cand AS (
+         SELECT query_id, vec_id, qv,
+                CAST(list_aggregate(list_transform(list_zip(qv, pq),
+                     s -> s[1] * s[2]), 'sum') AS BIGINT) AS rel
+         FROM qz CROSS JOIN qs WHERE vec_id != query_id),
+       pool AS (
+         SELECT query_id, vec_id, qv, rel FROM cand
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, vec_id) <= 10),
+       pairs AS (
+         SELECT a.query_id, a.vec_id AS da, b.vec_id AS db,
+                CAST(list_aggregate(list_transform(list_zip(a.qv, b.qv),
+                     s -> s[1] * s[2]), 'sum') AS BIGINT) AS d
+         FROM pool a JOIN pool b
+           ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+       {body},
+       res AS ({union})
+       SELECT query_id, CAST(round AS BIGINT) AS round, vec_id,
+              CAST(score AS BIGINT) AS mmr_score
+       FROM res"""
+
+
+@q("sim_mmr_rerank", _mmr_oracle_sql())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+ Maximal Marginal Relevance re-rank (Carbonell & Goldstein
+    1998 — the diversity pass between retrieval and the context
+    window): per query, greedily pick 5 of the dot-product top-10 to
+    maximize relevance minus max-similarity-to-selected (λ = 1/2 makes
+    the argmax rel − max_sim, exact integers). Spark path: salted
+    two-phase top-10 pools, then ONE applyInPandas group per query
+    where the pairwise-penalty matrix is a 10×10 int64 matmul
+    (operators/similarity.py:mmr_rerank); the oracle unrolls the 5
+    greedy rounds as CTEs — same selections, proven bit-identical.
+    Scale: candidate pools bound every task; the greedy group is
+    pool-sized regardless of corpus size."""
+    from varda_spark.operators.similarity import mmr_rerank
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(e, n_queries=5, pool=10, k=5, scale=1000)
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
     assert not missing, f"_DRIVER_PRIORITY names unknown keys: {missing}"

@@ -1167,3 +1167,103 @@ def kcenter_greedy(
     return emb.sparkSession.createDataFrame(
         picks, f"step bigint, {key} {key_t}, dist2 bigint"
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    n_queries: int = 5,
+    pool: int = 10,
+    k: int = 5,
+    scale: int = 1000,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of each query's dot-product top-`pool` candidates: greedily
+    select `k` results maximizing relevance minus the max similarity to
+    anything already selected (λ = 1/2, so the argmax reduces to
+    rel − max_sim — exact integer arithmetic throughout).
+
+    Plan shape: candidate pools come from the broadcast-query scan with
+    the salted two-phase top-k (no task holds a full candidate list);
+    the greedy loop then runs per query in ONE applyInPandas group of
+    `pool` rows — pairwise dots are a pool×pool int64 matmul, driver
+    never sees a vector. Deterministic: ties break on ascending id
+    (np.lexsort, same as the oracle's (score DESC, id) ordering).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ = emb.select(key, quantized(vec, scale).alias("_q"))
+    key_t = q_.schema[key].dataType.simpleString()
+    qs = (
+        q_.orderBy(key)
+        .limit(n_queries)
+        .select(F.col(key).alias("_qid"), F.col("_q").alias("_pq"))
+    )
+    cand = (
+        q_.crossJoin(F.broadcast(qs))
+        .filter(F.col(key) != F.col("_qid"))
+        .select(
+            "_qid",
+            key,
+            "_q",
+            F.expr(
+                "CAST(aggregate(zip_with(_q, _pq, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+            ).alias("_rel"),
+            F.expr(f"pmod(hash({key}), 64)").alias("_salt"),
+        )
+    )
+    wloc = Window.partitionBy("_qid", "_salt").orderBy(
+        F.col("_rel").desc(), F.col(key)
+    )
+    wglob = Window.partitionBy("_qid").orderBy(F.col("_rel").desc(), F.col(key))
+    top = (
+        cand.withColumn("_r", F.row_number().over(wloc))
+        .filter(F.col("_r") <= pool)
+        .withColumn("_rn", F.row_number().over(wglob))
+        .filter(F.col("_rn") <= pool)
+        .select("_qid", key, "_q", "_rel")
+    )
+
+    kk_rounds = k
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = kk_rounds
+        pdf = pdf.sort_values(key).reset_index(drop=True)
+        ids = pdf[key].to_numpy()
+        rel = pdf["_rel"].to_numpy(dtype=np.int64)
+        C = np.vstack(pdf["_q"].to_numpy()).astype(np.int64)
+        P = C @ C.T  # pool×pool int64, exact
+        n = len(pdf)
+        chosen: list[int] = []
+        rounds, out_ids, scores = [], [], []
+        for r in range(1, min(k, n) + 1):
+            if chosen:
+                pen = P[:, chosen].max(axis=1)
+                s = rel - pen
+            else:
+                s = rel.copy()
+            s_mask = s.copy()
+            # min+1, not min: lexsort keys on -s_mask and -int64.min
+            # overflows back to the minimum (the Gs mask lesson above)
+            s_mask[chosen] = np.iinfo(np.int64).min + 1
+            j = int(np.lexsort((ids, -s_mask))[0])
+            chosen.append(j)
+            rounds.append(r)
+            out_ids.append(ids[j])
+            scores.append(int(s[j]))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["_qid"].iloc[0],
+                "round": np.array(rounds, dtype=np.int64),
+                key: out_ids,
+                "mmr_score": np.array(scores, dtype=np.int64),
+            }
+        )
+
+    return top.groupBy("_qid").applyInPandas(
+        _greedy,
+        f"query_id {key_t}, round bigint, {key} {key_t}, mmr_score bigint",
+    )
