@@ -11180,6 +11180,38 @@ _DRIVER_PRIORITY_R8 = [
     "freq_roh",
 ]
 
+# Staged round-9 window (computed at round-7 continuation close): every
+# remaining never-driver-sampled oracle-twinned key after R7+R8 land —
+# the pre-r7 breadth tail (TA windows, ops/QA, physical design), the
+# round-7 continuation batches (A–E), and the round-7 batch-F/G
+# additions. 48 keys; 2 slots free for round-8 additions. The 6
+# rows-only keys (udf_grouped_map, agg_approx_cd, agg_approx_pct,
+# multimodal_features, udtf_sentences, text_compress_ratio) stay out of
+# every window by design. Promote at round-9 open.
+_DRIVER_PRIORITY_R9 = [
+    # pre-r7 breadth tail
+    "win_rsi", "win_stochastic", "agg_price_index", "graph_paths3",
+    "agg_standardize", "sql_api3", "agg_peak_concurrency",
+    "qa_column_diversity", "join_pit_scd2", "win_rolling_slope",
+    "agg_skyline", "agg_chainladder", "agg_recency_score",
+    "join_absence_sla", "graph_degree_ccdf",
+    "agg_session_gap_sensitivity", "qa_freshness",
+    # round-7 continuation batches A-E
+    "agg_kmv_intersect", "agg_l_diversity", "qa_candidate_keys",
+    "scan_dpp", "text_anneal_plan", "emb_knn_classify",
+    "store_vacuum_plan", "text_vocab_growth", "agg_gk_tau",
+    "text_softdedup_weights", "emb_kcenter_coreset",
+    "store_partition_skew", "store_cluster_advisor", "text_domain_score",
+    "sim_hamming_topk", "agg_diff_in_diff", "agg_price_elasticity",
+    "agg_shapley_attribution", "freq_tdt", "sample_group_kfold",
+    "graph_conductance", "sim_hamming_recall", "win_atr",
+    # round-7 batch F (FP&A bridge, FDR, physical design, fusion, TA)
+    "agg_pvm_bridge", "agg_fdr_bh", "store_bloom_advisor",
+    "sim_rrf_fusion", "win_adstock",
+    # round-7 batch G (training-data mining, LM, retrieval diversity)
+    "emb_hard_negatives", "text_kn_bigram", "sim_mmr_rerank",
+]
+
 
 @q(
     "agg_survival",
