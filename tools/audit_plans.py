@@ -75,6 +75,11 @@ GLOBAL_ONE_TASK_OK = {
     "agg_fdr_bh",        # BH rank/threshold windows over the 25-row
                          # brand dimension (documented; the sample cap
                          # window upstream IS brand-partitioned)
+    "interval_coverage_gini",  # Gini rank windows over the depth
+                         # HISTOGRAM (value-domain-bounded, documented;
+                         # the sweep itself is chromosome-partitioned)
+    "text_bleu_pairs",   # rn window over the TakeOrdered(20) eval head
+                         # (eval-set-sized by construction, documented)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -184,6 +189,9 @@ BNLJ_OK = {
                          # pool-sized (10 rows) regardless of corpus
     "text_kn_bigram",    # 1-row |bigram types| scalar (the T in the
                          # continuation probability)
+    "graph_rich_club",   # 5-row threshold spine range-joined against
+                         # the degree HISTOGRAMS (bounded tables; the
+                         # edge list is never rescanned per threshold)
 }
 
 

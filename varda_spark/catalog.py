@@ -11210,6 +11210,15 @@ _DRIVER_PRIORITY_R9 = [
     "sim_rrf_fusion", "win_adstock",
     # round-7 batch G (training-data mining, LM, retrieval diversity)
     "emb_hard_negatives", "text_kn_bigram", "sim_mmr_rerank",
+    # round-7 batch H (fills the 2 spare slots)
+    "graph_rich_club", "interval_coverage_gini",
+]
+
+# Round-10 overflow: never-sampled keys that did not fit R9's 50 slots.
+# Grows as later batches land; promote (and top up from any new tail)
+# at round-10 open.
+_DRIVER_PRIORITY_R10 = [
+    "text_bleu_pairs", "store_deletion_vectors",
 ]
 
 
@@ -22686,6 +22695,380 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return mmr_rerank(e, n_queries=5, pool=10, k=5, scale=1000)
+
+
+@q(
+    "graph_rich_club",
+    f"""WITH {_COORDER_EDGES_SQL},
+       deg AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+           SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+         GROUP BY node),
+       ehist AS (
+         SELECT LEAST(da.degree, db.degree) AS mindeg,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM e JOIN deg da ON da.node = e.pa
+                JOIN deg db ON db.node = e.pb
+         GROUP BY 1),
+       nhist AS (
+         SELECT degree, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM deg GROUP BY degree),
+       ks AS (SELECT unnest([2, 4, 8, 16, 32]) AS k),
+       club AS (
+         SELECT ks.k,
+                (SELECT COALESCE(SUM(cnt), 0) FROM nhist
+                 WHERE degree > ks.k) AS n_nodes,
+                (SELECT COALESCE(SUM(cnt), 0) FROM ehist
+                 WHERE mindeg > ks.k) AS n_edges
+         FROM ks)
+       SELECT CAST(k AS BIGINT) AS k,
+              CAST(n_nodes AS BIGINT) AS n_nodes,
+              CAST(n_edges AS BIGINT) AS n_edges,
+              CAST(CASE WHEN n_nodes >= 2
+                   THEN 2000000 * n_edges // (n_nodes * (n_nodes - 1))
+                   ELSE 0 END AS BIGINT) AS phi_ppm
+       FROM club""",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph+ rich-club coefficient (Zhou & Mondragón 2004): for each
+    degree threshold k, the density φ(k) = 2·E_k / (N_k·(N_k−1)) among
+    nodes of degree > k — do the hubs of the co-purchase graph wire to
+    each other more than chance (the hub-interconnection question
+    behind core decomposition and assortativity, both shipped). Exact:
+    integer counts, ppm truncating DIV. Scale: degrees are one keyed
+    agg; per-edge min-degree needs the same two deg joins every graph
+    key pays; both reduce to DEGREE-HISTOGRAMS (bounded by the distinct
+    degree count), and the 5-threshold spine probes those tiny tables —
+    no per-threshold rescans of the edge list."""
+    e = _coorder_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    ehist = (
+        e.join(deg.withColumnRenamed("node", "pa").withColumnRenamed("degree", "dda"), "pa")
+        .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("degree", "ddb"), "pb")
+        .groupBy(F.expr("LEAST(dda, ddb)").alias("mindeg"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    nhist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.expr("array(2, 4, 8, 16, 32)")).alias("k")
+    )
+    nn = (
+        ks.join(F.broadcast(nhist), F.col("degree") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.expr("CAST(COALESCE(SUM(cnt), 0) AS BIGINT)").alias("n_nodes"))
+    )
+    ne = (
+        ks.join(F.broadcast(ehist), F.col("mindeg") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.expr("CAST(COALESCE(SUM(cnt), 0) AS BIGINT)").alias("n_edges"))
+    )
+    return nn.join(ne, "k").select(
+        F.col("k").cast("bigint").alias("k"),
+        "n_nodes",
+        "n_edges",
+        F.expr(
+            "CAST(CASE WHEN n_nodes >= 2"
+            " THEN 2000000 * n_edges DIV (n_nodes * (n_nodes - 1))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("phi_ppm"),
+    )
+
+
+@q(
+    "interval_coverage_gini",
+    """WITH iv AS (
+         SELECT CAST(s_suppkey % 5 AS VARCHAR) AS chromosome,
+                s_suppkey * 97 + 1 AS begin,
+                s_suppkey * 97 + 1 + 200 + (s_suppkey % 7) * 500 AS iv_end
+         FROM supplier),
+       ev AS (
+         SELECT chromosome, begin AS pos, 1 AS delta FROM iv
+         UNION ALL
+         SELECT chromosome, iv_end AS pos, -1 AS delta FROM iv),
+       agg AS (
+         SELECT chromosome, pos, SUM(delta) AS d
+         FROM ev GROUP BY chromosome, pos),
+       sw AS (
+         SELECT chromosome, pos,
+                SUM(d) OVER (PARTITION BY chromosome ORDER BY pos) AS depth,
+                LEAD(pos) OVER (PARTITION BY chromosome ORDER BY pos)
+                  AS next_pos
+         FROM agg),
+       hist AS (
+         SELECT CAST(depth AS BIGINT) AS depth,
+                CAST(SUM(next_pos - pos) AS BIGINT) AS bases
+         FROM sw WHERE next_pos IS NOT NULL AND depth > 0
+         GROUP BY depth),
+       ranked AS (
+         SELECT depth, bases,
+                SUM(bases) OVER (ORDER BY depth) AS cw,
+                SUM(bases) OVER () AS w,
+                SUM(depth * bases) OVER () AS s
+         FROM hist)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_depths,
+              CAST(MAX(w) AS BIGINT) AS covered_bases,
+              CAST(1000 * MAX(s) // MAX(w) AS BIGINT) AS mean_depth_milli,
+              CAST(1000000 * SUM(CAST(depth AS HUGEINT) * bases
+                       * (2 * cw - bases - w))
+                   // (CAST(MAX(w) AS HUGEINT) * MAX(s)) AS BIGINT)
+                AS gini_ppm
+       FROM ranked""",
+)
+def interval_coverage_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+ coverage-uniformity Gini (the evenness score sequencing QC
+    reports next to mean depth — Picard/mosdepth territory): the Gini
+    coefficient of the per-base depth distribution over covered bases,
+    from the same sweep-line depth segments as interval_depth_hist.
+    Exactness: the weighted sorted-rank identity Σ w·d·(2·CW − w − W) /
+    (W·Σ w·d) is computed entirely in HUGEINT/DECIMAL(38,0) on the
+    depth HISTOGRAM (grouped weights make the classic rank formula
+    exact — no per-base rows, no floats), ppm-quantized. Scale: sweep
+    line is chromosome-partitioned; the Gini windows run over the
+    depth-histogram (≤ max-depth rows, value-domain-bounded —
+    whitelisted)."""
+    _, s = _points_intervals(spark, sf_dir)
+    iv = s.select("chromosome", "begin", F.col("end").alias("iv_end"))
+    ev = iv.select(
+        "chromosome", F.col("begin").alias("pos"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "chromosome", F.col("iv_end").alias("pos"), F.lit(-1).alias("delta")
+        )
+    )
+    agg = ev.groupBy("chromosome", "pos").agg(F.sum("delta").alias("d"))
+    w = Window.partitionBy("chromosome").orderBy("pos")
+    sw = agg.select(
+        "pos",
+        F.sum("d").over(w).alias("depth"),
+        F.lead("pos").over(w).alias("next_pos"),
+    )
+    hist = (
+        sw.filter(F.col("next_pos").isNotNull() & (F.col("depth") > 0))
+        .groupBy(F.col("depth").cast("bigint").alias("depth"))
+        .agg(F.sum(F.col("next_pos") - F.col("pos")).cast("bigint").alias("bases"))
+    )
+    wr = Window.orderBy("depth")
+    wfull = Window.partitionBy().orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    D = "DECIMAL(38,0)"
+    ranked = hist.select(
+        "depth",
+        "bases",
+        F.sum("bases").over(wr).alias("cw"),
+        F.sum("bases").over(wfull).alias("w"),
+        F.expr("depth * bases").alias("db"),
+    ).withColumn("s", F.expr("SUM(db)").over(wfull))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_depths"),
+        F.expr("CAST(MAX(w) AS BIGINT)").alias("covered_bases"),
+        F.expr("CAST(1000 * MAX(s) DIV MAX(w) AS BIGINT)").alias(
+            "mean_depth_milli"
+        ),
+        F.expr(
+            f"CAST(1000000 * SUM(CAST(depth AS {D}) * bases"
+            f" * (2 * cw - bases - w))"
+            f" DIV (CAST(MAX(w) AS {D}) * MAX(s)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+@q(
+    "text_bleu_pairs",
+    """WITH en AS (
+         SELECT doc_id, text,
+                ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         FROM documents WHERE lang = 'en'
+         ORDER BY doc_id LIMIT 20),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM en a JOIN en b ON b.rn = a.rn + 1 WHERE a.rn % 2 = 1),
+       toks AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+         FROM en),
+       uni AS (
+         SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+         FROM toks GROUP BY doc_id, t),
+       bi AS (
+         SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS t,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+               FROM en WHERE len(string_split_regex(trim(text), '\\s+')) >= 2),
+              unnest(range(1, len(ts))) AS r(i)
+         GROUP BY doc_id, t),
+       p1 AS (
+         SELECT p.doc_a, p.doc_b,
+                CAST(SUM(LEAST(a.c, COALESCE(b.c, 0))) AS BIGINT) AS hits,
+                CAST(SUM(a.c) AS BIGINT) AS total
+         FROM pairs p
+         JOIN uni a ON a.doc_id = p.doc_a
+         LEFT JOIN uni b ON b.doc_id = p.doc_b AND b.t = a.t
+         GROUP BY p.doc_a, p.doc_b),
+       p2 AS (
+         SELECT p.doc_a, p.doc_b,
+                CAST(SUM(LEAST(a.c, COALESCE(b.c, 0))) AS BIGINT) AS hits,
+                CAST(SUM(a.c) AS BIGINT) AS total
+         FROM pairs p
+         JOIN bi a ON a.doc_id = p.doc_a
+         LEFT JOIN bi b ON b.doc_id = p.doc_b AND b.t = a.t
+         GROUP BY p.doc_a, p.doc_b)
+       SELECT p1.doc_a, p1.doc_b,
+              CAST(1000000 * p1.hits // p1.total AS BIGINT) AS bleu1_ppm,
+              CAST(1000000 * p2.hits // p2.total AS BIGINT) AS bleu2_ppm,
+              p1.total AS n_unigrams, p2.total AS n_bigrams
+       FROM p1 JOIN p2 ON p2.doc_a = p1.doc_a AND p2.doc_b = p1.doc_b""",
+)
+def text_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ modified n-gram precision (the BLEU-1/BLEU-2 core, Papineni
+    et al. 2002, without the brevity penalty's float exp) between the
+    10 consecutive pairs of the first 20 'en' documents — the
+    similarity EVAL metric (clipped multiset overlap) that Jaccard /
+    containment keys can't express because they ignore counts.
+    Exactness: min-clipped integer counts, ppm truncating DIV. Scale:
+    the eval set is a TakeOrdered(20) head (documented — BLEU is an
+    eval-set metric, not a corpus scan); n-gram count tables are keyed
+    aggs over those 20 docs only; everything joins on (doc, gram)."""
+    d = read_table(spark, sf_dir, "documents")
+    en = (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(20)
+        .withColumn("rn", F.row_number().over(Window.orderBy("doc_id")))
+    )
+    pairs = (
+        en.alias("a")
+        .join(en.alias("b"), F.expr("b.rn = a.rn + 1 AND a.rn % 2 = 1"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    toks = en.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    uni = toks.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bi = (
+        en.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ts"))
+        .filter(F.expr("size(ts) >= 2"))
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(1, size(ts) - 1),"
+                " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))))"
+            ).alias("t"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+    def prec(grams: DataFrame) -> DataFrame:
+        a = grams.alias("a")
+        b = grams.alias("b")
+        return (
+            pairs.join(a, F.expr("a.doc_id = doc_a"))
+            .join(
+                b,
+                F.expr("b.doc_id = doc_b AND b.t = a.t"),
+                "left",
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.expr(
+                    "CAST(SUM(LEAST(a.c, COALESCE(b.c, 0))) AS BIGINT)"
+                ).alias("hits"),
+                F.expr("CAST(SUM(a.c) AS BIGINT)").alias("total"),
+            )
+        )
+
+    p1 = prec(uni).select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(1000000 * hits DIV total AS BIGINT)").alias("bleu1_ppm"),
+        F.col("total").alias("n_unigrams"),
+    )
+    p2 = prec(bi).select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(1000000 * hits DIV total AS BIGINT)").alias("bleu2_ppm"),
+        F.col("total").alias("n_bigrams"),
+    )
+    return p1.join(p2, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "bleu1_ppm", "bleu2_ppm", "n_unigrams", "n_bigrams"
+    )
+
+
+@q(
+    "store_deletion_vectors",
+    """WITH dv AS (
+         SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 0),
+       live AS (
+         SELECT o.* FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM dv
+                           WHERE dv.o_orderkey = o.o_orderkey)),
+       stats AS (
+         SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100
+                     + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS part_ym,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_deleted
+         FROM orders GROUP BY 1),
+       lv AS (
+         SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100
+                     + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS part_ym,
+                CAST(COUNT(*) AS BIGINT) AS n_live
+         FROM live GROUP BY 1)
+       SELECT s.part_ym, s.n_rows, s.n_deleted, lv.n_live,
+              CAST(1000000 * s.n_deleted // s.n_rows AS BIGINT) AS dv_ppm,
+              1000000 * s.n_deleted // s.n_rows > 200000 AS rewrite
+       FROM stats s JOIN lv ON lv.part_ym = s.part_ym""",
+)
+def store_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ deletion-vector maintenance (the Delta/Iceberg merge-on-read
+    DELETE path): a DV side table marks rows deleted without rewriting
+    data files (here every 13th orderkey, simulating a later MERGE
+    batch); the live view is the base table ANTI-JOINED against the DV,
+    and per month-partition the advisor reports the DV ratio and flags
+    partitions past the 20% rewrite threshold (the compaction trigger
+    real lakehouses use — complements store_compaction_plan's
+    small-file half). Exactness: integer counts, ppm truncating DIV,
+    and n_live comes from the REAL anti-join (not n_rows − n_deleted)
+    so the key also proves the read path. Scale: the anti-join shuffles
+    on the table's own key (co-partitioned at write time in a real
+    layout); both rollups are keyed aggs with map-side partials."""
+    o = read_table(spark, sf_dir, "orders")
+    ym = F.expr(
+        "CAST(year(CAST(o_orderdate AS DATE)) * 100"
+        " + month(CAST(o_orderdate AS DATE)) AS BIGINT)"
+    )
+    dv = o.filter("o_orderkey % 13 = 0").select("o_orderkey")
+    live = o.join(dv, "o_orderkey", "left_anti")
+    stats = o.groupBy(ym.alias("part_ym")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_deleted"),
+    )
+    lv = live.groupBy(ym.alias("part_ym")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_live")
+    )
+    return stats.join(lv, "part_ym").select(
+        "part_ym",
+        "n_rows",
+        "n_deleted",
+        "n_live",
+        F.expr("CAST(1000000 * n_deleted DIV n_rows AS BIGINT)").alias("dv_ppm"),
+        F.expr("1000000 * n_deleted DIV n_rows > 200000").alias("rewrite"),
+    )
 
 
 def _reorder_registry() -> None:
