@@ -101,6 +101,10 @@ HEADLINE = LEGACY20 + [
     "emb_kcenter_coreset",  # greedy k-center diversity selection (8 rounds)
     "sim_hamming_topk",     # binary sign-hash Hamming top-k (8 B/vector)
     "store_cluster_advisor",  # sort-order advisor over simulated layouts
+    # round-7 continuation batch F-H additions
+    "sim_rrf_fusion",       # dense+binary reciprocal-rank hybrid retrieval
+    "agg_fdr_bh",           # exact sign-test p-values + BH multiple testing
+    "store_deletion_vectors",  # merge-on-read DV anti-join + rewrite advisor
 ]
 
 
