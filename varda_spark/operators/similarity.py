@@ -1267,3 +1267,91 @@ def mmr_rerank(
         _greedy,
         f"query_id {key_t}, round bigint, {key} {key_t}, mmr_score bigint",
     )
+
+
+def dual_retriever_pools(
+    emb: DataFrame,
+    n_queries: int = 5,
+    pool: int = 10,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Dense-dot AND sign-Hamming candidate pools from ONE corpus scan —
+    the hybrid-retrieval feeder (sim_rrf_fusion): the q×dim integer
+    query matrix plus its sign bits ride the task closure; each Arrow
+    batch does one int64 matmul for the dots and one for the Hamming
+    counts (h = |b| + |q| − 2·B@Qᵀ on the sign matrices — exactly
+    bit_count(xor) of packed words), keeps the local top-`pool` per
+    query per metric, and the tiny survivor table (batches·q·2·pool
+    rows) is localCheckpointed so BOTH final rank windows read it
+    without re-scanning the corpus. Signs come from the quantized
+    ints (floor(x·s) ≥ 0 ⟺ x ≥ 0 for s > 0, so they equal the raw
+    float sign test bit-exactly). Returns (query_id, key, ra, rb)
+    full-outer-merged pool ranks with 0 = not in that retriever's pool.
+    """
+    import numpy as np
+
+    q_ = emb.select(key, quantized(vec, scale).alias("_q"))
+    key_t = q_.schema[key].dataType.simpleString()
+    qrows = q_.orderBy(key).limit(n_queries).collect()
+    Qm = np.array([r["_q"] for r in qrows], dtype=np.int64)
+    qids = np.array([r[key] for r in qrows])
+    QB = (Qm >= 0).astype(np.int64)
+    qbsum = QB.sum(axis=1)
+
+    def _scan(batches, Qm=Qm, qids=qids, QB=QB, qbsum=qbsum, pool=pool):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            X = np.vstack(pdf["_q"].to_numpy())
+            ids = pdf[key].to_numpy()
+            D = X @ Qm.T  # n × q int64, exact
+            B = (X >= 0).astype(np.int64)
+            H = B.sum(axis=1)[:, None] + qbsum[None, :] - 2 * (B @ QB.T)
+            kk = min(pool, n)
+            out = {"query_id": [], key: [], "metric": [], "score": []}
+            for qi in range(len(qids)):
+                self_mask = ids == qids[qi]
+                d = D[:, qi].copy()
+                d[self_mask] = np.iinfo(np.int64).min + 1
+                order = np.lexsort((ids, -d))[:kk]
+                out["query_id"].extend([qids[qi]] * kk)
+                out[key].extend(ids[order])
+                out["metric"].extend(["d"] * kk)
+                out["score"].extend(d[order])
+                h = H[:, qi].copy()
+                h[self_mask] = np.iinfo(np.int64).max
+                order = np.lexsort((ids, h))[:kk]
+                out["query_id"].extend([qids[qi]] * kk)
+                out[key].extend(ids[order])
+                out["metric"].extend(["b"] * kk)
+                out["score"].extend(h[order])
+            yield pd.DataFrame(out)
+
+    local = q_.mapInPandas(
+        _scan, f"query_id {key_t}, {key} {key_t}, metric string, score bigint"
+    )
+    surv = local.localCheckpoint()  # bounded: batches * q * 2 * pool rows
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(key).asc()
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col(key).asc()
+    )
+    dense = (
+        surv.filter(F.col("metric") == "d")
+        .withColumn("ra", F.row_number().over(wd).cast("bigint"))
+        .filter(F.col("ra") <= pool)
+        .select("query_id", key, "ra")
+    )
+    binry = (
+        surv.filter(F.col("metric") == "b")
+        .withColumn("rb", F.row_number().over(wb).cast("bigint"))
+        .filter(F.col("rb") <= pool)
+        .select("query_id", key, "rb")
+    )
+    return dense.join(binry, ["query_id", key], "full_outer")
