@@ -192,6 +192,9 @@ BNLJ_OK = {
     "graph_rich_club",   # 5-row threshold spine range-joined against
                          # the degree HISTOGRAMS (bounded tables; the
                          # edge list is never rescanned per threshold)
+    "dedup_threshold_curve",  # 7-row threshold spine broadcast against
+                         # the candidate-pair table (bounded x7 fan-out;
+                         # the corpus is shingled once, not per threshold)
     "text_langid_kappa", # 1-row chance-agreement scalar onto the 1-row
                          # totals (everything after the confusion
                          # matrix is dimension-sized)
