@@ -198,6 +198,9 @@ BNLJ_OK = {
     "text_langid_kappa", # 1-row chance-agreement scalar onto the 1-row
                          # totals (everything after the confusion
                          # matrix is dimension-sized)
+    "sim_nprobe_sweep",  # 3-row nprobe spine broadcast over the probed
+                         # scored table + 5-row probe broadcast (one
+                         # encode, one scan for all configurations)
 }
 
 

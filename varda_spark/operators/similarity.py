@@ -1355,3 +1355,115 @@ def dual_retriever_pools(
         .select("query_id", key, "rb")
     )
     return dense.join(binry, ["query_id", key], "full_outer")
+
+
+def ivf_pq_nprobe_sweep(
+    emb: DataFrame,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    ncells: int = 8,
+    n_queries: int = 5,
+    topk: int = 3,
+    m: int = 4,
+    k: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Recall-vs-nprobe sweep for the IVF-PQ index — the tuning curve an
+    ANN deployment reads before fixing nprobe (the speed/recall dial):
+    ONE corpus encode (cells + PQ codes, the ivf_pq_topk kernel), ONE
+    probe join carrying each probed cell's rank, then every requested
+    nprobe is a filter over that shared scored table (a 3-row broadcast
+    spine — never a re-encode, never a rescan per configuration), each
+    ranked top-k and scored against the exact integer-L2 ground truth.
+    Returns (nprobe, query_id, n_exact, n_hits, recall_ppm)."""
+    import numpy as np
+
+    subC, dsub, q_ = _pq_codebooks(emb, m, k, key, vec, scale)
+    key_t = q_.schema[key].dataType.simpleString()
+    crows = q_.orderBy(key).limit(ncells).collect()
+    C2 = np.array([r["_q"] for r in crows], dtype=np.int64)
+    cids = np.array([r[key] for r in crows])
+    maxp = max(nprobes)
+
+    def _enc(batches, C2=C2, cids=cids, subC=subC, dsub=dsub, m=m):
+        for pdf in batches:
+            Q = np.vstack(pdf["_q"].to_numpy())
+            out = pdf[[key]].copy()
+            S = Q @ C2.T
+            out["cell_id"] = cids[S.argmax(axis=1)]
+            for j in range(m):
+                Sj = Q[:, j * dsub:(j + 1) * dsub]
+                d2 = ((Sj[:, None, :] - subC[j][None, :, :]) ** 2).sum(axis=2)
+                out[f"code_{j}"] = d2.argmin(axis=1).astype(np.int64)
+            yield out
+
+    code_cols = ", ".join(f"code_{j} bigint" for j in range(m))
+    enc = q_.mapInPandas(_enc, f"{key} {key_t}, cell_id {key_t}, {code_cols}")
+
+    qrows = q_.orderBy(key).limit(n_queries).collect()
+    Qm = np.array([r["_q"] for r in qrows], dtype=np.int64)
+    qids = [r[key] for r in qrows]
+    qd = Qm @ C2.T
+    probe_rows = []
+    for qi, qid in enumerate(qids):
+        luts = [
+            ((Qm[qi, j * dsub:(j + 1) * dsub][None, :] - subC[j]) ** 2)
+            .sum(axis=1)
+            .tolist()
+            for j in range(m)
+        ]
+        order = np.lexsort((cids, -qd[qi]))[:maxp]
+        for pr, ci in enumerate(order, start=1):
+            probe_rows.append((qid, cids[ci].item(), pr, *luts))
+    lut_cols = ", ".join(f"l{j} array<bigint>" for j in range(m))
+    probes = emb.sparkSession.createDataFrame(
+        probe_rows, f"query_id {key_t}, cell_id {key_t}, pr bigint, {lut_cols}"
+    )
+    j = enc.join(F.broadcast(probes), "cell_id")
+    adc = None
+    for jj in range(m):
+        term = F.element_at(f"l{jj}", F.col(f"code_{jj}").cast("int") + 1)
+        adc = term if adc is None else adc + term
+    scored = j.select(
+        "query_id", key, "pr", adc.cast("bigint").alias("adc")
+    )
+    spine = emb.sparkSession.range(1).select(
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(f"CAST({n} AS BIGINT)" for n in nprobes)
+                + ")"
+            )
+        ).alias("nprobe")
+    )
+    cand = scored.crossJoin(F.broadcast(spine)).filter(F.col("pr") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("adc").asc(), F.col(key).asc()
+    )
+    approx = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("nprobe", "query_id", F.col(key).alias("a_vec"))
+    )
+    ex = exact_l2_topk(
+        emb, n_queries=n_queries, topk=topk, key=key, vec=vec, scale=scale
+    ).select("query_id", key)
+    exn = ex.crossJoin(F.broadcast(spine))
+    jj2 = exn.join(
+        approx,
+        (exn.query_id == approx.query_id)
+        & (exn.nprobe == approx.nprobe)
+        & (exn[key] == approx.a_vec),
+        "left",
+    ).select(exn.nprobe, exn.query_id, exn[key], approx.a_vec)
+    return jj2.groupBy("nprobe", "query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.expr(
+            "CAST(SUM(CASE WHEN a_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_hits"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN a_vec IS NOT NULL THEN 1 ELSE 0 END)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
