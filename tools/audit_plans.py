@@ -80,6 +80,9 @@ GLOBAL_ONE_TASK_OK = {
                          # the sweep itself is chromosome-partitioned)
     "text_bleu_pairs",   # rn window over the TakeOrdered(20) eval head
                          # (eval-set-sized by construction, documented)
+    "qa_join_skew",      # rank window over the 10-row heavy-hitter head
+    "agg_abc_xyz",       # Pareto/total windows over the 25-row brand
+                         # dimension (the agg_abc_class argument)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -201,6 +204,8 @@ BNLJ_OK = {
     "sim_nprobe_sweep",  # 3-row nprobe spine broadcast over the probed
                          # scored table + 5-row probe broadcast (one
                          # encode, one scan for all configurations)
+    "qa_join_skew",      # 1-row total broadcast + rank window over the
+                         # TakeOrdered(10) heavy-hitter head
 }
 
 
