@@ -206,6 +206,9 @@ BNLJ_OK = {
                          # encode, one scan for all configurations)
     "qa_join_skew",      # 1-row total broadcast + rank window over the
                          # TakeOrdered(10) heavy-hitter head
+    "agg_eb_shrinkage",  # 1-row global-rate scalar onto the 25-row
+                         # brand rollup (the shrinkage prior)
+    "agg_anova_oneway",  # 1-row Σx² scalar onto the 1-row group totals
 }
 
 
