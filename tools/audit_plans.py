@@ -83,6 +83,8 @@ GLOBAL_ONE_TASK_OK = {
     "qa_join_skew",      # rank window over the 10-row heavy-hitter head
     "agg_abc_xyz",       # Pareto/total windows over the 25-row brand
                          # dimension (the agg_abc_class argument)
+    "agg_forecast_topdown",  # largest-remainder apportionment windows
+                         # over the 25-row brand dimension
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -209,6 +211,10 @@ BNLJ_OK = {
     "agg_eb_shrinkage",  # 1-row global-rate scalar onto the 25-row
                          # brand rollup (the shrinkage prior)
     "agg_anova_oneway",  # 1-row Σx² scalar onto the 1-row group totals
+    "agg_forecast_topdown",  # 1-row anchor/total/forecast scalars onto
+                         # the 25-row brand rollup
+    "sim_index_advisor", # 1-row corpus-stats scalar onto the 4-row
+                         # budget spine (planning is metadata work)
 }
 
 
