@@ -69,3 +69,50 @@ def test_index_advisor_matches_python(spark):
         else:
             exp = ("disk_resident", b_pq, n)
         assert (row.recommended, int(row.index_bytes), int(row.est_rows_per_query)) == exp
+
+
+def test_ccnet_buckets_matches_python(spark):
+    from collections import Counter, defaultdict
+
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    grams = {}
+    counts: Counter = Counter()
+    for r in docs.itertuples():
+        w = r.text.strip().split(" ")
+        gs = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)] if len(w) >= 2 else []
+        grams[r.doc_id] = gs
+        counts.update(gs)
+    score = {}
+    for r in docs.itertuples():
+        gs = grams[r.doc_id]
+        if not gs:
+            continue
+        logsum = sum(counts[g].bit_length() - 1 for g in gs)
+        score[r.doc_id] = (r.source, 1000 * logsum // len(gs), len(gs))
+    per_source = defaultdict(list)
+    for doc, (src, sc, nb) in score.items():
+        per_source[src].append((sc, doc, nb))
+    expect = {}
+    for src, rows in per_source.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        n = len(rows)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if t < extra else 0) for t in range(3)]
+        i = 0
+        for b, (sz, name) in enumerate(zip(sizes, ["head", "middle", "tail"])):
+            chunk = rows[i : i + sz]
+            i += sz
+            expect[(src, name)] = (
+                len(chunk),
+                sum(c[2] for c in chunk),
+                min(c[0] for c in chunk),
+                max(c[0] for c in chunk),
+            )
+    got = run(spark, "text_ccnet_buckets").set_index(["source", "bucket"])
+    assert len(got) == len(expect)
+    for key, (nd, nb, mn, mx) in expect.items():
+        row = got.loc[key]
+        assert int(row.n_docs) == nd
+        assert int(row.n_bigrams) == nb
+        assert int(row.min_score_milli) == mn
+        assert int(row.max_score_milli) == mx
