@@ -85,6 +85,10 @@ GLOBAL_ONE_TASK_OK = {
                          # dimension (the agg_abc_class argument)
     "agg_forecast_topdown",  # largest-remainder apportionment windows
                          # over the 25-row brand dimension
+    "agg_tail_dependence",  # rank windows over the DAY-grain two-series
+                         # table (calendar-bounded ~2.4k rows)
+    "qa_sequence_gaps",  # rank window over the TakeOrdered(3) gap head
+                         # (the gap LAG itself is bucket-partitioned)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -215,6 +219,9 @@ BNLJ_OK = {
                          # the 25-row brand rollup
     "sim_index_advisor", # 1-row corpus-stats scalar onto the 4-row
                          # budget spine (planning is metadata work)
+    "agg_tail_dependence",  # 1-row q90-threshold scalar onto the day table
+    "agg_benford_chisq", # 1-row total scalar onto the 9-digit spine
+    "qa_sequence_gaps",  # 1-row min/max/count summary onto the 3-row head
 }
 
 
