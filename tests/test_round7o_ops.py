@@ -91,3 +91,31 @@ def test_sequence_gaps_matches_python(spark):
         assert (int(row.gap_len), int(row.gap_start)) == (g, gs)
         assert (int(row.key_min), int(row.key_max), int(row.n_keys)) == (lo, hi, n)
         assert int(row.total_missing) == total_missing
+
+
+def test_drawdown_spell_matches_python(spark):
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    o["cents"] = (o.o_totalprice * 10000).round().astype("int64") * 100 // 10000
+    o["d"] = pd.to_datetime(o.o_orderdate).dt.date
+    got = run(spark, "win_drawdown_spell").set_index("prio")
+    for prio, grp in o.groupby("o_orderpriority"):
+        daily = grp.groupby("d").cents.sum().sort_index()
+        equity = daily.cumsum()
+        peak = equity.cummax()
+        under = (equity < peak).to_numpy()
+        depth = (peak - equity).to_numpy()
+        spells = []
+        cur_len, cur_depth = 0, 0
+        for u, dp in zip(under, depth):
+            if u:
+                cur_len += 1
+                cur_depth = max(cur_depth, int(dp))
+            elif cur_len:
+                spells.append((cur_len, cur_depth))
+                cur_len, cur_depth = 0, 0
+        if cur_len:
+            spells.append((cur_len, cur_depth))
+        row = got.loc[prio]
+        assert int(row.n_spells) == len(spells)
+        assert int(row.max_spell_days) == (max(s[0] for s in spells) if spells else 0)
+        assert int(row.max_depth_cents) == (max(s[1] for s in spells) if spells else 0)
