@@ -85,6 +85,22 @@ def test_dual_retriever_pools_random(spark, seed):
         assert got_rb == rb
 
 
+def test_dual_retriever_pools_tiny_corpus_excludes_self(spark):
+    """Corpus smaller than the pool: every non-self row fits, and the
+    query's own row must NOT pad the pool (the old sentinel-masking bug
+    flagged in ADVICE r7 — with <= pool non-self candidates the
+    int64-sentinel self row re-entered the emitted pool)."""
+    df, Q = _emb_df(spark, seed=9, n=6, dim=8)
+    got = dual_retriever_pools(df, n_queries=3, pool=10, scale=1000).toPandas()
+    for qi in range(3):
+        g = got[got.query_id == qi]
+        assert qi not in set(g.vec_id), f"self row leaked for query {qi}"
+        # all 5 non-self rows present in both pools, ranks a permutation
+        assert sorted(g.vec_id) == [v for v in range(6) if v != qi]
+        assert sorted(int(r) for r in g.ra.dropna()) == [1, 2, 3, 4, 5]
+        assert sorted(int(r) for r in g.rb.dropna()) == [1, 2, 3, 4, 5]
+
+
 def test_nprobe_sweep_full_probe_equals_adc(spark):
     """At nprobe = ncells the IVF filter is a no-op, so the sweep's
     recall must equal the recall of a pure-ADC (no routing) brute

@@ -61,9 +61,15 @@ def test_eb_shrinkage_matches_python(spark):
         assert min(raw, g) - 1 <= sh <= max(raw, g) + 1
 
 
-def test_anova_matches_python(spark):
-    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
-    p = spark.read.parquet(f"{SF_001}/part.parquet").toPandas()
+import pytest
+
+
+@pytest.mark.parametrize("sf_dir", [SF_001, "/root/testdata/sf0.1"])
+def test_anova_matches_python(spark, sf_dir):
+    """sf0.1 is load-bearing: S²/N ≈ 1.68e19 there (1.8× int64 max), the
+    scale at which the old `s*s DIV n` silently wrapped (ADVICE r7)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").toPandas()
     j = li.merge(p[["p_partkey", "p_brand"]], left_on="l_partkey", right_on="p_partkey")
     j["cents"] = (j.l_extendedprice * 10000).round().astype("int64") * 100 // 10000
     n = len(j)
@@ -74,7 +80,7 @@ def test_anova_matches_python(spark):
     ssb_raw = sum(int(r["sum"]) ** 2 // int(r["size"]) for _, r in grp.iterrows())
     sst = q - s * s // n
     ssb = ssb_raw - s * s // n
-    got = run(spark, "agg_anova_oneway").iloc[0]
+    got = run(spark, "agg_anova_oneway", sf_dir).iloc[0]
     assert int(got.n_obs) == n and int(got.k_groups) == k
     assert int(got.ms_between_cents2) == ssb // (k - 1)
     assert int(got.ms_within_cents2) == (sst - ssb) // (n - k)

@@ -1,0 +1,149 @@
+"""Independent reference checks for the round-8 additions.
+
+Pure numpy / pure-python references — no SQL text shared with the
+oracle twins (the check_oracle sweep proves cross-engine equality;
+these prove the SEMANTICS against a third implementation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from varda_spark.catalog import REGISTRY
+
+SF_001 = "/root/testdata/sf0.01"
+
+
+def run(spark, key, sf=SF_001):
+    return REGISTRY[key].fn(spark, sf).toPandas()
+
+
+def tdiv(a: int, b: int) -> int:
+    """Truncating integer division (Spark DIV / DuckDB // semantics);
+    Python // floors, which differs on negative quotients."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _lev(a: str, b: str) -> int:
+    """Classic unit-cost Wagner–Fischer DP."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_dedup_levenshtein_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    docs["blk"] = docs.n_chars // 16
+    docs["pfx"] = docs.text.str[:12]
+    expect = {}
+    for _, grp in docs.groupby(["blk", "lang", "pfx"]):
+        rows = list(grp.itertuples())
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                lo, hi = min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id)
+                d = _lev(a.text, b.text)
+                if d <= 24:
+                    expect[(lo, hi)] = (d, a.blk)
+    got = run(spark, "dedup_levenshtein")
+    assert {
+        (int(r.doc_a), int(r.doc_b)): (int(r.dist), int(r.blk))
+        for r in got.itertuples()
+    } == expect
+    assert len(expect) > 0  # the fixture must actually exercise the DP
+
+
+def _encode(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.vstack(emb.embedding.to_numpy()).astype(np.float64)
+    Q = np.floor(X * 10000).astype(np.int64)
+    bits = (X >= 0).astype(np.int64)
+    W = np.array([1 << (31 - i) for i in range(32)], dtype=np.int64)
+    w1 = bits[:, :32] @ W
+    w2 = bits[:, 32:64] @ W
+    ids = emb.vec_id.to_numpy()
+    return ids, Q, w1, w2
+
+
+def _hamming(w1, w2, i, j):
+    return int(w1[i] ^ w1[j]).bit_count() + int(w2[i] ^ w2[j]).bit_count()
+
+
+def test_sim_cascade_rerank_matches_numpy(spark):
+    ids, Q, w1, w2 = _encode(spark)
+    got = run(spark, "sim_cascade_rerank")
+    for qi in range(5):
+        ham = np.array(
+            [_hamming(w1, w2, i, qi) for i in range(len(ids))], dtype=np.int64
+        )
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], ham[mask]))[:20]
+        pool = ids[mask][order]
+        ham_rank = {int(v): r + 1 for r, v in enumerate(pool)}
+        dots = {int(v): int(Q[list(ids).index(v)] @ Q[qi]) for v in pool}
+        final = sorted(pool, key=lambda v: (-dots[int(v)], v))[:3]
+        g = got[got.query_id == ids[qi]].sort_values("rank")
+        assert list(g.vec_id) == [int(v) for v in final]
+        for r in g.itertuples():
+            assert int(r.dot_q) == dots[int(r.vec_id)]
+            assert int(r.ham_rank) == ham_rank[int(r.vec_id)]
+            assert int(r.hamming) == int(
+                ham[list(ids).index(r.vec_id)]
+            )
+
+
+def test_agg_mrr_eval_matches_numpy(spark):
+    ids, Q, w1, w2 = _encode(spark)
+    got = run(spark, "agg_mrr_eval").set_index("query_id")
+    for qi in range(5):
+        dots = Q @ Q[qi]
+        ham = np.array(
+            [_hamming(w1, w2, i, qi) for i in range(len(ids))], dtype=np.int64
+        )
+        mask = ids != ids[qi]
+        nn_pos = np.lexsort((ids[mask], -dots[mask]))[0]
+        nn = int(ids[mask][nn_pos])
+        nn_ham = int(ham[mask][nn_pos])
+        better = sum(
+            1
+            for i in np.nonzero(mask)[0]
+            if (ham[i], ids[i]) < (nn_ham, nn)
+        )
+        rank = 1 + better
+        row = got.loc[ids[qi]]
+        assert int(row.true_nn) == nn
+        assert int(row.bin_rank) == rank
+        assert int(row.rr_ppm) == 10**6 // rank
+        assert int(row.hit_at3) == int(rank <= 3)
+        assert int(row.hit_at10) == int(rank <= 10)
+
+
+def test_emb_dim_profile_matches_numpy(spark):
+    ids, Q, _, _ = _encode(spark)
+    got = run(spark, "emb_dim_profile").set_index("dim").sort_index()
+    assert list(got.index) == list(range(1, 65))
+    n = len(ids)
+    for d in range(64):
+        v = Q[:, d]
+        s, qq = int(v.sum()), int((v.astype(object) ** 2).sum())
+        row = got.loc[d + 1]
+        assert int(row.n) == n
+        assert int(row.mean_q) == tdiv(s, n)
+        assert int(row.var_q) == (n * qq - s * s) // (n * n)  # numer >= 0
+        assert int(row.min_q) == int(v.min())
+        assert int(row.max_q) == int(v.max())
+        assert int(row.zero_ppm) == (10**6 * int((v == 0).sum())) // n

@@ -222,6 +222,12 @@ BNLJ_OK = {
     "agg_tail_dependence",  # 1-row q90-threshold scalar onto the day table
     "agg_benford_chisq", # 1-row total scalar onto the 9-digit spine
     "qa_sequence_gaps",  # 1-row min/max/count summary onto the 3-row head
+    "sim_cascade_rerank",  # 5-row query-signature broadcast (stage 1,
+                         # salted two-phase top-20) + <=100-row survivor
+                         # broadcast joined back for the exact re-rank
+    "agg_mrr_eval",      # 5-row query broadcast fan-out + 5-row
+                         # true-NN broadcast; rank-by-count, no global
+                         # candidate ordering materialized
 }
 
 

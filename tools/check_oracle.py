@@ -76,6 +76,19 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> str:
     exact = True
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Driver-hash parity requires matching int-ness: the driver
+        # canonicalizes each engine's pandas frame independently, so an
+        # int64 Spark column vs a float64 oracle column (the DuckDB
+        # HUGEINT window-SUM leak) hashes `20028` vs `20028.0` and FAILS
+        # even when every value is identical. agg_winsorized_mean proved
+        # in r7 that the float coercion below masks exactly this —
+        # flag it before any coercion happens.
+        if pd.api.types.is_integer_dtype(av) != pd.api.types.is_integer_dtype(bv):
+            return (
+                f"DTYPE col={c} spark={av.dtype} duck={bv.dtype} "
+                f"(int-vs-float skew: driver hash WILL differ — cast the "
+                f"oracle column, e.g. CAST(x AS BIGINT))"
+            )
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             avn = av.astype(float).to_numpy()
             bvn = bv.astype(float).to_numpy()

@@ -29,7 +29,10 @@ def sampled_union() -> set[str]:
 
     A key that ERR'd at the driver (e.g. the four r4 array-output keys)
     is NOT certified — it stays eligible for the next window so it can
-    be re-proved after the fix.
+    be re-proved after the fix. Neither is a key whose hash FAILED
+    (hash_match false, e.g. agg_winsorized_mean in r7): re-sampling it
+    after the fix is certification, not waste, so it must not trip the
+    overlap gate.
     """
     keys: set[str] = set()
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
@@ -37,7 +40,9 @@ def sampled_union() -> set[str]:
         results = data.get("results", data)
         if isinstance(results, dict):
             for k, row in results.items():
-                if isinstance(row, dict) and row.get("err"):
+                if isinstance(row, dict) and (
+                    row.get("err") or row.get("hash_match") is False
+                ):
                     continue
                 keys.add(k)
         else:

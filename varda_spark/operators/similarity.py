@@ -1312,22 +1312,26 @@ def dual_retriever_pools(
             D = X @ Qm.T  # n × q int64, exact
             B = (X >= 0).astype(np.int64)
             H = B.sum(axis=1)[:, None] + qbsum[None, :] - 2 * (B @ QB.T)
-            kk = min(pool, n)
             out = {"query_id": [], key: [], "metric": [], "score": []}
             for qi in range(len(qids)):
-                self_mask = ids == qids[qi]
-                d = D[:, qi].copy()
-                d[self_mask] = np.iinfo(np.int64).min + 1
-                order = np.lexsort((ids, -d))[:kk]
+                # DROP the query's own row rather than sentinel-masking
+                # it: with <= pool non-self candidates in a batch the
+                # sentinel row would re-enter the emitted pool and
+                # diverge from the oracle's WHERE vec_id != query_id
+                # (ADVICE r7).
+                keep = ids != qids[qi]
+                ids_q = ids[keep]
+                kk = min(pool, len(ids_q))
+                d = D[keep, qi]
+                order = np.lexsort((ids_q, -d))[:kk]
                 out["query_id"].extend([qids[qi]] * kk)
-                out[key].extend(ids[order])
+                out[key].extend(ids_q[order])
                 out["metric"].extend(["d"] * kk)
                 out["score"].extend(d[order])
-                h = H[:, qi].copy()
-                h[self_mask] = np.iinfo(np.int64).max
-                order = np.lexsort((ids, h))[:kk]
+                h = H[keep, qi]
+                order = np.lexsort((ids_q, h))[:kk]
                 out["query_id"].extend([qids[qi]] * kk)
-                out[key].extend(ids[order])
+                out[key].extend(ids_q[order])
                 out["metric"].extend(["b"] * kk)
                 out["score"].extend(h[order])
             yield pd.DataFrame(out)
