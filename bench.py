@@ -105,6 +105,9 @@ HEADLINE = LEGACY20 + [
     "sim_rrf_fusion",       # dense+binary reciprocal-rank hybrid retrieval
     "agg_fdr_bh",           # exact sign-test p-values + BH multiple testing
     "store_deletion_vectors",  # merge-on-read DV anti-join + rewrite advisor
+    # round-8 additions
+    "sim_cascade_rerank",   # binary prefilter -> exact-dot rerank funnel
+    "dedup_levenshtein",    # blocked threshold-DP edit-distance verify
 ]
 
 

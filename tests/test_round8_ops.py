@@ -147,3 +147,100 @@ def test_emb_dim_profile_matches_numpy(spark):
         assert int(row.min_q) == int(v.min())
         assert int(row.max_q) == int(v.max())
         assert int(row.zero_ppm) == (10**6 * int((v == 0).sum())) // n
+
+
+def test_sample_neyman_alloc_matches_python(spark):
+    import math
+
+    cust = spark.read.parquet(f"{SF_001}/customer.parquet").toPandas()
+    cents = (cust.c_acctbal * 10000).round().astype("int64") * 100 // 10000
+    cust = cust.assign(cents=cents)
+    rows = {}
+    for seg, grp in cust.groupby("c_mktsegment"):
+        n = len(grp)
+        s, q = int(grp.cents.sum()), int((grp.cents.astype(object) ** 2).sum())
+        var = (n * q - s * s) // (n * n)
+        rows[seg] = (n, math.isqrt(var))
+    tot = sum(n * sq for n, sq in rows.values())
+    fl = {k: 1000 * n * sq // tot for k, (n, sq) in rows.items()}
+    rem = {k: 1000 * n * sq % tot for k, (n, sq) in rows.items()}
+    short = 1000 - sum(fl.values())
+    order = sorted(rows, key=lambda k: (-rem[k], k))
+    alloc = {k: fl[k] + (1 if order.index(k) < short else 0) for k in rows}
+    got = run(spark, "sample_neyman_alloc").set_index("stratum")
+    assert int(got.n_alloc.sum()) == 1000  # the budget, exactly
+    for seg, (n, sq) in rows.items():
+        row = got.loc[seg]
+        assert int(row.n_h) == n
+        assert int(row.s_q) == sq
+        assert int(row.share_ppm) == 10**6 * n * sq // tot
+        assert int(row.n_alloc) == alloc[seg]
+
+
+def test_sample_pps_systematic_matches_python(spark):
+    docs = (
+        spark.read.parquet(f"{SF_001}/documents.parquet")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    sizes = docs.n_chars.astype(int).to_numpy()
+    tot = int(sizes.sum())
+    cum = 0
+    expect = {}
+    for did, sz in zip(docs.doc_id, sizes):
+        prev, cum = cum, cum + int(sz)
+        hits = (cum * 100) // tot - (prev * 100) // tot
+        if hits > 0:
+            expect[int(did)] = (int(sz), cum, hits, min(10**6, 10**6 * int(sz) * 100 // tot))
+    assert sum(h for _, _, h, _ in expect.values()) == 100  # telescoping
+    got = run(spark, "sample_pps_systematic")
+    assert {
+        int(r.doc_id): (int(r.sz), int(r.cum), int(r.n_hits), int(r.incl_ppm))
+        for r in got.itertuples()
+    } == expect
+
+
+def test_win_theil_sen_matches_python(spark):
+    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
+    li["ym"] = (
+        li.l_shipdate.astype("datetime64[us]").dt.year * 12
+        + li.l_shipdate.astype("datetime64[us]").dt.month
+    )
+    li["cents"] = (li.l_extendedprice * 10000).round().astype("int64") * 100 // 10000
+    got = run(spark, "win_theil_sen").set_index("flag")
+    for flag, grp in li.groupby("l_returnflag"):
+        mth = grp.groupby("ym").cents.sum().sort_index()
+        yms, revs = list(mth.index), list(mth.values)
+        slopes = []
+        for i in range(len(yms)):
+            for j in range(i + 1, len(yms)):
+                dy, dx = int(revs[j] - revs[i]) * 1000, int(yms[j] - yms[i])
+                slopes.append((tdiv(dy, dx), yms[i], yms[j]))
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1][0]
+        row = got.loc[flag]
+        assert int(row.n_months) == len(yms)
+        assert int(row.n_pairs) == len(slopes)
+        assert int(row.median_slope_milli) == med
+
+
+def test_agg_cpk_capability_matches_python(spark):
+    import math
+
+    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
+    qm = (li.l_quantity * 10000).round().astype("int64") * 1000 // 10000
+    li = li.assign(qm=qm)
+    got = run(spark, "agg_cpk_capability").set_index("flag")
+    for flag, grp in li.groupby("l_returnflag"):
+        n = len(grp)
+        s, q = int(grp.qm.sum()), int((grp.qm.astype(object) ** 2).sum())
+        mean = s // n
+        sigma = math.isqrt((n * q - s * s) // (n * n))
+        row = got.loc[flag]
+        assert int(row.n) == n
+        assert int(row.mean_milli) == mean
+        assert int(row.sigma_milli) == sigma
+        assert int(row.cp_milli) == (50000 - 1000) * 1000 // (6 * sigma)
+        assert int(row.cpk_milli) == min(50000 - mean, mean - 1000) * 1000 // (
+            3 * sigma
+        )

@@ -89,6 +89,13 @@ GLOBAL_ONE_TASK_OK = {
                          # table (calendar-bounded ~2.4k rows)
     "qa_sequence_gaps",  # rank window over the TakeOrdered(3) gap head
                          # (the gap LAG itself is bucket-partitioned)
+    "sample_neyman_alloc",  # total/remainder-rank windows over the
+                         # 5-row stratum board (dimension-sized)
+    "sample_pps_systematic",  # offset-spine window over BUCKET TOTALS
+                         # (4096x reduced vs the data; the per-row
+                         # running sum is bucket-partitioned and
+                         # distributes — at larger corpora add a second
+                         # bucket level, documented)
 }
 
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
@@ -228,6 +235,13 @@ BNLJ_OK = {
     "agg_mrr_eval",      # 5-row query broadcast fan-out + 5-row
                          # true-NN broadcast; rank-by-count, no global
                          # candidate ordering materialized
+    "sample_neyman_alloc",  # global windows over the 5-row stratum
+                         # board (totals + largest-remainder ranks)
+    "sample_pps_systematic",  # 1-row corpus-total broadcast + the
+                         # bucket-total offset spine window (4096x
+                         # reduced vs the data; at larger corpora add a
+                         # second bucket level) — the local running sum
+                         # IS bucket-partitioned and distributes
 }
 
 
