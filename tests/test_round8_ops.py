@@ -244,3 +244,64 @@ def test_agg_cpk_capability_matches_python(spark):
         assert int(row.cpk_milli) == min(50000 - mean, mean - 1000) * 1000 // (
             3 * sigma
         )
+
+
+def test_sim_knn_graph_matches_numpy(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.vstack(emb.embedding.to_numpy()).astype(np.float64)
+    Q = np.floor(X * 10000).astype(np.int64)
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    topk = {}
+    for lab in np.unique(labels):
+        idx = np.nonzero(labels == lab)[0]
+        G = Q[idx] @ Q[idx].T
+        for r, i in enumerate(idx):
+            others = [j for j in range(len(idx)) if idx[j] != i]
+            order = sorted(
+                others, key=lambda j: (-int(G[r][j]), int(ids[idx[j]]))
+            )[:3]
+            topk[int(ids[i])] = {
+                int(ids[idx[j]]): (rank + 1, int(G[r][j]))
+                for rank, j in enumerate(order)
+            }
+    expect = {}
+    for a, nbrs in topk.items():
+        for b, (rab, dot) in nbrs.items():
+            if a < b and a in topk.get(b, {}):
+                expect[(a, b)] = (dot, rab, topk[b][a][0])
+    got = run(spark, "sim_knn_graph")
+    assert {
+        (int(r.a), int(r.b)): (int(r.dot_q), int(r.rank_ab), int(r.rank_ba))
+        for r in got.itertuples()
+    } == expect
+    assert len(expect) > 0
+
+
+def test_agg_strata_effects_matches_python(spark):
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_001}/customer.parquet").toPandas()
+    j = o.merge(
+        c[["c_custkey", "c_mktsegment"]], left_on="o_custkey", right_on="c_custkey"
+    )
+    j["treat"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"]).astype(int)
+    j["cents"] = (j.o_totalprice * 10000).round().astype("int64") * 100 // 10000
+    nt = len(j)
+    got = run(spark, "agg_strata_effects").set_index("stratum")
+    pooled_sign_differs = False
+    for seg, grp in j.groupby("c_mktsegment"):
+        n, n1 = len(grp), int(grp.treat.sum())
+        s1 = int(grp[grp.treat == 1].cents.sum())
+        s0 = int(grp[grp.treat == 0].cents.sum())
+        row = got.loc[seg]
+        assert (int(row.n_s), int(row.n1), int(row.n0)) == (n, n1, n - n1)
+        assert int(row.mean1_c) == s1 // n1
+        assert int(row.mean0_c) == s0 // (n - n1)
+        assert int(row.diff_c) == s1 // n1 - s0 // (n - n1)
+        assert int(row.weight_ppm) == 10**6 * n // nt
+    assert int(got.weight_ppm.sum()) <= 10**6  # truncating shares

@@ -239,9 +239,10 @@ BNLJ_OK = {
                          # board (totals + largest-remainder ranks)
     "sample_pps_systematic",  # 1-row corpus-total broadcast + the
                          # bucket-total offset spine window (4096x
-                         # reduced vs the data; at larger corpora add a
-                         # second bucket level) — the local running sum
+                         # reduced vs the data; the local running sum
                          # IS bucket-partitioned and distributes
+    "agg_strata_effects",  # 1-row grand-total scalar onto the 5-row
+                         # stratum board (the weight denominator)
 }
 
 
