@@ -1,9 +1,12 @@
 """Local mimic of the driver's t2 correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
-DuckDB at sf0.01, compares row count, column names, and values
-(order-insensitive). Reports EXACT (bit-identical → driver hash will
-match), APPROX (within 1e-9 — driver hash may FAIL, fix the query), or
+DuckDB at sf0.01, compares row count, column names, dtypes, and values
+(order-insensitive). Reports EXACT (bit-identical AND dtype-aligned →
+driver hash will match), APPROX (within 1e-9 — driver hash may FAIL,
+fix the query), DTYPE (int-vs-float skew: values may be identical but
+the driver hashes ``20028`` vs ``20028.0`` — cast the oracle column,
+usually a DuckDB window-SUM HUGEINT leaking to pandas float64), or
 MISMATCH.
 
 Usage: python tools/check_oracle.py [query ...]
