@@ -305,3 +305,54 @@ def test_agg_strata_effects_matches_python(spark):
         assert int(row.diff_c) == s1 // n1 - s0 // (n - n1)
         assert int(row.weight_ppm) == 10**6 * n // nt
     assert int(got.weight_ppm.sum()) <= 10**6  # truncating shares
+
+
+def test_sim_ivf_balance_matches_numpy(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.vstack(emb.embedding.to_numpy()).astype(np.float64)
+    Q = np.floor(X * 1000).astype(np.int64)
+    ids = emb.vec_id.to_numpy()
+    C = Q[:8]  # centroids = 8 lowest vec_ids, cell_id = vec_id
+    cid = ids[:8]
+    assign = cid[(Q @ C.T).argmax(axis=1)]  # first max = lowest cell_id
+    import collections
+
+    occ = collections.Counter(int(c) for c in assign)
+    n, k, mx = sum(occ.values()), len(occ), max(occ.values())
+    got = run(spark, "sim_ivf_balance").set_index("cell_id")
+    assert set(got.index) == set(occ)
+    for cell, cnt in occ.items():
+        row = got.loc[cell]
+        assert int(row.n_vec) == cnt
+        assert int(row.share_ppm) == 10**6 * cnt // n
+        assert int(row.load_milli) == 1000 * cnt * k // n
+        assert int(row.skew_milli) == 1000 * mx * k // n
+    # the audit's invariant: loads average to ~1000 (balanced = 1000 each)
+    assert sum(int(r.n_vec) for _, r in got.iterrows()) == n
+
+
+def test_win_hampel_matches_python(spark):
+    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
+    li["d"] = li.l_shipdate.astype("datetime64[us]").dt.date
+    li["cents"] = (li.l_extendedprice * 10000).round().astype("int64") * 100 // 10000
+    day = li.groupby("d").cents.sum().sort_index()
+    revs = [int(v) for v in day.values]
+    days = list(day.index)
+    got = run(spark, "win_hampel")
+    got["day"] = got.day.astype("datetime64[us]").dt.date
+    got = got.set_index("day").sort_index()
+    assert len(got) == len(revs) - 14
+    for i in range(7, len(revs) - 7):
+        win = sorted(revs[i - 7 : i + 8])
+        med = win[7]
+        mad = sorted(abs(v - med) for v in revs[i - 7 : i + 8])[7]
+        row = got.loc[days[i]]
+        assert int(row.rev_c) == revs[i]
+        assert int(row.med_c) == med
+        assert int(row.mad_c) == mad
+        assert int(row.is_spike) == int(abs(revs[i] - med) > 3 * mad)

@@ -91,6 +91,9 @@ GLOBAL_ONE_TASK_OK = {
                          # (the gap LAG itself is bucket-partitioned)
     "sample_neyman_alloc",  # total/remainder-rank windows over the
                          # 5-row stratum board (dimension-sized)
+    "win_hampel",        # 15-day list frame over the DAY-grain revenue
+                         # rollup (calendar-bounded, documented; entity
+                         # grain would PARTITION BY key)
     "sample_pps_systematic",  # offset-spine window over BUCKET TOTALS
                          # (4096x reduced vs the data; the per-row
                          # running sum is bucket-partitioned and
@@ -243,6 +246,8 @@ BNLJ_OK = {
                          # IS bucket-partitioned and distributes
     "agg_strata_effects",  # 1-row grand-total scalar onto the 5-row
                          # stratum board (the weight denominator)
+    "sim_ivf_balance",   # 1-row totals scalar onto the ncells-row
+                         # occupancy board
 }
 
 
