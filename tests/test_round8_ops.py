@@ -356,3 +356,38 @@ def test_win_hampel_matches_python(spark):
         assert int(row.med_c) == med
         assert int(row.mad_c) == mad
         assert int(row.is_spike) == int(abs(revs[i] - med) > 3 * mad)
+
+
+def test_text_filter_attrition_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    toks = docs.text.str.strip().str.split(" ").map(len)
+    utoks = docs.text.str.strip().str.split(" ").map(lambda w: len(set(w)))
+    p1 = docs.n_chars >= 120
+    p2 = (toks >= 25) & (toks <= 85)
+    p3 = (100 * utoks // toks) >= 35
+    mlen = 100 * docs.n_chars // toks
+    p4 = (mlen >= 520) & (mlen <= 575)
+    n0 = len(docs)
+    k1 = int((~p1).sum())
+    k2 = int((p1 & ~p2).sum())
+    k3 = int((p1 & p2 & ~p3).sum())
+    k4 = int((p1 & p2 & p3 & ~p4).sum())
+    rows = [
+        (1, "min_chars", n0, k1),
+        (2, "token_band", n0 - k1, k2),
+        (3, "diversity", n0 - k1 - k2, k3),
+        (4, "mean_tok_len", n0 - k1 - k2 - k3, k4),
+    ]
+    got = run(spark, "text_filter_attrition").set_index("stage").sort_index()
+    for stage, rule, n_in, killed in rows:
+        r = got.loc[stage]
+        assert r.rule == rule
+        assert (int(r.n_in), int(r.n_killed), int(r.n_out)) == (
+            n_in, killed, n_in - killed,
+        )
+        assert int(r.kill_ppm) == 10**6 * killed // max(n_in, 1)
+        assert int(r.cum_kept_ppm) == 10**6 * (n_in - killed) // n0
+    # waterfall invariant: each stage's n_in equals the prior n_out
+    outs = [int(got.loc[s].n_out) for s in (1, 2, 3)]
+    ins = [int(got.loc[s].n_in) for s in (2, 3, 4)]
+    assert outs == ins

@@ -248,6 +248,8 @@ BNLJ_OK = {
                          # stratum board (the weight denominator)
     "sim_ivf_balance",   # 1-row totals scalar onto the ncells-row
                          # occupancy board
+    "text_filter_attrition",  # 4-row waterfall spine stacked from the
+                         # 1-row stage-counter aggregate
 }
 
 
