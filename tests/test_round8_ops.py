@@ -391,3 +391,53 @@ def test_text_filter_attrition_matches_python(spark):
     outs = [int(got.loc[s].n_out) for s in (1, 2, 3)]
     ins = [int(got.loc[s].n_in) for s in (2, 3, 4)]
     assert outs == ins
+
+
+def test_freq_gwas_assoc_matches_python(spark):
+    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
+    li["is_case"] = (li.l_suppkey % 2).astype(int)
+    li["n_ref"] = li.l_orderkey.mod(3).map({0: 2, 1: 1, 2: 0})
+    got = run(spark, "freq_gwas_assoc").set_index("site_id")
+    checked = 0
+    for site, grp in li.groupby("l_partkey"):
+        a = int((2 - grp[grp.is_case == 1].n_ref).sum())  # alt case
+        b = int(grp[grp.is_case == 1].n_ref.sum())        # ref case
+        c = int((2 - grp[grp.is_case == 0].n_ref).sum())  # alt ctrl
+        d = int(grp[grp.is_case == 0].n_ref.sum())        # ref ctrl
+        if min(a, b, c, d) == 0:
+            assert site not in got.index
+            continue
+        row = got.loc[site]
+        n = a + b + c + d
+        det = a * d - b * c
+        chi2 = 1000 * n * det * det // ((a + b) * (c + d) * (a + c) * (b + d))
+        assert (
+            int(row.alt_case), int(row.ref_case),
+            int(row.alt_ctrl), int(row.ref_ctrl),
+        ) == (a, b, c, d)
+        assert int(row.chi2_milli) == chi2
+        assert int(row.or_milli) == 1000 * a * d // (b * c)
+        checked += 1
+    assert checked == len(got)
+
+
+def test_sample_walk_forward_matches_python(spark):
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    d = o.o_orderdate.astype("datetime64[us]").dt.date
+    lo, hi = d.min(), d.max()
+    span = (hi - lo).days
+    off = d.map(lambda x: (x - lo).days)
+    got = run(spark, "sample_walk_forward").set_index("fold").sort_index()
+    prev_train = -1
+    for fold in range(1, 6):
+        t0 = (4 + fold) * span // 10
+        t1 = (5 + fold) * span // 10
+        row = got.loc[fold]
+        n_train = int((off < t0 - 7).sum())
+        n_test = int(((off >= t0) & (off < t1)).sum())
+        assert int(row.train_end_off) == t0 - 7
+        assert (int(row.test_start_off), int(row.test_end_off)) == (t0, t1)
+        assert (int(row.n_train), int(row.n_test)) == (n_train, n_test)
+        assert n_train > prev_train  # expanding window
+        prev_train = n_train
+        assert n_test > 0

@@ -250,6 +250,8 @@ BNLJ_OK = {
                          # occupancy board
     "text_filter_attrition",  # 4-row waterfall spine stacked from the
                          # 1-row stage-counter aggregate
+    "sample_walk_forward",  # 1-row calendar-limits scalar + 5-row fold
+                         # spine broadcast over ONE fact scan
 }
 
 
