@@ -441,3 +441,30 @@ def test_sample_walk_forward_matches_python(spark):
         assert n_train > prev_train  # expanding window
         prev_train = n_train
         assert n_test > 0
+
+
+def test_agg_uplift_ci_matches_python(spark):
+    import math
+
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    treat = o.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    y = (o.o_orderstatus == "F").astype(int)
+    n1, x1 = int(treat.sum()), int(y[treat].sum())
+    n2, x2 = int((~treat).sum()), int(y[~treat].sum())
+    v = (10**12 * x1 * (n1 - x1)) // (n1**3) + (10**12 * x2 * (n2 - x2)) // (
+        n2**3
+    )
+    se = math.isqrt(v)
+    p1, p2 = 10**6 * x1 // n1, 10**6 * x2 // n2
+    row = run(spark, "agg_uplift_ci").iloc[0]
+    assert (int(row.n1), int(row.x1), int(row.n2), int(row.x2)) == (
+        n1, x1, n2, x2,
+    )
+    assert (int(row.p1_ppm), int(row.p2_ppm)) == (p1, p2)
+    assert int(row.uplift_ppm) == p1 - p2
+    assert int(row.se_ppm) == se
+    assert int(row.ci_lo_ppm) == p1 - p2 - 196 * se // 100
+    assert int(row.ci_hi_ppm) == p1 - p2 + 196 * se // 100
+    assert int(row.significant) == int(abs(p1 - p2) * 100 > 196 * se)
+    # sanity: the CI straddles the uplift and is symmetric around it
+    assert int(row.ci_lo_ppm) <= int(row.uplift_ppm) <= int(row.ci_hi_ppm)
