@@ -15,8 +15,9 @@ import duckdb
 import pandas as pd
 
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from check_oracle import compare  # noqa: E402
 
@@ -63,3 +64,19 @@ def test_duckdb_window_sum_leaks_hugeint_as_float():
            SELECT g, CAST(MIN(n) AS BIGINT) AS n FROM cum GROUP BY g"""
     ).df()
     assert compare("fixed", spark_like, fixed) == "EXACT"
+
+
+def test_dtype_skew_with_value_diff_reports_both():
+    """A column with dtype skew AND genuinely different values must say
+    DTYPE+MISMATCH, not plain DTYPE (which reads as values-identical)."""
+    a = pd.DataFrame({"n": pd.array([20028, 39971], dtype="int64")})
+    b = pd.DataFrame({"n": pd.array([20028.0, 40000.0], dtype="float64")})
+    verdict = compare("skewdiff", a, b)
+    assert verdict.startswith("DTYPE+MISMATCH"), verdict
+
+
+def test_dtype_skew_identical_values_reports_plain_dtype():
+    a = pd.DataFrame({"n": pd.array([1, 2], dtype="int64")})
+    b = pd.DataFrame({"n": pd.array([1.0, 2.0], dtype="float64")})
+    verdict = compare("skewsame", a, b)
+    assert verdict.startswith("DTYPE") and "MISMATCH" not in verdict, verdict

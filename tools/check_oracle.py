@@ -87,8 +87,18 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> str:
         # in r7 that the float coercion below masks exactly this —
         # flag it before any coercion happens.
         if pd.api.types.is_integer_dtype(av) != pd.api.types.is_integer_dtype(bv):
+            # Still compare values so a column with BOTH dtype skew and
+            # real value differences reports DTYPE+MISMATCH, not just
+            # DTYPE (which would understate the problem while debugging).
+            try:
+                avn = av.astype(float).to_numpy()
+                bvn = bv.astype(float).to_numpy()
+                vals_eq = bool(((avn == bvn) | (np.isnan(avn) & np.isnan(bvn))).all())
+            except (TypeError, ValueError):
+                vals_eq = False
+            tag = "DTYPE" if vals_eq else "DTYPE+MISMATCH"
             return (
-                f"DTYPE col={c} spark={av.dtype} duck={bv.dtype} "
+                f"{tag} col={c} spark={av.dtype} duck={bv.dtype} "
                 f"(int-vs-float skew: driver hash WILL differ — cast the "
                 f"oracle column, e.g. CAST(x AS BIGINT))"
             )
