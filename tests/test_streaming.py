@@ -659,3 +659,31 @@ def test_wtopk_stream_counts_match_batch_leaderboard(spark):
         )
     )
     assert {tuple(r) for r in got.collect()} == batch
+
+
+def test_cascade_stream_equals_batch_catalog_key(spark):
+    """stream_cascade's radius-prefilter cascade run as a real readStream
+    (stream-static non-equi join + update-mode agg) equals the batch key:
+    the micro-batch of encoded queries arrives as a file stream, the
+    static encoded corpus is joined per batch, and the complete-mode sink
+    holds the per-query (n_cand, top_vec, top_dot, top_ham) rows."""
+    from pyspark.sql import functions as F
+
+    from varda_spark.catalog import REGISTRY
+    from varda_spark.operators.similarity import sign_words64
+    from varda_spark.streaming.windows import cascade_radius_stream
+
+    batch = {tuple(r) for r in REGISTRY["stream_cascade"].fn(spark, SF).collect()}
+    assert batch, "fixture must yield at least one query with a non-empty pool"
+
+    corpus = sign_words64(read_table(spark, SF, "embeddings"))
+    queries = (
+        corpus.filter(F.expr("vec_id % 97 = 3")).orderBy("vec_id").limit(8)
+    )
+    qdir = tempfile.mkdtemp(prefix="cascade_queries_")
+    queries.write.mode("overwrite").parquet(qdir)
+    q_stream = spark.readStream.schema(queries.schema).parquet(qdir)
+    got = _run_stream_to_memory(
+        spark, cascade_radius_stream(q_stream, corpus), "cascade_t", "complete"
+    )
+    assert {tuple(r) for r in got.collect()} == batch

@@ -232,6 +232,11 @@ BNLJ_OK = {
     "agg_tail_dependence",  # 1-row q90-threshold scalar onto the day table
     "agg_benford_chisq", # 1-row total scalar onto the 9-digit spine
     "qa_sequence_gaps",  # 1-row min/max/count summary onto the 3-row head
+    "stream_cascade",    # 8-row query micro-batch broadcast onto the
+                         # corpus sign-scan; the radius predicate is
+                         # non-equi BY DESIGN (stateless => streaming-
+                         # legal), so the planner must use BNLJ with
+                         # the tiny side broadcast
     "sim_cascade_rerank",  # 5-row query-signature broadcast (stage 1,
                          # salted two-phase top-20) + <=100-row survivor
                          # broadcast joined back for the exact re-rank

@@ -45,6 +45,33 @@ def qdot(a: str, b: str) -> Column:
     )
 
 
+def sign_words64(df: DataFrame, id_col: str = "vec_id", emb: str = "embedding",
+                 scale: int = 10000) -> DataFrame:
+    """Encode a 64-dim embedding as two 32-bit sign words + quantized ints.
+
+    (id, w1, w2, e_q): w1/w2 pack sign(x_i) into 8 bytes total — the
+    binary-prefilter representation sim_hamming_topk / sim_cascade_rerank /
+    stream_cascade all scan (bit_count(w^q) Hamming in whole-stage codegen);
+    e_q is the floor-quantized integer vector for the exact re-rank stage.
+    All integer math → bit-exact across engines and batch/stream."""
+    lits = ", ".join(str(1 << (31 - i)) for i in range(32))
+
+    def word(lo: int) -> str:
+        return (
+            f"aggregate(zip_with(slice({emb}, {lo}, 32), array({lits}),"
+            " (x, p) -> CASE WHEN CAST(x AS DOUBLE) >= 0"
+            " THEN p ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+
+    return df.select(
+        id_col,
+        F.expr(word(1)).alias("w1"),
+        F.expr(word(33)).alias("w2"),
+        quantized(emb, scale).alias("e_q"),
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     k: int = 3,

@@ -388,6 +388,68 @@ def enrich_counts(ev: DataFrame, dim: DataFrame, dim_key: str = "c_custkey",
     )
 
 
+def cascade_radius_stream(query_stream: DataFrame, corpus: DataFrame,
+                          radius: int = 26) -> DataFrame:
+    """I5+/K3 streaming retrieval cascade (twin of catalog stream_cascade).
+
+    ``query_stream`` is a stream of sign-encoded queries (vec_id, w1, w2,
+    e_q — operators/similarity.py::sign_words64); ``corpus`` is the STATIC
+    encoded table. Stage 1 is a stream-static non-equi inner join on the
+    Hamming RADIUS predicate (a radius test is stateless and therefore
+    streaming-legal where a per-query top-k window is not); stage 2 scores
+    radius survivors with the exact quantized dot; the reduction is a plain
+    streaming aggregation (COUNT + MAX over the (dot, −vec, hamming)
+    struct) — run the sink in update/complete mode. Per micro-batch the
+    static corpus is re-scanned reading 8 sign-bytes per vector and the
+    query micro-batch rides the join — no shuffle lands on the corpus."""
+    qs = query_stream.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+        F.col("e_q").alias("qe"),
+    )
+    cand = (
+        qs.join(
+            corpus,
+            (F.col("vec_id") != F.col("query_id"))
+            & (
+                F.expr("bit_count(w1 ^ q1) + bit_count(w2 ^ q2)")
+                <= F.lit(radius)
+            ),
+        )
+        .withColumn(
+            "hamming",
+            F.expr("CAST(bit_count(w1 ^ q1) + bit_count(w2 ^ q2) AS BIGINT)"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            F.expr(
+                "CAST(aggregate(zip_with(e_q, qe, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+            ).alias("dot_q"),
+        )
+    )
+    agg = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+        F.max(
+            F.struct(
+                F.col("dot_q").alias("d"),
+                (-F.col("vec_id")).alias("nv"),
+                F.col("hamming").alias("h"),
+            )
+        ).alias("m"),
+    )
+    return agg.select(
+        "query_id",
+        "n_cand",
+        (-F.col("m.nv")).cast("bigint").alias("top_vec"),
+        F.col("m.d").cast("bigint").alias("top_dot"),
+        F.col("m.h").cast("bigint").alias("top_ham"),
+    )
+
+
 def idempotent_rollup_sink(keys: list[str], vals: dict[str, str], out_dir: str):
     """Exactly-once foreachBatch sink for a sum-mergeable rollup.
 
