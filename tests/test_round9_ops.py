@@ -78,3 +78,93 @@ def test_stream_cascade_radius_is_selective(spark):
     )
     assert (df.n_cand < n_corpus - 1).all()
     assert df.n_cand.sum() < 0.5 * len(df) * n_corpus
+
+
+def _canon_url_py(doc_id: int, source: str) -> tuple[str, str]:
+    """Independent raw-URL synthesis + canonicalization (urllib-style
+    parse, not regex) — returns (raw, canonical)."""
+    raw = "HTTP://"
+    raw += "WWW." if doc_id % 3 == 0 else ""
+    raw += source.upper() + ".Example.COM"
+    raw += ":80" if doc_id % 5 == 0 else ""
+    raw += f"/docs/{doc_id % 40}"
+    if doc_id % 2 == 0:
+        raw += "/?id=7&utm_source=feed&utm_campaign=x"
+    elif doc_id % 7 == 0:
+        raw += "?ref=home"
+    if doc_id % 11 == 0:
+        raw += "#section-2"
+
+    u = raw.split("#", 1)[0]                      # fragment
+    rest = u.split("://", 1)[1]
+    cut = min([i for i in (rest.find("/"), rest.find("?")) if i >= 0] or [len(rest)])
+    host, tail = rest[:cut], rest[cut:]
+    host = host.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    if host.endswith(":80") or host.endswith(":443"):
+        host = host.rsplit(":", 1)[0]
+    if "?" in tail:
+        path, query = tail.split("?", 1)
+        params = [p for p in query.split("&") if p and not p.startswith("utm_")]
+        tail = path + ("?" + "&".join(params) if params else "")
+    while tail.endswith("/") or tail.endswith("?"):
+        tail = tail[:-1]
+    return raw, "https://" + host + tail
+
+
+def test_dedup_url_canon_matches_python(spark):
+    docs = (
+        spark.read.parquet(f"{SF_001}/documents.parquet")
+        .select("doc_id", "source")
+        .toPandas()
+    )
+    clusters: dict[str, list[tuple[int, str]]] = {}
+    for doc_id, source in zip(docs.doc_id, docs.source):
+        raw, canon = _canon_url_py(int(doc_id), source)
+        clusters.setdefault(canon, []).append((int(doc_id), raw))
+    expect = {
+        canon: (
+            len(members),
+            len({r for _, r in members}),
+            min(d for d, _ in members),
+            len(members) - 1,
+        )
+        for canon, members in clusters.items()
+        if len(members) > 1
+    }
+    got = {
+        r.canon_url: (int(r.n_docs), int(r.n_variants), int(r.keeper_doc), int(r.n_removed))
+        for r in REGISTRY["dedup_url_canon"].fn(spark, SF_001).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+    # the canonicalizer must actually FOLD variants somewhere
+    assert any(v[1] > 1 for v in got.values())
+
+
+def test_qa_drift_ks_matches_numpy(spark):
+    from decimal import Decimal
+
+    o = (
+        spark.read.parquet(f"{SF_001}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .toPandas()
+    )
+    cents = (
+        o.o_totalprice.map(lambda x: int(Decimal(str(x)).quantize(Decimal("0.0001")) * 100))
+    ).to_numpy()
+    bkt = cents // 100000
+    is_b = (o.o_orderdate.astype(str) >= "1995-06-01").to_numpy()
+    buckets = np.unique(bkt)
+    na = np.array([(bkt[~is_b] == b).sum() for b in buckets])
+    nb = np.array([(bkt[is_b] == b).sum() for b in buckets])
+    ta, tb = int(na.sum()), int(nb.sum())
+    ca, cb = np.cumsum(na), np.cumsum(nb)
+    dsc = np.abs(ca.astype(object) * tb - cb.astype(object) * ta)
+    i = int(np.argmax(dsc))  # argmax ties to first (smallest bucket)
+    row = REGISTRY["qa_drift_ks"].fn(spark, SF_001).collect()[0]
+    assert (row.n_a, row.n_b) == (ta, tb)
+    assert row.ks_bucket == int(buckets[i])
+    assert row.ks_ppm == (1000000 * int(dsc[i])) // (ta * tb)
+    assert 0 <= row.ks_ppm <= 1000000

@@ -20,6 +20,9 @@ from varda_spark.session import get_spark  # noqa: E402
 # queries where a single-partition global sort/window is the documented,
 # intentionally small-result shape (each docstring says why)
 GLOBAL_ONE_TASK_OK = {
+    "qa_drift_ks",       # cumulative-ECDF + argmax windows over the
+                         # $1000 price-BUCKET grid (~550 rows at any sf
+                         # — value-domain bounded by construction)
     "paginate_window",   # offset-compat paging; scale path is paginate_seek
     "sim_kmeans",        # row_number over the k-row centroid init only
     "sim_ivf_kmeans",    # same k-row centroid init window
