@@ -168,3 +168,57 @@ def test_qa_drift_ks_matches_numpy(spark):
     assert row.ks_bucket == int(buckets[i])
     assert row.ks_ppm == (1000000 * int(dsc[i])) // (ta * tb)
     assert 0 <= row.ks_ppm <= 1000000
+
+
+def test_agg_pass_at_k_matches_math_comb(spark):
+    """The unbiased pass@k identity 1 - C(n-c,k)/C(n,k) recomputed with
+    math.comb and exact Fractions — no falling-factorial sharing with
+    the twins."""
+    from fractions import Fraction
+
+    o = (
+        spark.read.parquet(f"{SF_001}/orders.parquet")
+        .select("o_custkey", "o_orderstatus")
+        .toPandas()
+    )
+    grp = o.groupby("o_custkey").agg(
+        n=("o_orderstatus", "size"),
+        c=("o_orderstatus", lambda s: (s == "F").sum()),
+    )
+    expect = {}
+    for k in (1, 5, 10):
+        ppms = []
+        for n, c in zip(grp.n, grp.c):
+            n, c = int(n), int(c)
+            if n < k:
+                continue
+            frac = Fraction(math.comb(n - c, k), math.comb(n, k))
+            # engine form: 1e6 - (1e6 * num) DIV den, truncating
+            ppms.append(1000000 - (1000000 * frac.numerator) // frac.denominator)
+        expect[k] = (len(ppms), sum(ppms), sum(ppms) // len(ppms))
+    got = {
+        int(r.k): (int(r.n_problems), int(r.sum_pass_ppm), int(r.mean_pass_ppm))
+        for r in REGISTRY["agg_pass_at_k"].fn(spark, SF_001).collect()
+    }
+    assert got == expect
+    # monotonicity: pass@k non-decreasing in k for the shared problems
+    assert got[10][2] >= got[5][2] >= 0
+
+
+def test_sample_mixture_temperature_invariants(spark):
+    df = run(spark, "sample_mixture_temperature")
+    # the budget apportions exactly
+    assert df.quota_k_tokens.sum() == 100000
+    assert (df.quota_k_tokens >= 0).all()
+    # temperature flattens: smallest natural-share cell is boosted,
+    # largest is cut (alpha=0.5 strictly between 0 and 1)
+    small = df.loc[df.nat_ppm.idxmin()]
+    big = df.loc[df.nat_ppm.idxmax()]
+    assert small.boost_ppm > 0
+    assert big.boost_ppm < 0
+    # tempered shares ~ sqrt law: recompute blind from n_chars
+    import math as _m
+
+    wgt = df.n_chars.map(lambda x: _m.floor(_m.sqrt(float(x))))
+    tot = wgt.sum()
+    assert ((1000000 * wgt) // tot == df.temp_ppm).all()

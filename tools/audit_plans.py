@@ -20,6 +20,9 @@ from varda_spark.session import get_spark  # noqa: E402
 # queries where a single-partition global sort/window is the documented,
 # intentionally small-result shape (each docstring says why)
 GLOBAL_ONE_TASK_OK = {
+    "sample_mixture_temperature",  # totals + largest-remainder ranks
+                         # over the ~100-row lang x source mixture
+                         # board (taxonomy-bounded, documented)
     "qa_drift_ks",       # cumulative-ECDF + argmax windows over the
                          # $1000 price-BUCKET grid (~550 rows at any sf
                          # — value-domain bounded by construction)
@@ -235,6 +238,8 @@ BNLJ_OK = {
     "agg_tail_dependence",  # 1-row q90-threshold scalar onto the day table
     "agg_benford_chisq", # 1-row total scalar onto the 9-digit spine
     "qa_sequence_gaps",  # 1-row min/max/count summary onto the 3-row head
+    "agg_pass_at_k",     # 3-row k-spine broadcast onto the problem
+                         # table (n >= k is non-equi by definition)
     "stream_cascade",    # 8-row query micro-batch broadcast onto the
                          # corpus sign-scan; the radius predicate is
                          # non-equi BY DESIGN (stateless => streaming-
