@@ -108,6 +108,9 @@ HEADLINE = LEGACY20 + [
     # round-8 additions
     "sim_cascade_rerank",   # binary prefilter -> exact-dot rerank funnel
     "dedup_levenshtein",    # blocked threshold-DP edit-distance verify
+    # round-9 additions
+    "stream_cascade",       # streaming radius-prefilter retrieval cascade
+    "dedup_url_canon",      # URL canonicalization dedup (one scan, one agg)
 ]
 
 
