@@ -144,3 +144,50 @@ def countmin_cells(df: DataFrame, text: str = "text", rows: int = 4, width: int 
             % width
         ).alias("col"),
     )
+
+
+# URL canonicalization (dedup_url_canon): the two emitters below build the
+# SAME seven-step normalization for Spark (Java regex, $-backrefs, global
+# replace by default) and DuckDB (RE2, \-backrefs, needs the explicit 'g'
+# flag). Keeping them side by side is the parity contract: a step added to
+# one that is missing from the other is a bug by construction.
+_URL_STEPS = [
+    # (pattern, spark_replacement, duck_replacement)
+    (r"#.*$", "", ""),                                  # fragment
+    (r"^([A-Za-z]+)://", "https://", "https://"),       # scheme fold
+    (r"^(https://)[Ww][Ww][Ww]\.", "$1", r"\1"),        # www strip
+    (r"^(https://[^/:?#]+):(80|443)(/|\?|$)", "$1$3", r"\1\3"),  # default port
+    (r"&utm_[a-z]+=[^&#]*", "", ""),                    # non-leading utm
+    (r"\?utm_[a-z]+=[^&#]*&", "?", "?"),                # leading utm, more follow
+    (r"\?utm_[a-z]+=[^&#]*$", "", ""),                  # query was only utm
+    (r"/\?$|\?$|/$", "", ""),                           # trailing / and dangling ?
+]
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a raw URL: scheme+host lowercased, `www.` and
+    default ports stripped, `utm_*` params removed (any position),
+    fragment cut, trailing `/` / dangling `?` normalized. Pure codegen
+    string ops — no UDF."""
+    c = F.col(url) if isinstance(url, str) else url
+    for pat, rep, _ in _URL_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    host = F.lower(F.regexp_extract(c, r"^https://([^/?#]+)", 1))
+    tail = F.regexp_extract(c, r"^https://[^/?#]+(.*)$", 1)
+    return F.concat(F.lit("https://"), host, F.coalesce(tail, F.lit("")))
+
+
+def canonical_url_duckdb(expr: str) -> str:
+    """The identical normalization as a DuckDB SQL expression string (for
+    oracle twins)."""
+    c = expr
+    for pat, _, rep in _URL_STEPS:
+        # DuckDB standard '...' strings do NOT process backslash escapes:
+        # a regex backslash goes in as ONE backslash (doubling it would
+        # make RE2 match a literal backslash). Only quotes need escaping.
+        pat_sql = pat.replace("'", "''")
+        c = f"regexp_replace({c}, '{pat_sql}', '{rep}', 'g')"
+    return (
+        f"'https://' || lower(regexp_extract({c}, '^https://([^/?#]+)', 1))"
+        f" || COALESCE(regexp_extract({c}, '^https://[^/?#]+(.*)$', 1), '')"
+    )
