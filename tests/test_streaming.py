@@ -687,3 +687,40 @@ def test_cascade_stream_equals_batch_catalog_key(spark):
         spark, cascade_radius_stream(q_stream, corpus), "cascade_t", "complete"
     )
     assert {tuple(r) for r in got.collect()} == batch
+
+
+def test_cascade_stream_accumulates_across_micro_batches(spark):
+    """Queries arriving in TWO separate files (two micro-batches under
+    availableNow) must yield the same complete-mode result as the batch
+    key — per-query rows appear as their micro-batch lands and the
+    stream-static join re-scans the corpus per batch."""
+    from pyspark.sql import functions as F
+
+    from varda_spark.catalog import REGISTRY
+    from varda_spark.operators.similarity import sign_words64
+    from varda_spark.streaming.windows import cascade_radius_stream
+
+    batch = {tuple(r) for r in REGISTRY["stream_cascade"].fn(spark, SF).collect()}
+    corpus = sign_words64(read_table(spark, SF, "embeddings"))
+    queries = (
+        corpus.filter(F.expr("vec_id % 97 = 3")).orderBy("vec_id").limit(8)
+    ).collect()
+    assert len(queries) >= 2
+    qdir = tempfile.mkdtemp(prefix="cascade_2batch_")
+    schema = corpus.schema
+    first, second = queries[: len(queries) // 2], queries[len(queries) // 2:]
+    spark.createDataFrame(first, schema).write.mode("overwrite").parquet(
+        f"{qdir}/b0"
+    )
+    spark.createDataFrame(second, schema).write.mode("overwrite").parquet(
+        f"{qdir}/b1"
+    )
+    q_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{qdir}/b*")
+    )
+    got = _run_stream_to_memory(
+        spark, cascade_radius_stream(q_stream, corpus), "cascade_2b", "complete"
+    )
+    assert {tuple(r) for r in got.collect()} == batch
