@@ -97,6 +97,16 @@ def smoke_evidence() -> dict[str, str]:
     return evidence
 
 
+def catalog_smoke() -> dict[str, str]:
+    """key -> normalized sf0.1->sf1 ratio from the full-catalog smoke
+    artifact (tools/smoke_catalog.py), when committed."""
+    path = os.path.join(ROOT, "sweeps", "r9_catalog_smoke.json")
+    if not os.path.exists(path):
+        return {}
+    data = json.load(open(path))
+    return {k: f"cat:{r}" for k, r in data.get("ratios", {}).items()}
+
+
 def plan_shapes() -> dict[str, str]:
     """key -> 'joins / shuffles' summary from PLANS.md's generated table."""
     shapes: dict[str, str] = {}
@@ -116,6 +126,9 @@ def build_rows():
     hist = driver_history()
     sweep_name, sweep = latest_sweep()
     smoke = smoke_evidence()
+    cat = catalog_smoke()
+    for k, v in cat.items():
+        smoke.setdefault(k, v)
     shapes = plan_shapes()
     live = set(_DRIVER_PRIORITY[:50])
     staged10 = set(_DRIVER_PRIORITY_R10)
@@ -215,9 +228,11 @@ def main() -> int:
         "Columns: driver = latest driver sample (round + status) or window "
         "placement; local = verdict in the latest committed sweep; smoke = "
         "normalized sfN ratio where the key is named in a BASELINE.md smoke "
-        "row ('named' when measured without a recorded ratio, '—' when "
-        "covered only by batch/suite-level smokes); plan = joins/shuffles "
-        "from PLANS.md (bench headliners only).",
+        "row ('named' when measured without a recorded ratio; 'cat:R' = "
+        "normalized sf0.1→sf1 ratio from the full-catalog smoke artifact "
+        "sweeps/r9_catalog_smoke.json; '—' when covered only by batch/"
+        "suite-level smokes); plan = joins/shuffles from PLANS.md (bench "
+        "headliners only).",
         "",
         "| key | twin | driver | local | smoke | plan |",
         "|---|---|---|---|---|---|",
