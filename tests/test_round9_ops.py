@@ -222,3 +222,18 @@ def test_sample_mixture_temperature_invariants(spark):
     wgt = df.n_chars.map(lambda x: _m.floor(_m.sqrt(float(x))))
     tot = wgt.sum()
     assert ((1000000 * wgt) // tot == df.temp_ppm).all()
+
+
+def test_embedding_fixture_dimension_is_64():
+    """~20 oracle twins hardcode the 64-dim bound (range(1, 65) dot
+    products, the 32+32 sign-word split); if a future fixture changes the
+    embedding dimension they would silently diverge from their Spark
+    twins, so the assumption must fail LOUDLY here instead (ADVICE r8)."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        lens = duckdb.sql(
+            f"SELECT DISTINCT len(embedding) FROM "
+            f"read_parquet('/root/testdata/sf{sf}/embeddings.parquet')"
+        ).fetchall()
+        assert lens == [(64,)], (sf, lens)
