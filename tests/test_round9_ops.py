@@ -237,3 +237,89 @@ def test_embedding_fixture_dimension_is_64():
             f"read_parquet('/root/testdata/sf{sf}/embeddings.parquet')"
         ).fetchall()
         assert lens == [(64,)], (sf, lens)
+
+
+def test_knn_intervals_sweep_equals_bruteforce_randomized(spark):
+    """The three-pool sweep must equal the brute-force (distance, key)
+    top-k on adversarial synthetic data: duplicated ends/begins (tie
+    groups), deep overlap pileups, points ON interval boundaries, empty
+    chromosomes, k larger than some pools."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from varda_spark.operators.interval import knn_intervals
+
+    rng = random.Random(7)
+    ivs, pts = [], []
+    for chrom in ("c0", "c1", "c2"):
+        for i in range(120):
+            b = rng.randrange(0, 500) * 2  # even -> frequent collisions
+            ln = rng.choice([0, 2, 4, 40, 200])
+            ivs.append((chrom, b, b + ln, rng.randrange(1, 10**6)))
+        for i in range(80):
+            # half the points sit exactly on an interval boundary
+            if rng.random() < 0.5 and ivs:
+                c, b, e, _ = rng.choice([v for v in ivs if v[0] == chrom])
+                pos = rng.choice([b, e])
+            else:
+                pos = rng.randrange(0, 1100)
+            pts.append((chrom, pos, len(pts)))
+    pts.append(("c_empty", 50, len(pts)))  # chromosome with no intervals
+
+    iv_df = spark.createDataFrame(ivs, ["chromosome", "begin", "end", "sample_key"])
+    pt_df = spark.createDataFrame(pts, ["chromosome", "position", "p_partkey"])
+
+    for k in (1, 3, 5):
+        got = {
+            (r.chromosome, r.position, r.p_partkey, r.k_rank): (r.nearest_key, r.distance)
+            for r in knn_intervals(pt_df, iv_df, k=k).collect()
+        }
+        expect = {}
+        for chrom, pos, pid in pts:
+            cands = sorted(
+                (max(b - pos, pos - e, 0), key)
+                for c, b, e, key in ivs
+                if c == chrom
+            )
+            for rank, (d, key) in enumerate(cands[:k], 1):
+                expect[(chrom, pos, pid, rank)] = (key, d)
+        assert got == expect, f"k={k}"
+
+
+def test_emb_prefix_recall_sampled_matches_numpy(spark):
+    """The sampled Matryoshka audit recomputed blind: per sampled query
+    (vec_id % 31 == 0), 16-dim top-1 vs full top-1 within the label
+    block, aggregated per label."""
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    q = np.floor(np.stack(emb.embedding.to_numpy()).astype(np.float64) * 10000).astype(np.int64)
+
+    per_label: dict[int, list[int]] = {}
+    panel = np.where(ids % 31 == 0)[0]
+    panel = panel[np.argsort(ids[panel])][:64]  # fixed-size panel
+    for qi in panel:
+        blk = np.where((labels == labels[qi]) & (ids != ids[qi]))[0]
+        if len(blk) == 0:
+            continue
+        d16 = q[blk, :16] @ q[qi, :16]
+        dfull = q[blk] @ q[qi]
+        b16 = blk[np.lexsort((ids[blk], -d16))[0]]
+        bf = blk[np.lexsort((ids[blk], -dfull))[0]]
+        per_label.setdefault(int(labels[qi]), []).append(int(b16 == bf))
+    expect = {
+        lab: (len(v), sum(v), (1000000 * sum(v)) // len(v))
+        for lab, v in per_label.items()
+    }
+    got = {
+        int(r.label): (int(r.n_queries), int(r.n_agree), int(r.recall_ppm))
+        for r in REGISTRY["emb_prefix_recall_sampled"].fn(spark, SF_001).collect()
+    }
+    assert got == expect
+    assert len(got) > 0

@@ -38,8 +38,13 @@ def assign_bin(begin: Column | str, end: Column | str) -> Column:
     """
     b = F.col(begin) if isinstance(begin, str) else begin
     e = F.col(end) if isinstance(end, str) else end
-    start0 = b - 1  # 0-based inclusive start
-    stop0 = e - 1  # 0-based inclusive last base
+    # clamp to the 0-based origin: begin=0 (or a 0-based caller) would
+    # otherwise shift a NEGATIVE start (arithmetic shiftright(-1) = -1),
+    # land in a bogus bin, and SILENTLY drop every match (found by the
+    # round-9 knn_intervals randomized test). Identity for all in-domain
+    # (1-based, begin >= 1) inputs, so existing bins are unchanged.
+    start0 = F.greatest(b - 1, F.lit(0))  # 0-based inclusive start
+    stop0 = F.greatest(e - 1, F.lit(0))  # 0-based inclusive last base
     expr = F.lit(None).cast("int")
     # build from coarsest to finest so the finest matching level wins
     for shift, offset in reversed(_LEVELS):
@@ -51,7 +56,7 @@ def assign_bin(begin: Column | str, end: Column | str) -> Column:
 def point_bins(pos: Column | str) -> Column:
     """Array of the 5 bins whose intervals could contain 1-based point pos."""
     p = F.col(pos) if isinstance(pos, str) else pos
-    p0 = p - 1
+    p0 = F.greatest(p - 1, F.lit(0))  # same origin clamp as assign_bin
     return F.array(
         *[(F.lit(offset) + F.shiftright(p0, shift).cast("int")) for shift, offset in _LEVELS]
     )
@@ -61,7 +66,9 @@ def range_bins(begin: Column | str, end: Column | str) -> Column:
     """Array of all bins overlapping closed interval [begin,end] (flattened)."""
     b = F.col(begin) if isinstance(begin, str) else begin
     e = F.col(end) if isinstance(end, str) else end
-    b0, e0 = b - 1, e - 1
+    # same origin clamp as assign_bin
+    b0 = F.greatest(b - 1, F.lit(0))
+    e0 = F.greatest(e - 1, F.lit(0))
     per_level = [
         F.sequence(
             F.lit(offset) + F.shiftright(b0, shift).cast("int"),
