@@ -92,8 +92,11 @@ def smoke_evidence() -> dict[str, str]:
         for key in REGISTRY:
             if key not in line:
                 continue
-            m = re.search(rf"\b{re.escape(key)}\b\s+\*{{0,2}}(\d+\.\d+)", line)
-            evidence.setdefault(key, m.group(1) if m else "named")
+            hits = re.findall(rf"\b{re.escape(key)}\b\s+\*{{0,2}}(\d+\.\d+)", line)
+            # later rows (and later mentions within a row) overwrite:
+            # BASELINE.md is append-only, so the last measurement naming
+            # a key is its most recent one
+            evidence[key] = hits[-1] if hits else evidence.get(key, "named")
     return evidence
 
 
