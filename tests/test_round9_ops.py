@@ -323,3 +323,35 @@ def test_emb_prefix_recall_sampled_matches_numpy(spark):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_emb_pair_dist_hist_sampled_matches_numpy(spark):
+    """The anchor-conditional decile histogram recomputed blind over the
+    fixed 64-vector panel."""
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    q = np.floor(np.stack(emb.embedding.to_numpy()).astype(np.float64) * 1000).astype(np.int64)
+    n2 = (q * q).sum(axis=1)
+
+    panel = np.where(ids % 31 == 0)[0]
+    panel = panel[np.argsort(ids[panel])][:64]
+    hist: dict[tuple[int, int], int] = {}
+    for ai in panel:
+        blk = np.where((labels == labels[ai]) & (ids != ids[ai]))[0]
+        for bi in blk:
+            dq = int(q[ai] @ q[bi])
+            dec = int(np.floor(10.0 * (1.0 - dq / np.sqrt(float(n2[ai] * n2[bi])))))
+            k = (int(labels[ai]), dec)
+            hist[k] = hist.get(k, 0) + 1
+    got = {
+        (int(r.label), int(r.dist_decile)): int(r.n)
+        for r in REGISTRY["emb_pair_dist_hist_sampled"].fn(spark, SF_001).collect()
+    }
+    assert got == hist
+    assert len(got) > 0
