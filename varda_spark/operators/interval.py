@@ -19,10 +19,24 @@ from pyspark.sql import DataFrame, functions as F
 from varda_spark.operators.binning import point_bins, range_bins, with_bin
 
 
+# Cap for choosing the BNLJ-broadcast strategy, deliberately far below
+# autoBroadcastJoinThreshold: a broadcast NESTED-LOOP join compares every
+# point row against EVERY broadcast interval (no hash index on a range
+# predicate), so its cost is O(points × intervals) no matter how cheaply
+# the intervals ship. "Fits in the broadcast" is the wrong test — at sf5
+# Catalyst estimated a 50k-row interval side at 414 KB, and the resulting
+# nested loop read 245 s (round-9 sf5 smoke). 64 KB ≈ ~8k interval rows
+# keeps the per-point loop comparable to the binned path's per-point
+# candidate count while preserving the measured sf0.1 broadcast win
+# (0.4 s vs 1.4 s binned on a ~1k-row side).
+_BNLJ_BROADCAST_CAP = 64 * 1024
+
+
 def _fits_broadcast(df: DataFrame) -> bool:
     """True iff Catalyst's optimized-plan size estimate for ``df`` (the
-    whole row ships in the broadcast) is within the session's
-    autoBroadcastJoinThreshold. Plan statistics only — no job runs."""
+    whole row ships in the broadcast) is within BOTH the session's
+    autoBroadcastJoinThreshold and the BNLJ work cap above. Plan
+    statistics only — no job runs."""
     spark = df.sparkSession
     try:
         thr = int(spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold())
@@ -30,6 +44,7 @@ def _fits_broadcast(df: DataFrame) -> bool:
         thr = 10 * 1024 * 1024
     if thr <= 0:  # broadcast disabled session-wide → honor it
         return False
+    thr = min(thr, _BNLJ_BROADCAST_CAP)
     size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     return 0 <= size <= thr
 
@@ -362,7 +377,10 @@ def knn_intervals(
         .join(iv_r, ["chromosome", "rk"])
         .filter(F.col("begin") > F.col("position"))
     )
-    ov = interval_join(pts, iv)
+    # binned FORCED (the nearest_interval precedent): the overlap pool's
+    # point side is the full point table, so the BNLJ-broadcast shortcut
+    # is never the right plan here regardless of interval-side size
+    ov = interval_join(pts, iv, strategy="binned")
     wov = Window.partitionBy("chromosome", "position", point_key).orderBy(
         interval_key
     )
