@@ -355,3 +355,60 @@ def test_emb_pair_dist_hist_sampled_matches_numpy(spark):
     }
     assert got == hist
     assert len(got) > 0
+
+
+def test_interval_joins_bruteforce_at_bin_boundaries(spark):
+    """Adversarial randomized check of BOTH binned join kernels against
+    brute force, with coordinates clustered at the UCSC level boundaries
+    (128kb/1Mb/8Mb edges ± 2) where a binning off-by-one would live, plus
+    zero-length intervals, level-spanning giants, and begin at the
+    1-based origin."""
+    import random
+
+    from varda_spark.operators.interval import interval_join, range_overlap_join
+
+    rng = random.Random(11)
+    edges = [1, 2, 131072, 131073, 1048576, 8388608]
+
+    def coord():
+        if rng.random() < 0.5:
+            return max(1, rng.choice(edges) + rng.randint(-2, 2))
+        return rng.randint(1, 2_000_000)
+
+    ivs = []
+    for i in range(250):
+        b = coord()
+        ln = rng.choice([0, 1, 2, 1000, 200_000, 2_000_000])
+        ivs.append(("c0", b, b + ln, i))
+    pts = [("c0", coord(), j) for j in range(250)]
+
+    iv_df = spark.createDataFrame(ivs, ["chromosome", "begin", "end", "sample_key"])
+    pt_df = spark.createDataFrame(pts, ["chromosome", "position", "p_partkey"])
+
+    got_pt = {
+        (r.position, r.p_partkey, r.sample_key)
+        for r in interval_join(pt_df, iv_df, strategy="binned").collect()
+    }
+    want_pt = {
+        (p, pid, key)
+        for _, p, pid in pts
+        for _, b, e, key in ivs
+        if b <= p <= e
+    }
+    assert got_pt == want_pt
+
+    left = [("c0", b, b + ln, 1000 + i) for i, (b, ln) in enumerate(
+        (coord(), rng.choice([0, 5, 50_000])) for _ in range(200)
+    )]
+    l_df = spark.createDataFrame(left, ["chromosome", "begin", "end", "lid"])
+    got_ov = {
+        (r.lid, r.sample_key)
+        for r in range_overlap_join(l_df, iv_df).collect()
+    }
+    want_ov = {
+        (lid, key)
+        for _, lb, le, lid in left
+        for _, rb, re_, key in ivs
+        if lb <= re_ and le >= rb
+    }
+    assert got_ov == want_ov
