@@ -1,7 +1,10 @@
 """tools/ledger.py is the round-10 close-out artifact generator — pin its
 invariants so the verification round can trust it: every REGISTRY key gets
-exactly one row, placement buckets are disjoint-and-exhaustive, and the
-driver history honors the certified-vs-red distinction check_rotation uses.
+exactly one row, placement buckets are disjoint-and-exhaustive, the driver
+history honors the certified-vs-red distinction check_rotation uses, sweep
+FAILURE lines parse into verdicts (ADVICE r9 medium: they used to be
+silently dropped, overstating certification), and the latest-sweep choice
+is deterministic by round number, not file mtime.
 """
 
 import sys
@@ -15,7 +18,7 @@ from varda_spark.catalog import REGISTRY  # noqa: E402
 
 
 def test_ledger_rows_cover_registry_exactly():
-    rows, hist, sweep_name, sweep = ledger.build_rows()
+    rows, hist, sweep_name, sweep, smoke_name = ledger.build_rows()
     assert [r["key"] for r in rows] == list(REGISTRY)
     for r in rows:
         assert r["twin"] in ("oracle", "rows-only")
@@ -35,7 +38,7 @@ def test_ledger_placement_buckets_are_sound():
         + len(s["driver_red_latest"])
         == s["total"]
     )
-    # the round-9 state: nothing unstaged, nothing red
+    # the round-10 state: nothing unstaged, nothing red
     assert s["unstaged"] == []
     assert s["driver_red_latest"] == []
 
@@ -48,3 +51,64 @@ def test_driver_history_redness_rules():
     assert missing == []
     # statuses are from the closed vocabulary
     assert {s for _, s in hist.values()} <= {"green", "hash-fail", "err"}
+
+
+def test_sweep_parser_captures_failures(tmp_path, monkeypatch):
+    """A synthetic log with every check_oracle failure shape must parse
+    into verdicts — not vanish as '—' (the ADVICE r9 medium)."""
+    sweeps = tmp_path / "sweeps"
+    sweeps.mkdir()
+    keys = list(REGISTRY)[:6]
+    log = sweeps / "r99_open.log"
+    log.write_text(
+        f"{keys[0]:24s} EXACT  rows=16  (1.0s)\n"
+        f"{keys[1]:24s} FAIL MISMATCH  rows=3  (1.0s)\n"
+        f"{keys[2]:24s} SPARK-ERROR AnalysisException: boom\n"
+        f"{keys[3]:24s} DUCK-ERROR BinderException: boom\n"
+        f"{keys[4]:24s} FAIL ARRAY-OUTPUT cols=['e'] (driver cannot canonicalize)\n"
+        f"{keys[5]:24s} rows-only   rows=7  (0.2s)\n"
+        "26/08/15 20:00:00 WARN WindowExec: noise line with } brace\n"
+    )
+    monkeypatch.setattr(ledger, "ROOT", str(tmp_path))
+    name, verdicts = ledger.latest_sweep()
+    assert name == "r99_open.log"
+    assert verdicts[keys[0]] == "EXACT"
+    assert verdicts[keys[1]] == "FAIL MISMATCH"
+    assert verdicts[keys[2]] == "SPARK-ERROR"
+    assert verdicts[keys[3]] == "DUCK-ERROR"
+    assert verdicts[keys[4]] == "FAIL ARRAY-OUTPUT"
+    assert verdicts[keys[5]] == "rows-only"
+    # and the summary surfaces the failures as a separate count
+    rows = [
+        {"key": k, "twin": "oracle", "driver": "r1 green",
+         "local": verdicts.get(k, "—"), "smoke": "—", "plan": "—"}
+        for k in keys
+    ]
+    s = ledger.summary(rows, {k: (1, "green") for k in keys}, name, verdicts)
+    assert s["sweep_failed"] == sorted(keys[1:5])
+    assert s["sweep_exact"] == 1
+    assert s["sweep_checked"] == 5  # rows-only excluded from the hash denominator
+
+
+def test_latest_sweep_order_is_round_then_suffix_not_mtime(tmp_path, monkeypatch):
+    """On a fresh clone all logs share mtime; the pick must still be the
+    highest round's latest suffix (ADVICE r9 low)."""
+    sweeps = tmp_path / "sweeps"
+    sweeps.mkdir()
+    key = list(REGISTRY)[0]
+    for name, verdict in [
+        ("r9_final.log", "EXACT"),
+        ("r10_open.log", "EXACT"),
+        ("r10_close.log", "FAIL MISMATCH"),
+        ("r2_open.log", "EXACT"),
+    ]:
+        (sweeps / name).write_text(f"{key:24s} {verdict}  rows=1  (0.1s)\n")
+    # identical mtimes for all
+    import os
+
+    for p in sweeps.iterdir():
+        os.utime(p, (1000000000, 1000000000))
+    monkeypatch.setattr(ledger, "ROOT", str(tmp_path))
+    name, verdicts = ledger.latest_sweep()
+    assert name == "r10_close.log"
+    assert verdicts[key] == "FAIL MISMATCH"

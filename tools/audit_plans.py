@@ -110,6 +110,8 @@ GLOBAL_ONE_TASK_OK = {
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
 # scalar/tiny build sides (documented in their docstrings)
 BNLJ_OK = {
+    "dedup_ccnet_sharding",  # 1-row corpus-total scalar broadcast onto the
+                         # 16-row shard table for the load_ppm quotient
     "freq_variant",      # 1-row unconditional-pool scalar
     "freq_zygosity",     # same 1-row scalar as freq_variant
     "freq_selected",     # same 1-row scalar as freq_variant

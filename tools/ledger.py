@@ -60,54 +60,68 @@ def driver_history() -> dict[str, tuple[int, str]]:
     return hist
 
 
-def latest_sweep() -> tuple[str, dict[str, str]]:
-    """(log name, key -> verdict) from the newest sweeps/*.log."""
-    logs = sorted(
-        glob.glob(os.path.join(ROOT, "sweeps", "*.log")), key=os.path.getmtime
+_SWEEP_SUFFIX_ORDER = {"open": 0, "mid": 1, "close": 2, "final": 3}
+
+
+def _sweep_sort_key(path: str) -> tuple:
+    """Deterministic 'latest sweep' order: round number from the filename,
+    then within-round suffix (open < mid < close < final), mtime only as a
+    tiebreak — on a fresh clone all logs share checkout mtime, so mtime
+    alone picked an arbitrary r9 log (ADVICE r9, tools/ledger.py:66)."""
+    name = os.path.basename(path)
+    m = re.match(r"r(\d+)_(\w+)\.log$", name)
+    if not m:
+        return (-1, -1, os.path.getmtime(path))
+    return (
+        int(m.group(1)),
+        _SWEEP_SUFFIX_ORDER.get(m.group(2), 9),
+        os.path.getmtime(path),
     )
+
+
+def latest_sweep() -> tuple[str, dict[str, str]]:
+    """(log name, key -> verdict) from the latest sweeps/*.log.
+
+    The verdict alternation also captures failures — check_oracle prints
+    them as 'FAIL <verdict>', 'FAIL ARRAY-OUTPUT', 'SPARK-ERROR …', or
+    'DUCK-ERROR …' (ADVICE r9 medium: these used to be silently dropped,
+    so a failed key read '—'/never-checked and vanished from the summary
+    denominator, overstating certification)."""
+    logs = sorted(glob.glob(os.path.join(ROOT, "sweeps", "*.log")), key=_sweep_sort_key)
     if not logs:
         return "", {}
     verdicts: dict[str, str] = {}
-    pat = re.compile(r"^(\w+)\s+(EXACT|APPROX|DTYPE\S*|MISMATCH|VALUES|ROWS\S*|ERR\S*)\b")
+    pat = re.compile(
+        r"^(\w+)\s+(EXACT|APPROX|FAIL\s+\S+|SPARK-ERROR|DUCK-ERROR|rows-only"
+        r"|DTYPE\S*|MISMATCH|VALUES|ROWS\S*|ERR\S*)"
+    )
     for line in open(logs[-1]):
         m = pat.match(line.strip())
         if m and m.group(1) in REGISTRY:
-            verdicts[m.group(1)] = m.group(2)
+            verdicts[m.group(1)] = re.sub(r"\s+", " ", m.group(2))
     return os.path.basename(logs[-1]), verdicts
 
 
-def smoke_evidence() -> dict[str, str]:
-    """key -> smoke note parsed from BASELINE.md measured-smoke rows.
+def catalog_smoke() -> tuple[str, dict[str, str]]:
+    """(artifact name, key -> normalized sf0.1->sf1 ratio) from the LATEST
+    full-catalog smoke artifact (tools/smoke_catalog.py).
 
-    A key NAMED inside a '...sfA→sfB smoke' table row gets its normalized
-    ratio when one is attached ('<key> 0.38'); otherwise 'named'. Keys in
-    bench.py's HEADLINE set are additionally covered by the suite-wide
-    --sf scaling check every round.
-    """
-    evidence: dict[str, str] = {}
-    text = open(os.path.join(ROOT, "BASELINE.md")).read()
-    for line in text.splitlines():
-        if "smoke" not in line or not line.startswith("|"):
-            continue
-        for key in REGISTRY:
-            if key not in line:
-                continue
-            hits = re.findall(rf"\b{re.escape(key)}\b\s+\*{{0,2}}(\d+\.\d+)", line)
-            # later rows (and later mentions within a row) overwrite:
-            # BASELINE.md is append-only, so the last measurement naming
-            # a key is its most recent one
-            evidence[key] = hits[-1] if hits else evidence.get(key, "named")
-    return evidence
-
-
-def catalog_smoke() -> dict[str, str]:
-    """key -> normalized sf0.1->sf1 ratio from the full-catalog smoke
-    artifact (tools/smoke_catalog.py), when committed."""
-    path = os.path.join(ROOT, "sweeps", "r9_catalog_smoke.json")
-    if not os.path.exists(path):
-        return {}
-    data = json.load(open(path))
-    return {k: f"cat:{r}" for k, r in data.get("ratios", {}).items()}
+    This is the ONLY smoke source: it measures every key with one method.
+    The previous BASELINE.md free-text parser grabbed the first number
+    after a key name, quoting ABSOLUTE sf5 seconds as if they were ratios
+    for ~6 keys (graph_rich_club '26.8' vs true 0.29 — VERDICT r9,
+    What's wrong #1), so free-text parsing is dropped entirely."""
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, "sweeps", "r*_catalog_smoke.json")),
+        key=lambda p: int(re.search(r"r(\d+)_", os.path.basename(p)).group(1)),
+    )
+    if not paths:
+        return "", {}
+    data = json.load(open(paths[-1]))
+    return (
+        os.path.basename(paths[-1]),
+        {k: f"cat:{r}" for k, r in data.get("ratios", {}).items()},
+    )
 
 
 def plan_shapes() -> dict[str, str]:
@@ -128,10 +142,7 @@ def plan_shapes() -> dict[str, str]:
 def build_rows():
     hist = driver_history()
     sweep_name, sweep = latest_sweep()
-    smoke = smoke_evidence()
-    cat = catalog_smoke()
-    for k, v in cat.items():
-        smoke.setdefault(k, v)
+    smoke_name, smoke = catalog_smoke()
     shapes = plan_shapes()
     live = set(_DRIVER_PRIORITY[:50])
     staged10 = set(_DRIVER_PRIORITY_R10)
@@ -159,7 +170,7 @@ def build_rows():
                 "plan": shapes.get(key, "—"),
             }
         )
-    return rows, hist, sweep_name, sweep
+    return rows, hist, sweep_name, sweep, smoke_name
 
 
 def summary(rows, hist, sweep_name, sweep) -> dict:
@@ -172,6 +183,12 @@ def summary(rows, hist, sweep_name, sweep) -> dict:
     staged = [r["key"] for r in rows if r["driver"] == "staged R10"]
     unstaged = [r["key"] for r in rows if r["driver"] == "UNSTAGED"]
     exact = sum(1 for r in rows if r["local"] == "EXACT")
+    rows_only_sweep = sum(1 for r in rows if r["local"] == "rows-only")
+    sweep_failed = sorted(
+        r["key"]
+        for r in rows
+        if r["local"] not in ("EXACT", "APPROX", "rows-only", "—")
+    )
     return {
         "total": total,
         "twinned": twinned,
@@ -184,7 +201,13 @@ def summary(rows, hist, sweep_name, sweep) -> dict:
         "unstaged": sorted(unstaged),
         "sweep": sweep_name,
         "sweep_exact": exact,
-        "sweep_checked": len([r for r in rows if r["local"] != "—"]),
+        # denominator for the EXACT ratio: twinned keys the sweep verdicted
+        # (rows-only lines are recorded but have no hash to match)
+        "sweep_checked": len(
+            [r for r in rows if r["local"] not in ("—", "rows-only")]
+        ),
+        "sweep_rows_only": rows_only_sweep,
+        "sweep_failed": sweep_failed,
     }
 
 
@@ -201,16 +224,28 @@ def readme_paragraph(s: dict) -> str:
         f"driver hash-checks a rotating window of 50 keys per round: rounds 1–{s['latest_round']}\n"
         f"certified {s['driver_certified']} distinct keys, "
         f"{'all green on their latest sample' if not s['driver_red_latest'] else 'red on latest: ' + ', '.join(s['driver_red_latest'])};\n"
-        f"the live window holds {s['live_window']} never-sampled keys and the final\n"
-        f"{s['staged_r10']} are staged in `_DRIVER_PRIORITY_R10` (catalog.py). Latest committed\n"
-        f"full sweep: {s['sweep_exact']}/{s['sweep_checked']} EXACT (`sweeps/{s['sweep']}`). This paragraph is\n"
+        + (
+            f"the live window holds {s['live_window']} never-sampled keys — the FINAL\n"
+            f"certification tail; nothing is left to stage. Latest committed\n"
+            if s["staged_r10"] == 0 and s["live_window"] > 0
+            else (
+                "every twinned key has been driver-sampled; the rotation is complete. Latest committed\n"
+                if s["staged_r10"] == 0
+                else f"the live window holds {s['live_window']} never-sampled keys and the final\n"
+                f"{s['staged_r10']} are staged in `_DRIVER_PRIORITY_R10` (catalog.py). Latest committed\n"
+            )
+        )
+        + f"full sweep: {s['sweep_exact']}/{s['sweep_checked']} EXACT"
+        f"{'' if not s['sweep_failed'] else ' — FAILURES: ' + ', '.join(s['sweep_failed'])}"
+        f" (`sweeps/{s['sweep']}`). This paragraph is\n"
         f"generated by `tools/ledger.py --readme`; the full per-key table is `LEDGER.md`.\n"
     )
 
 
 def main() -> int:
-    rows, hist, sweep_name, sweep = build_rows()
+    rows, hist, sweep_name, sweep, smoke_name = build_rows()
     s = summary(rows, hist, sweep_name, sweep)
+    s["catalog_smoke"] = smoke_name
     lines = [
         "# LEDGER — per-key certification table (generated by tools/ledger.py)",
         "",
@@ -226,16 +261,21 @@ def main() -> int:
         f"{s['staged_r10']}; unstaged twinned tail: "
         f"{len(s['unstaged'])} {s['unstaged'] or ''}",
         f"- latest committed full sweep: {s['sweep_exact']}/{s['sweep_checked']} "
-        f"EXACT ({s['sweep']})",
+        f"EXACT ({s['sweep']}; {s['sweep_rows_only']} rows-only keys recorded "
+        f"without a hash verdict)"
+        + (
+            ""
+            if not s["sweep_failed"]
+            else f" — **SWEEP FAILURES: {', '.join(s['sweep_failed'])}**"
+        ),
         "",
         "Columns: driver = latest driver sample (round + status) or window "
-        "placement; local = verdict in the latest committed sweep; smoke = "
-        "normalized sfN ratio where the key is named in a BASELINE.md smoke "
-        "row ('named' when measured without a recorded ratio; 'cat:R' = "
-        "normalized sf0.1→sf1 ratio from the full-catalog smoke artifact "
-        "sweeps/r9_catalog_smoke.json; '—' when covered only by batch/"
-        "suite-level smokes); plan = joins/shuffles from PLANS.md (bench "
-        "headliners only).",
+        "placement; local = verdict in the latest committed sweep (failures "
+        "surface verbatim: 'FAIL <kind>', 'SPARK-ERROR', 'DUCK-ERROR'); "
+        "smoke = 'cat:R', the normalized sf0.1→sf1 wall ratio from the "
+        f"latest full-catalog smoke artifact sweeps/{smoke_name or '<none>'} "
+        "(R≈1 linear, R>2 super-linear; '—' = key added after that smoke "
+        "ran); plan = joins/shuffles from PLANS.md (bench headliners only).",
         "",
         "| key | twin | driver | local | smoke | plan |",
         "|---|---|---|---|---|---|",

@@ -35,11 +35,20 @@ def extract_queries(path: str) -> tuple[float | None, dict[str, float]]:
     if "queries" in data and data["queries"]:
         return data.get("sf"), data["queries"]
     tail = data.get("tail", "")
-    m = re.search(r'\{"metric": "headline_suite_wall".*\}', tail)
-    if not m:
-        return None, {}
-    inner = json.loads(m.group(0))
-    return inner.get("sf"), inner.get("queries", {})
+    # Parse line-wise: a greedy '.*\}' used to capture to the LAST '}' in
+    # the tail, so any trailing text containing '}' crashed the whole
+    # records build (ADVICE r9 low). Skip unparseable lines instead.
+    for line in tail.splitlines():
+        line = line.strip()
+        if not line.startswith('{"metric"'):
+            continue
+        try:
+            inner = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if inner.get("metric") == "headline_suite_wall":
+            return inner.get("sf"), inner.get("queries", {})
+    return None, {}
 
 
 def main() -> int:

@@ -14,15 +14,19 @@ Usage: python tools/smoke_catalog.py [out.json]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# Anchor on the repo root like the sibling tools (ledger.py,
+# make_bench_records.py) so the tool works from any cwd (ADVICE r9 low).
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 from varda_spark.catalog import REGISTRY  # noqa: E402
 from varda_spark.session import get_spark  # noqa: E402
 
-DIRS = {"0.1": "/root/testdata/sf0.1", "1": "scaledata/sf1"}
+DIRS = {"0.1": "/root/testdata/sf0.1", "1": os.path.join(ROOT, "scaledata", "sf1")}
 
 
 def main() -> None:
