@@ -111,6 +111,8 @@ HEADLINE = LEGACY20 + [
     # round-9 additions
     "stream_cascade",       # streaming radius-prefilter retrieval cascade
     "dedup_url_canon",      # URL canonicalization dedup (one scan, one agg)
+    # round-10 addition
+    "dedup_ccnet_sharding",  # hash-sharded dedup plan + shard-balance audit
 ]
 
 
