@@ -32,7 +32,7 @@ def test_ledger_placement_buckets_are_sound():
     assert (
         s["driver_certified"]
         + s["live_window"]
-        + s["staged_r10"]
+        + s["staged_next"]
         + s["rows_only"]
         + len(s["unstaged"])
         + len(s["driver_red_latest"])

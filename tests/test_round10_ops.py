@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 from varda_spark.catalog import REGISTRY
@@ -92,3 +93,251 @@ def test_dedup_ccnet_sharding_copies_colocate(spark):
     assert (got.chars_kept <= got.chars_in).all()
     dupe_free = got[got.n_dupes == 0]
     assert (dupe_free.chars_kept == dupe_free.chars_in).all()
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch B (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+
+
+def test_agg_bradley_terry_matches_pure_python(spark):
+    """Integer minorization recomputed with plain Python ints (no SQL,
+    no DataFrames): battles from orders, 8 rounds, ppm renormalization."""
+    from decimal import Decimal
+
+    o = _orders(spark)
+    models, iters, K = 8, 8, 10**12
+    wins: dict[int, int] = {}
+    cells: dict[tuple[int, int], int] = {}
+    for ck, price in zip(o.o_custkey, o.o_totalprice):
+        a = int(ck) % models
+        b = (a + 1 + (int(ck) // models) % (models - 1)) % models
+        # cents via the same DECIMAL(18,4) hop both engines use
+        cents = int(Decimal(repr(float(price))).quantize(Decimal("0.0001")) * 100)
+        w = a if cents % 2 == 0 else b
+        wins[w] = wins.get(w, 0) + 1
+        i, j = min(a, b), max(a, b)
+        cells[(i, j)] = cells.get((i, j), 0) + 1
+    battles = {m: 0 for m in range(models)}
+    for (i, j), n in cells.items():
+        battles[i] += n
+        battles[j] += n
+    p = {m: 10**6 for m in range(models)}
+    for _ in range(iters):
+        d = {m: 0 for m in range(models)}
+        for (i, j), n in cells.items():
+            d[i] += n * K // (p[i] + p[j])
+            d[j] += n * K // (p[i] + p[j])
+        raw = {m: wins.get(m, 0) * K // d[m] for m in range(models)}
+        tot = sum(raw.values())
+        p = {m: max(1, raw[m] * models * 10**6 // tot) for m in range(models)}
+    got = (
+        REGISTRY["agg_bradley_terry"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("model_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.model_id) == list(range(models))
+    assert list(got.p_ppm) == [p[m] for m in range(models)]
+    assert list(got.wins) == [wins.get(m, 0) for m in range(models)]
+    assert list(got.battles) == [battles[m] for m in range(models)]
+    # rank consistent with strength
+    byrank = got.sort_values("rank")
+    assert list(byrank.p_ppm) == sorted(got.p_ppm, reverse=True)
+    # normalization: strengths sum to ~8e6 (truncation loses < models ppm)
+    assert 8_000_000 - models <= got.p_ppm.sum() <= 8_000_000
+
+
+def _hyperplanes(tables, bits, dim):
+    # recomputed from hashlib directly — independent of the package helper
+    return np.array(
+        [
+            [
+                1
+                if int(
+                    __import__("hashlib")
+                    .md5(f"{t}|{i}".encode())
+                    .hexdigest()[:15],
+                    16,
+                )
+                % 2
+                == 0
+                else -1
+                for i in range(dim)
+            ]
+            for t in range(tables * bits)
+        ],
+        dtype=np.int64,
+    )
+
+
+def test_sim_lsh_multiprobe_matches_numpy(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = emb.vec_id.to_numpy()
+    q = np.floor(np.stack(emb.embedding.to_numpy()).astype(np.float64) * 1000).astype(
+        np.int64
+    )
+    n2 = (q * q).sum(axis=1)
+    hp = _hyperplanes(1, 8, 64)
+    signs = (q @ hp.T) >= 0  # (n, 8)
+    codes = (signs * (1 << np.arange(8))).sum(axis=1)
+    panel_idx = [k for k, v in enumerate(ids) if v % 29 == 0][:64]
+    # truth: exact quantized cosine >= 0.30
+    truth = set()
+    for k in panel_idx:
+        dq = q @ q[k]
+        with np.errstate(all="ignore"):
+            cos = np.floor(100.0 * dq / np.sqrt((n2[k] * n2).astype(np.float64)))
+        for m in np.nonzero((dq > 0) & (cos >= 30))[0]:
+            if ids[m] != ids[k]:
+                truth.add((ids[k], ids[m]))
+    # candidates with min probe depth
+    masks = [(0, 0)] + [(1 << i, 1) for i in range(8)] + [
+        ((1 << i) | (1 << j), 2) for i in range(8) for j in range(i + 1, 8)
+    ]
+    cand: dict[tuple[int, int], int] = {}
+    by_code: dict[int, list[int]] = {}
+    for m, c in enumerate(codes):
+        by_code.setdefault(int(c), []).append(m)
+    for k in panel_idx:
+        for mask, depth in masks:
+            for m in by_code.get(int(codes[k]) ^ mask, []):
+                if ids[m] == ids[k]:
+                    continue
+                key = (ids[k], ids[m])
+                cand[key] = min(cand.get(key, 9), depth)
+    got = (
+        REGISTRY["sim_lsh_multiprobe"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("depth")
+        .reset_index(drop=True)
+    )
+    for D in (0, 1, 2):
+        nc = sum(1 for d in cand.values() if d <= D)
+        nf = sum(1 for k, d in cand.items() if d <= D and k in truth)
+        row = got[got.depth == D].iloc[0]
+        assert row.n_candidates == nc
+        assert row.n_found == nf
+        assert row.n_true == len(truth)
+        assert row.recall_ppm == (0 if not truth else 10**6 * nf // len(truth))
+    # recall must be monotone in depth
+    assert list(got.recall_ppm) == sorted(got.recall_ppm)
+
+
+def test_dedup_band_advisor_matches_pure_python(spark):
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    sigs = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        w = text.split(" ")
+        shing = [
+            " ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))
+        ]
+        sigs[int(doc_id)] = [
+            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shing)
+            for i in range(8)
+        ]
+    # pairs agreeing on >= 1 position, with match mask
+    by_pos: dict[tuple[int, str], list[int]] = {}
+    for d, sg in sigs.items():
+        for i, s in enumerate(sg):
+            by_pos.setdefault((i, s), []).append(d)
+    masks: dict[tuple[int, int], int] = {}
+    for (i, _s), ds in by_pos.items():
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                a, b = min(ds[x], ds[y]), max(ds[x], ds[y])
+                masks[(a, b)] = masks.get((a, b), 0) | (1 << i)
+    def scurve(k, r, b):
+        s = k * 125000
+        e = s
+        for _ in range({1: 0, 2: 1, 4: 2, 8: 3}[r]):
+            e = e * e // 10**6
+        qv = 10**6 - e
+        for _ in range({1: 0, 2: 1, 4: 2, 8: 3}[b]):
+            qv = qv * qv // 10**6
+        return 10**6 - qv
+    def band_hit(m, r, b):
+        for band in range(b):
+            mb = sum(1 << (band * r + i) for i in range(r))
+            if (m & mb) == mb:
+                return True
+        return False
+    got = REGISTRY["dedup_band_advisor"].fn(spark, SF_001).toPandas()
+    for r, b in [(1, 8), (2, 4), (4, 2), (8, 1)]:
+        sub = got[(got.config_r == r) & (got.config_b == b)]
+        for _, row in sub.iterrows():
+            k = int(row.k_match)
+            want_pairs = [m for m in masks.values() if bin(m).count("1") == k]
+            assert row.n_pairs == len(want_pairs)
+            assert row.n_detected == sum(band_hit(m, r, b) for m in want_pairs)
+            assert row.p_detect_ppm == scurve(k, r, b)
+            assert row.expected_milli == len(want_pairs) * scurve(k, r, b) // 1000
+    # exactness invariants: (8,1) detects exactly the k=8 pairs; (1,8)
+    # detects every pool pair
+    d81 = got[(got.config_r == 8) & (got.config_b == 1)]
+    assert (d81[d81.k_match < 8].n_detected == 0).all()
+    d18 = got[(got.config_r == 1) & (got.config_b == 8)]
+    assert (d18.n_detected == d18.n_pairs).all()
+
+
+def test_dedup_bloom_prefilter_matches_pure_python(spark):
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    def fp(text):
+        toks = text.strip().lower().split(" ")[:2]
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+    def positions(f):
+        return [
+            int(hashlib.md5(f"{j}|{f}".encode()).hexdigest()[:8], 16) % 4096
+            for j in ("0", "1", "2")
+        ]
+    ref_fps, bloom = set(), set()
+    inc = []
+    for doc_id, text, source in zip(docs.doc_id, docs.text, docs.source):
+        f = fp(text)
+        if doc_id % 3 != 0:
+            ref_fps.add(f)
+            bloom.update(positions(f))
+        else:
+            inc.append((source, f))
+    per: dict[str, list[int]] = {}
+    for source, f in inc:
+        claimed = all(p in bloom for p in positions(f))
+        true = f in ref_fps
+        s = per.setdefault(source, [0, 0, 0, 0])
+        s[0] += 1
+        s[1] += claimed
+        s[2] += true
+        s[3] += claimed and not true
+        # bloom property: NO false negatives
+        assert claimed or not true
+    got = (
+        REGISTRY["dedup_bloom_prefilter"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        nd, nc, nt, nf = per[row.source]
+        assert (row.n_docs, row.n_claimed, row.n_true_dup, row.n_false_pos) == (
+            nd, nc, nt, nf,
+        )
+        clean = nd - nt
+        assert row.fpr_ppm == (0 if clean == 0 else 10**6 * nf // clean)
+        assert row.bloom_fill_ppm == 10**6 * len(bloom) // 4096

@@ -20,6 +20,8 @@ from varda_spark.session import get_spark  # noqa: E402
 # queries where a single-partition global sort/window is the documented,
 # intentionally small-result shape (each docstring says why)
 GLOBAL_ONE_TASK_OK = {
+    "agg_bradley_terry",  # final rank over the m=8-row model strength
+                         # table (model-count bounded, documented)
     "sample_mixture_temperature",  # totals + largest-remainder ranks
                          # over the ~100-row lang x source mixture
                          # board (taxonomy-bounded, documented)
@@ -112,6 +114,11 @@ GLOBAL_ONE_TASK_OK = {
 BNLJ_OK = {
     "dedup_ccnet_sharding",  # 1-row corpus-total scalar broadcast onto the
                          # 16-row shard table for the load_ppm quotient
+    "sim_lsh_multiprobe",  # 64-row fixed panel broadcast onto the corpus
+                         # for the exact-cosine truth pass, plus the
+                         # 1-row totals x 3-row depth spine roll-up
+    "dedup_bloom_prefilter",  # 1-row bloom fill-factor scalar broadcast
+                         # onto the 20-row per-source audit table
     "freq_variant",      # 1-row unconditional-pool scalar
     "freq_zygosity",     # same 1-row scalar as freq_variant
     "freq_selected",     # same 1-row scalar as freq_variant

@@ -33,6 +33,10 @@ try:
     from varda_spark.catalog import _DRIVER_PRIORITY_R10  # noqa: E402
 except ImportError:  # post-r10 checkouts: the staging list was promoted
     _DRIVER_PRIORITY_R10 = []
+try:
+    from varda_spark.catalog import _DRIVER_PRIORITY_R11  # noqa: E402
+except ImportError:  # pre-r10-close checkouts
+    _DRIVER_PRIORITY_R11 = []
 
 
 def driver_history() -> dict[str, tuple[int, str]]:
@@ -145,7 +149,7 @@ def build_rows():
     smoke_name, smoke = catalog_smoke()
     shapes = plan_shapes()
     live = set(_DRIVER_PRIORITY[:50])
-    staged10 = set(_DRIVER_PRIORITY_R10)
+    staged10 = set(_DRIVER_PRIORITY_R10) | set(_DRIVER_PRIORITY_R11)
     rows = []
     for key, spec in REGISTRY.items():
         twinned = spec.sql is not None
@@ -155,7 +159,7 @@ def build_rows():
         elif key in live:
             driver = "live window"
         elif key in staged10:
-            driver = "staged R10"
+            driver = "staged next"
         elif not twinned:
             driver = "rows-only (no window)"
         else:
@@ -180,7 +184,7 @@ def summary(rows, hist, sweep_name, sweep) -> dict:
     red = {k for k, (rnd, s) in hist.items() if s != "green" and k in REGISTRY}
     latest_round = max((rnd for rnd, _ in hist.values()), default=0)
     live = [r["key"] for r in rows if r["driver"] == "live window"]
-    staged = [r["key"] for r in rows if r["driver"] == "staged R10"]
+    staged = [r["key"] for r in rows if r["driver"] == "staged next"]
     unstaged = [r["key"] for r in rows if r["driver"] == "UNSTAGED"]
     exact = sum(1 for r in rows if r["local"] == "EXACT")
     rows_only_sweep = sum(1 for r in rows if r["local"] == "rows-only")
@@ -197,7 +201,7 @@ def summary(rows, hist, sweep_name, sweep) -> dict:
         "driver_red_latest": sorted(red),
         "latest_round": latest_round,
         "live_window": len(live),
-        "staged_r10": len(staged),
+        "staged_next": len(staged),
         "unstaged": sorted(unstaged),
         "sweep": sweep_name,
         "sweep_exact": exact,
@@ -227,12 +231,12 @@ def readme_paragraph(s: dict) -> str:
         + (
             f"the live window holds {s['live_window']} never-sampled keys — the FINAL\n"
             f"certification tail; nothing is left to stage. Latest committed\n"
-            if s["staged_r10"] == 0 and s["live_window"] > 0
+            if s["staged_next"] == 0 and s["live_window"] > 0
             else (
                 "every twinned key has been driver-sampled; the rotation is complete. Latest committed\n"
-                if s["staged_r10"] == 0
+                if s["staged_next"] == 0
                 else f"the live window holds {s['live_window']} never-sampled keys and the final\n"
-                f"{s['staged_r10']} are staged in `_DRIVER_PRIORITY_R10` (catalog.py). Latest committed\n"
+                f"{s['staged_next']} are staged for the next rotation window (`_DRIVER_PRIORITY_R11`, catalog.py). Latest committed\n"
             )
         )
         + f"full sweep: {s['sweep_exact']}/{s['sweep_checked']} EXACT"
@@ -257,8 +261,8 @@ def main() -> int:
             "" if not s["driver_red_latest"]
             else f" — RED on latest sample: {', '.join(s['driver_red_latest'])}"
         ),
-        f"- live driver window: {s['live_window']} keys; staged R10: "
-        f"{s['staged_r10']}; unstaged twinned tail: "
+        f"- live driver window: {s['live_window']} keys; staged next window: "
+        f"{s['staged_next']}; unstaged twinned tail: "
         f"{len(s['unstaged'])} {s['unstaged'] or ''}",
         f"- latest committed full sweep: {s['sweep_exact']}/{s['sweep_checked']} "
         f"EXACT ({s['sweep']}; {s['sweep_rows_only']} rows-only keys recorded "
