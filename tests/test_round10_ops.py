@@ -341,3 +341,109 @@ def test_dedup_bloom_prefilter_matches_pure_python(spark):
         clean = nd - nt
         assert row.fpr_ppm == (0 if clean == 0 else 10**6 * nf // clean)
         assert row.bloom_fill_ppm == 10**6 * len(bloom) // 4096
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch C (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_chinchilla_plan_matches_pure_python(spark):
+    """Exact-integer isqrt plan recomputed with math.isqrt (arbitrary
+    precision — the third implementation neither engine uses)."""
+    import math
+
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    tokens = int(docs.n_chars.sum()) // 4
+    got = (
+        REGISTRY["agg_chinchilla_plan"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values(["budget_exp", "budget_mant"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 21
+    for _, row in got.iterrows():
+        c = int(row.budget_mant) * 10 ** int(row.budget_exp)
+        n = math.isqrt(c // 120)  # TRUE integer sqrt
+        assert row.n_params == n, (row.budget_mant, row.budget_exp)
+        assert row.d_tokens == 20 * n
+        assert row.epochs_milli == 20 * n * 1000 // tokens
+        assert row.data_gap_tokens == max(20 * n - tokens, 0)
+
+
+def test_agg_ndcg_eval_matches_numpy(spark):
+    import math
+
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    q = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype(np.float64) * 10000
+    ).astype(np.int64)
+    w = [int(1_000_000 / math.log2(r + 1)) for r in range(1, 11)]
+    prefix = [0]
+    for x in w:
+        prefix.append(prefix[-1] + x)
+    label_cnt = {}
+    for lb in labels:
+        label_cnt[lb] = label_cnt.get(lb, 0) + 1
+    panel = [k for k, v in enumerate(ids) if v % 23 == 0][:64]
+    per_label: dict[str, list[int]] = {}
+    for k in panel:
+        dq = q @ q[k]
+        order = sorted(
+            (m for m in range(len(ids)) if ids[m] != ids[k]),
+            key=lambda m: (-dq[m], ids[m]),
+        )[:10]
+        dcg = sum(
+            w[r] for r, m in enumerate(order) if labels[m] == labels[k]
+        )
+        idcg = prefix[min(label_cnt[labels[k]] - 1, 10)]
+        nd = 0 if idcg == 0 else 1000 * dcg // idcg
+        per_label.setdefault(labels[k], []).append(nd)
+    got = REGISTRY["agg_ndcg_eval"].fn(spark, SF_001).toPandas()
+    assert set(got.label) == set(per_label)
+    for _, row in got.iterrows():
+        nds = per_label[row.label]
+        assert row.n_queries == len(nds)
+        assert row.sum_ndcg_milli == sum(nds)
+        assert row.mean_ndcg_milli == sum(nds) // len(nds)
+
+
+def test_sim_pq_distortion_matches_numpy(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    q = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype(np.float64) * 1000
+    ).astype(np.int64)
+    cb = q[:8]  # 8 lowest vec_ids (already sorted)
+    n = len(q)
+    cells: dict[tuple[int, int], list[int]] = {}
+    for m in range(4):
+        sub = q[:, m * 16 : (m + 1) * 16]
+        csub = cb[:, m * 16 : (m + 1) * 16]
+        d = ((sub[:, None, :] - csub[None, :, :]) ** 2).sum(axis=2)
+        best = d.argmin(axis=1)  # argmin takes lowest index on ties
+        for v in range(n):
+            cells.setdefault((m, int(best[v])), []).append(int(d[v, best[v]]))
+    got = REGISTRY["sim_pq_distortion"].fn(spark, SF_001).toPandas()
+    assert len(got) == len(cells)
+    for _, row in got.iterrows():
+        ds = cells[(int(row.subspace), int(row.code_id))]
+        assert row.n_assigned == len(ds)
+        assert row.share_ppm == 1_000_000 * len(ds) // n
+        assert row.mean_sqerr_milli == sum(ds) * 1000 // len(ds)
+        assert row.max_sqerr == max(ds)
+    # occupancy partitions the corpus within every subspace
+    for m in range(4):
+        assert got[got.subspace == m].n_assigned.sum() == n

@@ -20,6 +20,9 @@ from varda_spark.session import get_spark  # noqa: E402
 # queries where a single-partition global sort/window is the documented,
 # intentionally small-result shape (each docstring says why)
 GLOBAL_ONE_TASK_OK = {
+    "sim_pq_distortion",  # row_number over the 8-row codebook init only
+                         # (the sim_kmeans centroid-init argument); the
+                         # per-(vec, subspace) argmin window IS partitioned
     "agg_bradley_terry",  # final rank over the m=8-row model strength
                          # table (model-count bounded, documented)
     "sample_mixture_temperature",  # totals + largest-remainder ranks
@@ -114,6 +117,13 @@ GLOBAL_ONE_TASK_OK = {
 BNLJ_OK = {
     "dedup_ccnet_sharding",  # 1-row corpus-total scalar broadcast onto the
                          # 16-row shard table for the load_ppm quotient
+    "agg_chinchilla_plan",  # 1-row corpus-token scalar broadcast onto
+                         # the 21-row budget grid
+    "agg_ndcg_eval",     # 64-row fixed panel broadcast onto the corpus
+                         # for the exact ranking pass (the multiprobe
+                         # truth-pass argument)
+    "sim_pq_distortion",  # 8-row codebook broadcast onto the corpus
+                         # (the sim_ivf coarse-quantizer shape)
     "sim_lsh_multiprobe",  # 64-row fixed panel broadcast onto the corpus
                          # for the exact-cosine truth pass, plus the
                          # 1-row totals x 3-row depth spine roll-up
