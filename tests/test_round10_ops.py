@@ -447,3 +447,148 @@ def test_sim_pq_distortion_matches_numpy(spark):
     # occupancy partitions the corpus within every subspace
     for m in range(4):
         assert got[got.subspace == m].n_assigned.sum() == n
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch D (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_emb_isotropy_audit_matches_numpy_pair_sum(spark):
+    """The O(n^2)->O(n) identity verified against the NAIVE quadratic
+    pair sum (numpy, all ordered pairs) — the whole point of the key."""
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    labels = emb.label.to_numpy()
+    q = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype(np.float64) * 1000
+    ).astype(np.int64)
+    got = REGISTRY["emb_isotropy_audit"].fn(spark, SF_001).toPandas()
+
+    def tdiv(a, b):  # both engines truncate toward zero
+        return int(a // b) if (a >= 0) == (b >= 0) else -int(abs(a) // abs(b))
+
+    def check(mask, row):
+        v = q[mask]
+        n = len(v)
+        g = v @ v.T
+        pair_sum = int(g.sum() - np.trace(g))  # naive quadratic sum
+        t = int(np.trace(g))
+        assert row.n_vectors == n
+        assert row.mean_norm2 == t // n
+        assert row.mean_pair_dot_milli == tdiv(pair_sum * 1000, n * (n - 1))
+        assert row.anisotropy_ppm == tdiv(10**6 * n * pair_sum, t * (n - 1))
+
+    for _, row in got.iterrows():
+        if row.label == -1:
+            check(np.ones(len(q), dtype=bool), row)
+        else:
+            check(labels == row.label, row)
+
+
+def test_agg_arena_winrate_matches_pure_python_and_bt(spark):
+    import math
+    from decimal import Decimal
+
+    o = _orders(spark)
+    cells: dict[tuple[int, int], list[int]] = {}
+    for ck, price in zip(o.o_custkey, o.o_totalprice):
+        a = int(ck) % 8
+        b = (a + 1 + (int(ck) // 8) % 7) % 8
+        cents = int(Decimal(repr(float(price))).quantize(Decimal("0.0001")) * 100)
+        w = a if cents % 2 == 0 else b
+        i, j = min(a, b), max(a, b)
+        s = cells.setdefault((i, j), [0, 0])
+        s[0] += 1
+        s[1] += w == i
+    got = (
+        REGISTRY["agg_arena_winrate"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values(["model_a", "model_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 28  # every pair battled
+    z2m = 3841
+    for _, row in got.iterrows():
+        n, k = cells[(int(row.model_a), int(row.model_b))]
+        assert (row.battles, row.wins_a) == (n, k)
+        assert row.winrate_a_ppm == 10**6 * k // n
+        term = math.isqrt(4 * n * k * (n - k) * z2m * 1000 + z2m * z2m)
+        lo = max(0, 10**6 * (2000 * n * k + n * z2m - term) // (2 * n * (1000 * n + z2m)))
+        hi = min(10**6, 10**6 * (2000 * n * k + n * z2m + term) // (2 * n * (1000 * n + z2m)))
+        assert (row.wilson_lo_ppm, row.wilson_hi_ppm) == (lo, hi)
+        assert row.wilson_lo_ppm <= row.winrate_a_ppm <= row.wilson_hi_ppm
+    # cross-check with Bradley-Terry's win vector (same fixture)
+    bt = REGISTRY["agg_bradley_terry"].fn(spark, SF_001).toPandas()
+    for m in range(8):
+        w_sum = int(got[got.model_a == m].wins_a.sum()) + int(
+            (got[got.model_b == m].battles - got[got.model_b == m].wins_a).sum()
+        )
+        assert w_sum == int(bt[bt.model_id == m].wins.iloc[0])
+
+
+def test_agg_preference_cycles_matches_pure_python(spark):
+    from decimal import Decimal
+
+    o = _orders(spark)
+    cells: dict[tuple[int, int], list[int]] = {}
+    for ck, price in zip(o.o_custkey, o.o_totalprice):
+        a = int(ck) % 8
+        b = (a + 1 + (int(ck) // 8) % 7) % 8
+        cents = int(Decimal(repr(float(price))).quantize(Decimal("0.0001")) * 100)
+        w = a if cents % 2 == 0 else b
+        i, j = min(a, b), max(a, b)
+        s = cells.setdefault((i, j), [0, 0])
+        s[0] += 1
+        s[1] += w == i
+    beats = {
+        (i, j): 1 if 2 * k >= n else 0 for (i, j), (n, k) in cells.items()
+    }
+    got = (
+        REGISTRY["agg_preference_cycles"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values(["model_a", "model_b", "model_c"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 56  # C(8,3)
+    for _, row in got.iterrows():
+        a, b, c = int(row.model_a), int(row.model_b), int(row.model_c)
+        ab, bc, ac = beats[(a, b)], beats[(b, c)], beats[(a, c)]
+        assert (row.a_beats_b, row.b_beats_c, row.a_beats_c) == (ab, bc, ac)
+        want_cycle = int(
+            (ab == 1 and bc == 1 and ac == 0)
+            or (ab == 0 and bc == 0 and ac == 1)
+        )
+        assert row.is_cycle == want_cycle
+
+
+def test_text_vocab_coverage_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    counts: dict[str, int] = {}
+    for text in docs.text:
+        for t in text.strip().lower().split(" "):
+            counts[t] = counts.get(t, 0) + 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    got = (
+        REGISTRY["text_vocab_coverage"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("vocab_size")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        v = int(row.vocab_size)
+        covered = sum(c for _, c in ordered[:v])
+        assert row.n_distinct_tokens == len(counts)
+        assert row.total_tokens == total
+        assert row.covered_tokens == covered
+        assert row.covered_ppm == 10**6 * covered // total
+    # coverage is monotone in vocab size
+    assert list(got.covered_ppm) == sorted(got.covered_ppm)

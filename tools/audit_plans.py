@@ -20,6 +20,9 @@ from varda_spark.session import get_spark  # noqa: E402
 # queries where a single-partition global sort/window is the documented,
 # intentionally small-result shape (each docstring says why)
 GLOBAL_ONE_TASK_OK = {
+    "text_vocab_coverage",  # frequency rank over the VOCABULARY table
+                         # (type-count-bounded — the text_zipf argument);
+                         # the per-occurrence explode never enters it
     "sim_pq_distortion",  # row_number over the 8-row codebook init only
                          # (the sim_kmeans centroid-init argument); the
                          # per-(vec, subspace) argmin window IS partitioned
@@ -117,6 +120,10 @@ GLOBAL_ONE_TASK_OK = {
 BNLJ_OK = {
     "dedup_ccnet_sharding",  # 1-row corpus-total scalar broadcast onto the
                          # 16-row shard table for the load_ppm quotient
+    "emb_isotropy_audit",  # 1-row global (n, T) and 1-row S2 scalars
+                         # broadcast for the label='-1' corpus row
+    "text_vocab_coverage",  # 1-row coverage-totals scalar broadcast onto
+                         # the 3-row vocab-size spine
     "agg_chinchilla_plan",  # 1-row corpus-token scalar broadcast onto
                          # the 21-row budget grid
     "agg_ndcg_eval",     # 64-row fixed panel broadcast onto the corpus
