@@ -592,3 +592,114 @@ def test_text_vocab_coverage_matches_pure_python(spark):
         assert row.covered_ppm == 10**6 * covered // total
     # coverage is monotone in vocab size
     assert list(got.covered_ppm) == sorted(got.covered_ppm)
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch E (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def _cents(price):
+    from decimal import Decimal
+
+    return int(Decimal(repr(float(price))).quantize(Decimal("0.0001")) * 100)
+
+
+def test_agg_krippendorff_alpha_matches_pure_python(spark):
+    o = _orders(spark)
+    units = []
+    for ck, price in zip(o.o_custkey, o.o_totalprice):
+        c = _cents(price)
+        r1 = int(ck) % 4
+        r2 = r1 if c % 5 < 4 else (r1 + 1) % 4
+        r3 = r1 if (c // 5) % 3 < 2 else (r1 + 2) % 4
+        units.append((r1, r2, r3))
+    marg = {}
+    p_disagree = 0
+    for rs in units:
+        for c in rs:
+            marg[c] = marg.get(c, 0) + 1
+        for x in range(3):
+            for y in range(3):
+                if x != y and rs[x] != rs[y]:
+                    p_disagree += 1
+    n = 3 * len(units)
+    sum_sq = sum(v * v for v in marg.values())
+    alpha = 10**6 - 10**6 * (n - 1) * p_disagree // (2 * (n * n - sum_sq))
+    got = REGISTRY["agg_krippendorff_alpha"].fn(spark, SF_001).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row.n_units == len(units)
+    assert row.n_ratings == n
+    assert row.disagree_pairs == p_disagree // 2
+    assert row.alpha_ppm == alpha
+    # the synthetic raters agree well above chance but below perfection
+    assert 200_000 < row.alpha_ppm < 990_000
+
+
+def test_qa_length_drift_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    buckets = sorted({int(c) // 50 for c in docs.n_chars})
+    per_src: dict[str, dict[int, int]] = {}
+    for s, c in zip(docs.source, docs.n_chars):
+        per_src.setdefault(s, {})[int(c) // 50] = (
+            per_src.setdefault(s, {}).get(int(c) // 50, 0) + 1
+        )
+    n_all = len(docs)
+    got = (
+        REGISTRY["qa_length_drift"].fn(spark, SF_001).toPandas()
+        .set_index("source")
+    )
+    for s, cnts in per_src.items():
+        n_src = sum(cnts.values())
+        n_rest = n_all - n_src
+        ca = cb = dmax = 0
+        rest = {
+            b: sum(per_src[o].get(b, 0) for o in per_src if o != s)
+            for b in buckets
+        }
+        for b in buckets:
+            ca += cnts.get(b, 0)
+            cb += rest[b]
+            dmax = max(dmax, abs(ca * n_rest - cb * n_src))
+        row = got.loc[s]
+        assert row.n_src == n_src
+        assert row.n_rest == n_rest
+        assert row.ks_ppm == 10**6 * dmax // (n_src * n_rest)
+
+
+def test_agg_position_bias_matches_pure_python(spark):
+    import math
+
+    o = _orders(spark)
+    cells: dict[tuple[int, int], list[int]] = {}
+    for ck, price in zip(o.o_custkey, o.o_totalprice):
+        a = int(ck) % 8
+        b = (a + 1 + (int(ck) // 8) % 7) % 8
+        w = a if _cents(price) % 2 == 0 else b
+        i, j = min(a, b), max(a, b)
+        s = cells.setdefault((i, j), [0, 0])
+        s[0] += 1
+        s[1] += w == a  # FIRST-presented side, not lower id
+    got = (
+        REGISTRY["agg_position_bias"].fn(spark, SF_001).toPandas()
+        .sort_values(["model_a", "model_b"]).reset_index(drop=True)
+    )
+    assert len(got) == 29
+    z2m = 3841
+    for _, row in got.iterrows():
+        if row.model_a == -1:
+            n = sum(v[0] for v in cells.values())
+            k = sum(v[1] for v in cells.values())
+        else:
+            n, k = cells[(int(row.model_a), int(row.model_b))]
+        assert (row.battles, row.first_wins) == (n, k)
+        assert row.first_win_ppm == 10**6 * k // n
+        term = math.isqrt(4 * n * k * (n - k) * z2m * 1000 + z2m * z2m)
+        den = 2 * n * (1000 * n + z2m)
+        assert row.wilson_lo_ppm == max(0, 10**6 * (2000 * n * k + n * z2m - term) // den)
+        assert row.wilson_hi_ppm == min(10**6, 10**6 * (2000 * n * k + n * z2m + term) // den)
+    # the fixture's winner is cents-parity => no true position effect:
+    # the pooled interval must contain 50%
+    pooled = got[got.model_a == -1].iloc[0]
+    assert pooled.wilson_lo_ppm <= 500_000 <= pooled.wilson_hi_ppm

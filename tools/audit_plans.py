@@ -120,6 +120,10 @@ GLOBAL_ONE_TASK_OK = {
 BNLJ_OK = {
     "dedup_ccnet_sharding",  # 1-row corpus-total scalar broadcast onto the
                          # 16-row shard table for the load_ppm quotient
+    "agg_krippendorff_alpha",  # 1-row marginal-totals and unit-count
+                         # scalars broadcast onto the 1-row disagree agg
+    "qa_length_drift",   # bounded bucket-grid dim broadcast across the
+                         # 20-source spine + 1-row corpus total
     "emb_isotropy_audit",  # 1-row global (n, T) and 1-row S2 scalars
                          # broadcast for the label='-1' corpus row
     "text_vocab_coverage",  # 1-row coverage-totals scalar broadcast onto
