@@ -703,3 +703,49 @@ def test_agg_position_bias_matches_pure_python(spark):
     # the pooled interval must contain 50%
     pooled = got[got.model_a == -1].iloc[0]
     assert pooled.wilson_lo_ppm <= 500_000 <= pooled.wilson_hi_ppm
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch F (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_emb_centroid_confusion_matches_numpy(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    labels = emb.label.to_numpy()
+    q = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype(np.float64) * 1000
+    ).astype(np.int64)
+    uniq = sorted(set(int(x) for x in labels))
+    cents = np.stack(
+        [
+            np.floor(
+                q[labels == lb].sum(axis=0).astype(np.float64)
+                / (labels == lb).sum()
+            ).astype(np.int64)
+            for lb in uniq
+        ]
+    )
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    pred = d2.argmin(axis=1)  # lowest index on ties == lowest label
+    conf: dict[tuple[int, int], int] = {}
+    for t, p in zip(labels, pred):
+        key = (int(t), uniq[int(p)])
+        conf[key] = conf.get(key, 0) + 1
+    got = REGISTRY["emb_centroid_confusion"].fn(spark, SF_001).toPandas()
+    assert len(got) == len(conf)
+    rowtot = {}
+    for (t, _p), n in conf.items():
+        rowtot[t] = rowtot.get(t, 0) + n
+    for _, row in got.iterrows():
+        n = conf[(int(row.true_label), int(row.pred_label))]
+        assert row.n == n
+        assert row.n_true == rowtot[int(row.true_label)]
+        assert row.share_ppm == 10**6 * n // rowtot[int(row.true_label)]
+    # every vector lands somewhere: matrix total == corpus size
+    assert got.n.sum() == len(q)

@@ -724,3 +724,71 @@ def test_cascade_stream_accumulates_across_micro_batches(spark):
         spark, cascade_radius_stream(q_stream, corpus), "cascade_2b", "complete"
     )
     assert {tuple(r) for r in got.collect()} == batch
+
+
+def test_arena_leaderboard_stream_equals_batch_catalog_key(spark):
+    """stream_arena_leaderboard's board computed under a real readStream
+    (battles land as TWO parquet files → two micro-batches under
+    availableNow; stateless explode + complete-mode grouped agg) equals
+    the batch catalog key row-for-row."""
+    from pyspark.sql import functions as F
+
+    from varda_spark.catalog import REGISTRY
+    from varda_spark.streaming.windows import arena_leaderboard
+
+    batch = {
+        tuple(r)
+        for r in REGISTRY["stream_arena_leaderboard"].fn(spark, SF).collect()
+    }
+    assert batch
+    o = read_table(spark, SF, "orders")
+    battles = o.select(
+        (F.col("o_custkey") % 8).alias("a"),
+        F.expr("(o_custkey % 8 + 1 + (o_custkey DIV 8) % 7) % 8").alias("b"),
+        F.expr(
+            "CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100"
+            " AS BIGINT) % 2 = 0 THEN o_custkey % 8"
+            " ELSE (o_custkey % 8 + 1 + (o_custkey DIV 8) % 7) % 8 END"
+        ).alias("winner"),
+    )
+    bdir = tempfile.mkdtemp(prefix="arena_battles_")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    battles.filter("a % 2 = 0").coalesce(1).write.mode("overwrite").parquet(
+        f"{bdir}/f1"
+    )
+    battles.filter("a % 2 = 1").coalesce(1).write.mode("append").parquet(
+        f"{bdir}/f2"
+    )
+    import glob as _glob
+    import shutil as _shutil
+
+    flat = tempfile.mkdtemp(prefix="arena_flat_")
+    for i, p in enumerate(
+        sorted(_glob.glob(f"{bdir}/f*/part-*.parquet"))
+    ):
+        _shutil.copy(p, f"{flat}/part-{i}.parquet")
+    b_stream = (
+        spark.readStream.schema(battles.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    got = _run_stream_to_memory(
+        spark, arena_leaderboard(b_stream), "arena_t", "complete"
+    )
+    assert {tuple(r) for r in got.collect()} == batch
+
+
+def test_arena_leaderboard_consistent_with_bradley_terry(spark):
+    """Same fixture, two views: the leaderboard's (battles, wins) per
+    model must equal agg_bradley_terry's columns."""
+    from varda_spark.catalog import REGISTRY
+
+    lb = {
+        r["model_id"]: (r["battles"], r["wins"])
+        for r in REGISTRY["stream_arena_leaderboard"].fn(spark, SF).collect()
+    }
+    bt = {
+        r["model_id"]: (r["battles"], r["wins"])
+        for r in REGISTRY["agg_bradley_terry"].fn(spark, SF).collect()
+    }
+    assert lb == bt

@@ -120,6 +120,8 @@ GLOBAL_ONE_TASK_OK = {
 BNLJ_OK = {
     "dedup_ccnet_sharding",  # 1-row corpus-total scalar broadcast onto the
                          # 16-row shard table for the load_ppm quotient
+    "emb_centroid_confusion",  # L-row (10) centroid table broadcast onto
+                         # the corpus (the sim_ivf coarse-quantizer shape)
     "agg_krippendorff_alpha",  # 1-row marginal-totals and unit-count
                          # scalars broadcast onto the 1-row disagree agg
     "qa_length_drift",   # bounded bucket-grid dim broadcast across the

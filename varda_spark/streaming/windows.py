@@ -487,3 +487,31 @@ def read_rollup(spark, rollup_dir: str, keys: list[str], val_cols: list[str]) ->
     return parts.groupBy(*keys).agg(
         *[F.sum(c).cast("bigint").alias(c) for c in val_cols]
     )
+
+
+def arena_leaderboard(battles: DataFrame) -> DataFrame:
+    """Per-model arena leaderboard from (a, b, winner) battle rows —
+    works identically on a BATCH DataFrame and a STREAMING one (the
+    stream_arena_leaderboard catalog key runs it on the batch fixture;
+    tests/test_streaming.py proves readStream equivalence under
+    availableNow with the complete-mode sink).
+
+    Streaming-legal by construction: one stateless explode (each battle
+    contributes one row per contestant) and one grouped aggregation of
+    commutative counters, so micro-batch arrival order cannot change the
+    board and state is O(models). win_ppm is the bounded truncating
+    quotient (≤ 1e6 — BIGINT-safe at any battle volume).
+    """
+    sides = battles.select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias("model"), "winner"
+    )
+    return sides.groupBy(F.col("model").alias("model_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("battles"),
+        F.sum(F.when(F.col("winner") == F.col("model"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("wins"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN winner = model THEN 1 ELSE 0"
+            " END)) DIV COUNT(*) AS BIGINT)"
+        ).alias("win_ppm"),
+    )
