@@ -749,3 +749,438 @@ def test_emb_centroid_confusion_matches_numpy(spark):
         assert row.share_ppm == 10**6 * n // rowtot[int(row.true_label)]
     # every vector lands somewhere: matrix total == corpus size
     assert got.n.sum() == len(q)
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch G (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def _cents_series(spark) -> tuple[np.ndarray, pd.DataFrame]:
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    # the decimal hop: round-half-up at 4dp then truncate, matching
+    # CAST(CAST(x AS DECIMAL(18,4)) * 100 AS BIGINT) in both engines
+    return (
+        np.floor(
+            np.round(o.o_totalprice.to_numpy() * 10000) / 10000 * 100 + 0.5
+        ).astype(np.int64),
+        o,
+    )
+
+
+def test_agg_mcnemar_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    a = cents % 3 > 0
+    b = (cents // 3) % 4 > 0
+    n11 = int((a & b).sum())
+    n10 = int((a & ~b).sum())
+    n01 = int((~a & b).sum())
+    n00 = int((~a & ~b).sum())
+    n = len(cents)
+    got = REGISTRY["agg_mcnemar"].fn(spark, SF_001).toPandas().iloc[0]
+    assert (got.n, got.both_ok, got.a_only, got.b_only, got.neither) == (
+        n, n11, n10, n01, n00,
+    )
+    assert got.acc_a_ppm == 10**6 * (n11 + n10) // n
+    assert got.acc_b_ppm == 10**6 * (n11 + n01) // n
+    assert got.discordant == n10 + n01
+    assert got.chi2_milli == 1000 * (n10 - n01) ** 2 // (n10 + n01)
+    assert got.winner == ("A" if n10 > n01 else "B" if n01 > n10 else "tie")
+    # the fixture is built so B (~3/4) beats A (~2/3) decisively
+    assert got.winner == "B" and got.chi2_milli > 3840
+
+
+def test_agg_fleiss_kappa_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    base = (o.o_custkey.to_numpy() % 4).astype(np.int64)
+    cells: dict[tuple[int, int], int] = {}
+    for i in range(len(cents)):
+        for k in range(5):
+            c = (
+                int(base[i])
+                if (cents[i] // (7 * (k + 1))) % 10 < 7
+                else int((base[i] + k + 1) % 4)
+            )
+            cells[(i, c)] = cells.get((i, c), 0) + 1
+    N, m = len(cents), 5
+    s1 = sum(v * v for v in cells.values())
+    marg: dict[int, int] = {}
+    for (_i, c), v in cells.items():
+        marg[c] = marg.get(c, 0) + v
+    e = sum(v * v for v in marg.values())
+    a_, d_, t_ = s1 - N * m, N * m * (m - 1), (N * m) ** 2
+    got = REGISTRY["agg_fleiss_kappa"].fn(spark, SF_001).toPandas().iloc[0]
+    assert (got.n_items, got.m_raters) == (N, m)
+    assert got.pbar_ppm == 10**6 * a_ // d_
+    assert got.pe_ppm == 10**6 * e // t_
+    assert got.kappa_ppm == 10**6 * (a_ * t_ - d_ * e) // (d_ * (t_ - e))
+    # 70% per-rater agreement vs 25% chance => solidly positive kappa
+    assert 200_000 < got.kappa_ppm < 800_000
+
+
+def test_agg_conformal_coverage_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    keys = o.o_orderkey.to_numpy()
+    score = cents % 100000
+    cal = np.sort(score[keys % 2 == 0])
+    test = np.sort(score[keys % 2 != 0])
+    got = (
+        REGISTRY["agg_conformal_coverage"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("alpha_ppm")
+        .reset_index(drop=True)
+    )
+    assert list(got.alpha_ppm) == [50000, 100000, 200000]
+    for _, row in got.iterrows():
+        n_cal, n_test = len(cal), len(test)
+        assert (row.n_cal, row.n_test) == (n_cal, n_test)
+        k = min(
+            ((n_cal + 1) * (10**6 - row.alpha_ppm) + 999999) // 10**6, n_cal
+        )
+        assert row.k_rank == k
+        qhat = int(cal[k - 1])  # k-th smallest
+        assert row.qhat == qhat
+        covered = int((test <= qhat).sum())
+        assert row.covered == covered
+        assert row.coverage_ppm == 10**6 * covered // n_test
+        assert row.target_ppm == 10**6 - row.alpha_ppm
+        # split-conformal guarantee (finite-sample, exchangeable):
+        # empirical coverage lands near the target on 7.5k points
+        assert abs(row.coverage_ppm - row.target_ppm) < 25_000
+
+
+def test_agg_brier_decomposition_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    bins = (cents // 7) % 10
+    f_ppm = 100000 * bins + 50000
+    outc = ((cents // 13) % 100 < 10 * bins + 5).astype(np.int64)
+    N = len(cents)
+    X = int(outc.sum())
+    brier = int(((f_ppm - 10**6 * outc) ** 2).sum()) // N
+    obar = 10**6 * X // N
+    rel = res = 0
+    n_bins = 0
+    for k in sorted(set(int(b) for b in bins)):
+        sel = bins == k
+        nk, xk = int(sel.sum()), int(outc[sel].sum())
+        fk = 100000 * k + 50000
+        obark = 10**6 * xk // nk
+        rel += nk * (fk - obark) ** 2
+        res += nk * (obark - obar) ** 2
+        n_bins += 1
+    rel, res = rel // N, res // N
+    unc = obar * (10**6 - obar)
+    got = REGISTRY["agg_brier_decomposition"].fn(spark, SF_001).toPandas().iloc[0]
+    assert (got.n, got.n_bins, got.base_rate_ppm) == (N, n_bins, obar)
+    assert got.brier_ppm2 == brier
+    assert got.reliability_ppm2 == rel
+    assert got.resolution_ppm2 == res
+    assert got.uncertainty_ppm2 == unc
+    assert got.decomp_gap_ppm2 == brier - (rel - res + unc)
+    # the fixture is a calibrated-but-noisy forecaster: reliability is
+    # a small correction while resolution carries real separation
+    assert got.reliability_ppm2 < got.resolution_ppm2
+    # the identity closes exactly in rationals (checked offline); the
+    # integer gap is obar_k-truncation propagation only — sub-ppm of
+    # the Brier total (59787 vs 1.7e11 ppm^2 at sf0.01)
+    assert abs(got.decomp_gap_ppm2) * 10**6 < got.brier_ppm2
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch H (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_moe_balance_matches_pure_python(spark):
+    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
+    h = (li.l_orderkey.to_numpy() * 8 + li.l_linenumber.to_numpy()).astype(
+        np.int64
+    )
+    pk = li.l_partkey.to_numpy().astype(np.int64)
+    raws = np.stack(
+        [(h * (e + 3) + pk * (e + 1)) % 1000 + 1 for e in range(8)], axis=1
+    )
+    tot = raws.sum(axis=1)
+    chosen = raws.argmax(axis=1)  # numpy argmax = first max = lowest e
+    N = len(h)
+    got = (
+        REGISTRY["agg_moe_balance"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("expert")
+        .reset_index(drop=True)
+    )
+    assert list(got.expert) == list(range(8))
+    cap = N * 125 // 800
+    for e in range(8):
+        row = got.iloc[e]
+        n_e = int((chosen == e).sum())
+        pmass = int((10**6 * raws[:, e] // tot).sum())
+        assert row.n_tokens == n_e
+        assert row.share_ppm == 10**6 * n_e // N
+        assert row.gate_mass_ppm == pmass // N
+        assert row.aux_contrib_ppm == (
+            8 * (10**6 * n_e // N) * (pmass // N) // 10**6
+        )
+        assert row.capacity == cap
+        assert row.dropped == max(0, n_e - cap)
+        assert row.drop_ppm == 10**6 * max(0, n_e - cap) // n_e
+    assert got.n_tokens.sum() == N  # every token routed exactly once
+    # gate mass is a ppm partition of ~1e6 per token (truncation only)
+    assert 8 * 124_000 < got.gate_mass_ppm.sum() <= 8 * 125_000
+
+
+def test_agg_sprt_boundary_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    keys = o.o_orderkey.to_numpy()
+    order = np.argsort(keys)
+    got = REGISTRY["agg_sprt_boundary"].fn(spark, SF_001).toPandas()
+    assert len(got) == 16
+    for arm in ("null", "effect"):
+        for ex in range(8):
+            sel = order[keys[order] % 8 == ex]
+            wins = (
+                cents[sel] % 2 == 1
+                if arm == "null"
+                else (cents[sel] // 13) % 100 < 55
+            )
+            llr = np.where(wins, 95310, -105361).astype(np.int64)
+            cum = llr.cumsum()
+            row = got[(got.arm == arm) & (got.experiment == ex)].iloc[0]
+            assert row.n_obs == len(sel)
+            assert row.llr_final_micro == int(llr.sum())
+            hit = np.nonzero((cum >= 2944439) | (cum <= -2944439))[0]
+            if len(hit) == 0:
+                assert (row.n_at_decision, row.decision) == (0, "continue")
+            else:
+                i = int(hit[0])
+                assert row.n_at_decision == i + 1
+                assert row.decision == (
+                    "accept_h1" if cum[i] >= 2944439 else "accept_h0"
+                )
+    # known drift structure: every experiment decides, and decides in
+    # the planted direction (15k orders -> 1875 steps/experiment vs the
+    # ~600-step expected decision time)
+    assert (got[got.arm == "effect"].decision == "accept_h1").all()
+    assert (got[got.arm == "null"].decision == "accept_h0").all()
+
+
+def test_agg_permutation_test_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    keys = o.o_orderkey.to_numpy()
+    grp = (o.o_custkey.to_numpy() % 2).astype(np.int64)
+    v = cents + grp * 2000000
+    def mean_micro(vals):
+        return 10**6 * int(vals.sum()) // len(vals)
+    m0o, m1o = mean_micro(v[grp == 0]), mean_micro(v[grp == 1])
+    d_obs = abs(m1o - m0o)
+    n_extreme = 0
+    for r in range(1, 33):
+        g = np.array(
+            [
+                int(hashlib.md5(f"{k}:{r}".encode()).hexdigest()[:15], 16) % 2
+                for k in keys
+            ]
+        )
+        d_r = abs(mean_micro(v[g == 1]) - mean_micro(v[g == 0]))
+        if d_r >= d_obs:
+            n_extreme += 1
+    got = REGISTRY["agg_permutation_test"].fn(spark, SF_001).toPandas().iloc[0]
+    assert (got.n0, got.n1) == (int((grp == 0).sum()), int((grp == 1).sum()))
+    assert (got.mean0_micro, got.mean1_micro) == (m0o, m1o)
+    assert got.absdelta_obs_micro == d_obs
+    assert (got.r_total, got.n_extreme) == (32, n_extreme)
+    assert got.p_milli == 1000 * (1 + n_extreme) // 33
+    # the planted +2e6-cent (~8 sigma) effect dwarfs every replicate
+    assert n_extreme == 0 and got.p_milli == 30
+
+
+def test_pack_length_binning_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    lens = (docs.n_chars.to_numpy() // 4).astype(np.int64)
+    ids = docs.doc_id.to_numpy().astype(np.int64)
+    shard, bucket = ids % 32, lens // 64
+    N, total, mx = len(lens), int(lens.sum()), int(lens.max())
+    waste_global = N * mx - total
+    waste_bucket = sum(
+        int((bucket == b).sum()) * int(lens[bucket == b].max())
+        - int(lens[bucket == b].sum())
+        for b in set(bucket.tolist())
+    )
+    got = (
+        REGISTRY["pack_length_binning"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("batch_size")
+        .reset_index(drop=True)
+    )
+    assert list(got.batch_size) == [8, 16, 32]
+    for _, row in got.iterrows():
+        B = int(row.batch_size)
+        waste = 0
+        for s in range(32):
+            for b in set(bucket.tolist()):
+                sel = (shard == s) & (bucket == b)
+                if not sel.any():
+                    continue
+                ordered = lens[sel][np.lexsort((ids[sel], lens[sel]))]
+                for i in range(0, len(ordered), B):
+                    batch = ordered[i : i + B]
+                    waste += len(batch) * int(batch.max()) - int(batch.sum())
+        assert (row.n_docs, row.total_tokens, row.max_token_len) == (
+            N, total, mx,
+        )
+        assert row.waste_global == waste_global
+        assert row.waste_bucket == waste_bucket
+        assert row.waste_batched == waste
+        assert row.padding_ppm == 10**6 * waste // (total + waste)
+        # packing dominance: batch max <= bucket max <= global max
+        assert row.waste_batched <= row.waste_bucket <= row.waste_global
+    # finer batches pad less
+    w = list(got.waste_batched)
+    assert w[0] <= w[1] <= w[2]
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch I (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_kv_cache_plan_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    lens = (docs.n_chars.to_numpy() // 4).astype(np.int64)
+    N = len(lens)
+    p95 = int(np.sort(lens)[(95 * N + 99) // 100 - 1])
+    got = (
+        REGISTRY["agg_kv_cache_plan"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values(["batch_size", "ctx_len"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 9
+    for _, row in got.iterrows():
+        B, L = int(row.batch_size), int(row.ctx_len)
+        held = int(np.minimum(lens, L).sum())
+        assert (row.n_docs, row.p95_len, row.kv_bytes_per_token) == (
+            N, p95, 262144,
+        )
+        assert row.trunc_ppm == 10**6 * int((lens > L).sum()) // N
+        assert row.util_ppm == 10**6 * held // (N * L)
+        assert row.worst_batch_mib == B * L * 262144 // 2**20
+        assert row.exp_batch_mib == B * 262144 * held // (N * 2**20)
+        assert row.seqs_per_80gib == 80 * 2**30 // (L * 262144)
+        # expectation never exceeds the reservation
+        assert row.exp_batch_mib <= row.worst_batch_mib
+    # utilization improves as the context shrinks toward the length mode
+    by_l = got.groupby("ctx_len").util_ppm.first()
+    assert by_l[32] > by_l[64] > by_l[128]
+
+
+def test_agg_spec_decode_accept_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    a = [
+        (cents // 11) % 100 < 80,
+        (cents // 22) % 100 < 70,
+        (cents // 33) % 100 < 60,
+        (cents // 44) % 100 < 50,
+    ]
+    L = np.zeros(len(cents), dtype=np.int64)
+    alive = np.ones(len(cents), dtype=bool)
+    for bit in a:
+        L += (alive & bit).astype(np.int64)
+        alive &= bit
+    n = len(cents)
+    got = (
+        REGISTRY["agg_spec_decode_accept"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    assert list(got.pos) == [-1, 0, 1, 2, 3]
+    tps = 1000 * (int(L.sum()) + n) // n
+    reach_all = acc_all = 0
+    for i in range(4):
+        reach, acc = int((L >= i).sum()), int((L >= i + 1).sum())
+        reach_all += reach
+        acc_all += acc
+        row = got[got.pos == i].iloc[0]
+        assert (row.n_reached, row.n_accepted) == (reach, acc)
+        assert row.accept_ppm == 10**6 * acc // reach
+        assert row.tokens_per_step_milli == tps
+    pooled = got[got.pos == -1].iloc[0]
+    assert (pooled.n_reached, pooled.n_accepted) == (reach_all, acc_all)
+    assert pooled.accept_ppm == 10**6 * acc_all // reach_all
+    # the funnel: acceptance decays with position (planted 80/70/60/50
+    # marginals, and later positions are conditioned on earlier accepts)
+    per_pos = got[got.pos >= 0].accept_ppm.to_list()
+    assert per_pos[0] > per_pos[1] > per_pos[2] > per_pos[3]
+    # tokens/step > 1000 milli: the draft pays for itself on this fixture
+    assert pooled.tokens_per_step_milli > 1500
+
+
+def test_agg_winrate_length_adjusted_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    len_a = (cents // 3) % 400 + 100
+    len_b = (cents // 7) % 400
+    gap = len_a - len_b
+    # both engines' integer division truncates toward zero on negatives
+    # (numpy // floors) — the Krippendorff-key finding, applies here too
+    bucket = np.clip(np.sign(gap) * (np.abs(gap) // 100), -3, 4)
+    a_win = (cents % 1000 < 500 + gap).astype(np.int64)
+    got = REGISTRY["agg_winrate_length_adjusted"].fn(spark, SF_001).toPandas()
+    per = got[(got.gap_bucket >= -3) & (got.gap_bucket <= 4)]
+    ppms = {}
+    for _, row in per.iterrows():
+        b = int(row.gap_bucket)
+        sel = bucket == b
+        n, w = int(sel.sum()), int(a_win[sel].sum())
+        assert (row.n, row.a_wins) == (n, w)
+        assert row.win_ppm == 10**6 * w // n
+        ppms[b] = row.win_ppm
+    raw = got[got.gap_bucket == -99].iloc[0]
+    N, W = len(cents), int(a_win.sum())
+    assert (raw.n, raw.a_wins, raw.win_ppm) == (N, W, 10**6 * W // N)
+    adj = got[got.gap_bucket == 99].iloc[0]
+    assert adj.win_ppm == sum(ppms.values()) // len(ppms)
+    # the planted length-loving judge makes pooled and macro-averaged
+    # winrates diverge by stratum composition (the alert signal);
+    # direction on this fixture: equal weights boost the rare extreme
+    # positive-gap strata where the judge is near-certain
+    assert abs(raw.win_ppm - adj.win_ppm) > 15_000
+    # and the judge's monotone length preference shows per stratum
+    # gap spans [-299, 499] => truncating buckets -2..4 (the -3 clamp
+    # is headroom for longer fixtures)
+    assert ppms[4] > ppms[0] > ppms[-2]
+
+
+def test_agg_judge_self_consistency_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    truth = (o.o_custkey.to_numpy() % 2).astype(np.int64)
+    votes = [
+        np.where((cents // p) % 10 < 2, 1 - truth, truth)
+        for p in (3, 11, 29)
+    ]
+    n = len(cents)
+    accs = [int((v == truth).sum()) for v in votes]
+    maj = (votes[0] + votes[1] + votes[2] >= 2).astype(np.int64)
+    amaj = int((maj == truth).sum())
+    unan = int(((votes[0] == votes[1]) & (votes[1] == votes[2])).sum())
+    got = (
+        REGISTRY["agg_judge_self_consistency"].fn(spark, SF_001)
+        .toPandas().iloc[0]
+    )
+    assert got.n == n
+    assert [got.acc1_ppm, got.acc2_ppm, got.acc3_ppm] == [
+        10**6 * a // n for a in accs
+    ]
+    assert got.mean_single_ppm == 10**6 * sum(accs) // (3 * n)
+    assert got.majority_ppm == 10**6 * amaj // n
+    assert got.unanimous_ppm == 10**6 * unan // n
+    assert got.gain_ppm == got.majority_ppm - got.mean_single_ppm
+    # known structure: ~800k single-sample accuracy, majority vote
+    # recovers the analytic ~896k (1 - 3p^2(1-p) - p^3 at p=0.2)
+    assert 750_000 < got.mean_single_ppm < 850_000
+    assert got.gain_ppm > 50_000

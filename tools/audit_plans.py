@@ -20,6 +20,12 @@ from varda_spark.session import get_spark  # noqa: E402
 # queries where a single-partition global sort/window is the documented,
 # intentionally small-result shape (each docstring says why)
 GLOBAL_ONE_TASK_OK = {
+    "agg_kv_cache_plan",  # p95 cum window over the bounded length-domain
+                         # histogram (the conformal discipline)
+    "agg_conformal_coverage",  # cumulative windows over the <=100k-row
+                         # VALUE-domain score histogram (the
+                         # agg_mannwhitney argument); raw scores are
+                         # folded map-side before any window
     "text_vocab_coverage",  # frequency rank over the VOCABULARY table
                          # (type-count-bounded — the text_zipf argument);
                          # the per-occurrence explode never enters it
@@ -118,6 +124,24 @@ GLOBAL_ONE_TASK_OK = {
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
 # scalar/tiny build sides (documented in their docstrings)
 BNLJ_OK = {
+    "agg_kv_cache_plan",  # 9-cell (B,L) grid broadcast onto the bounded
+                         # length histogram; 1-row totals + p95 scalars
+    "agg_spec_decode_accept",  # 4-row position spine broadcast onto the
+                         # 5-row L histogram; 1-row totals scalar
+    "agg_fleiss_kappa",  # 1-row S1 / marginal-E / item-count scalars
+                         # broadcast into the 1-row kappa fold
+    "agg_conformal_coverage",  # 3-row alpha grid + 1-row totals broadcast
+                         # onto the bounded score-domain cums (the range
+                         # predicates cum>=k / score<=qhat are BNLJ by
+                         # construction, 3 x <=100k rows)
+    "agg_brier_decomposition",  # 1-row global scalars broadcast onto the
+                         # 10-row forecast-bin table
+    "agg_moe_balance",   # 1-row corpus-token scalar broadcast onto the
+                         # 8-row expert table
+    "agg_permutation_test",  # 1-row observed-delta scalar broadcast onto
+                         # the 32-row replicate table + 1-row final fold
+    "pack_length_binning",  # 1-row corpus totals + 1-row bucket-waste
+                         # scalars broadcast onto the 3-row batch grid
     "dedup_ccnet_sharding",  # 1-row corpus-total scalar broadcast onto the
                          # 16-row shard table for the load_ppm quotient
     "emb_centroid_confusion",  # L-row (10) centroid table broadcast onto
