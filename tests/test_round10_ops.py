@@ -1184,3 +1184,119 @@ def test_agg_judge_self_consistency_matches_pure_python(spark):
     # recovers the analytic ~896k (1 - 3p^2(1-p) - p^3 at p=0.2)
     assert 750_000 < got.mean_single_ppm < 850_000
     assert got.gain_ppm > 50_000
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch J (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_needle_depth_recall_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    d = (cents // 17) % 100
+    ctx = (cents // 23) % 3
+    hit = ((cents // 41) % 1000 < 950 - 3 * (50 - np.abs(d - 50)) - 50 * ctx)
+    got = REGISTRY["agg_needle_depth_recall"].fn(spark, SF_001).toPandas()
+    assert len(got) == 40  # 30 cells + 10 depth marginals
+    for _, row in got.iterrows():
+        sel = d // 10 == row.depth_decile
+        if row.ctx_bucket >= 0:
+            sel = sel & (ctx == row.ctx_bucket)
+        n, h = int(sel.sum()), int(hit[sel].sum())
+        assert (row.n, row.hits) == (n, h)
+        assert row.recall_ppm == 10**6 * h // n
+    # the planted lost-in-the-middle dip: the mid-depth marginal is the
+    # trough, both edges recover
+    marg = got[got.ctx_bucket == -1].set_index("depth_decile").recall_ppm
+    assert marg[5] < marg[0] and marg[5] < marg[9]
+    # and the context-length penalty is monotone at fixed depth
+    mid = got[(got.depth_decile == 5) & (got.ctx_bucket >= 0)]
+    by_ctx = mid.set_index("ctx_bucket").recall_ppm
+    assert by_ctx[0] > by_ctx[1] > by_ctx[2]
+
+
+def test_agg_selective_accuracy_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    conf = (cents // 19) % 1000
+    correct = ((cents // 53) % 1000 < 500 + conf // 2).astype(np.int64)
+    n = len(cents)
+    got = (
+        REGISTRY["agg_selective_accuracy"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("threshold_milli")
+        .reset_index(drop=True)
+    )
+    assert list(got.threshold_milli) == [0, 200, 400, 600, 800]
+    for _, row in got.iterrows():
+        sel = conf >= row.threshold_milli
+        cov, corr = int(sel.sum()), int(correct[sel].sum())
+        assert row.n_covered == cov
+        assert row.coverage_ppm == 10**6 * cov // n
+        assert row.sel_acc_ppm == 10**6 * corr // cov
+        assert row.risk_ppm == 10**6 - row.sel_acc_ppm
+    # the informative-confidence trade-off: coverage falls, accuracy
+    # climbs, monotonically along the threshold grid
+    assert list(got.coverage_ppm) == sorted(got.coverage_ppm, reverse=True)
+    assert list(got.sel_acc_ppm) == sorted(got.sel_acc_ppm)
+    assert got.sel_acc_ppm.iloc[-1] > got.sel_acc_ppm.iloc[0] + 100_000
+
+
+def test_agg_rater_drift_time_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    yr = pd.to_datetime(o.o_orderdate).dt.year.to_numpy()
+    r1 = (o.o_custkey.to_numpy() % 3).astype(np.int64)
+    agree = (cents // 31) % 100 < 80 - 3 * (yr - 1992)
+    r2 = np.where(agree, r1, (r1 + 1 + (cents // 37) % 2) % 3)
+    got = (
+        REGISTRY["agg_rater_drift_time"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("yr")
+        .reset_index(drop=True)
+    )
+    kappas = {}
+    for _, row in got.iterrows():
+        sel = yr == row.yr
+        n = int(sel.sum())
+        a = int((r1[sel] == r2[sel]).sum())
+        e = sum(
+            int((r1[sel] == c).sum()) * int((r2[sel] == c).sum())
+            for c in range(3)
+        )
+        assert row.n == n
+        assert row.po_ppm == 10**6 * a // n
+        assert row.pe_ppm == 10**6 * e // (n * n)
+        assert row.kappa_ppm == 10**6 * (a * n - e) // (n * n - e)
+        kappas[int(row.yr)] = row.kappa_ppm
+    # the planted 3-points/year erosion shows as a monotone-ish kappa
+    # decline: strictly lower at the end, first year the highest
+    years = sorted(kappas)
+    assert kappas[years[0]] == max(kappas.values())
+    assert kappas[years[-1]] < kappas[years[0]] - 100_000
+
+
+def test_dedup_source_venn_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    regions: dict[str, set] = {}
+    for text, source in zip(docs.text, docs.source):
+        h = hashlib.md5(text.strip().lower().encode()).hexdigest()
+        grp = int(hashlib.md5(source.encode()).hexdigest()[:15], 16) % 3
+        regions.setdefault(h, set()).add(grp)
+    masks: dict[int, int] = {}
+    for h, grps in regions.items():
+        m = (4 if 0 in grps else 0) | (2 if 1 in grps else 0) | (
+            1 if 2 in grps else 0
+        )
+        masks[m] = masks.get(m, 0) + 1
+    tot = sum(masks.values())
+    got = REGISTRY["dedup_source_venn"].fn(spark, SF_001).toPandas()
+    assert len(got) == len(masks)
+    names = {4: "A", 2: "B", 1: "C", 6: "AB", 5: "AC", 3: "BC", 7: "ABC"}
+    for _, row in got.iterrows():
+        m = int(row["mask"])  # attr access hits pandas' .mask METHOD
+        assert row.n_hashes == masks[m]
+        assert row.region == names[m]
+        assert row.share_ppm == 10**6 * masks[m] // tot
+    # regions partition the distinct fingerprints
+    assert got.n_hashes.sum() == tot == len(regions)

@@ -128,6 +128,10 @@ BNLJ_OK = {
                          # length histogram; 1-row totals + p95 scalars
     "agg_spec_decode_accept",  # 4-row position spine broadcast onto the
                          # 5-row L histogram; 1-row totals scalar
+    "agg_selective_accuracy",  # 5-row threshold grid broadcast theta-join
+                         # (conf >= t fan-out) + 1-row corpus total
+    "dedup_source_venn",  # 1-row distinct-total scalar broadcast onto
+                         # the <=7-row region table
     "agg_fleiss_kappa",  # 1-row S1 / marginal-E / item-count scalars
                          # broadcast into the 1-row kappa fold
     "agg_conformal_coverage",  # 3-row alpha grid + 1-row totals broadcast
