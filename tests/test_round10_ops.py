@@ -1300,3 +1300,148 @@ def test_dedup_source_venn_matches_pure_python(spark):
         assert row.share_ppm == 10**6 * masks[m] // tot
     # regions partition the distinct fingerprints
     assert got.n_hashes.sum() == tot == len(regions)
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch K (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_best_of_n_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    r = (cents // 7) % 1000
+    n = len(r)
+    hist: dict[int, int] = {}
+    for v in r:
+        hist[int(v)] = hist.get(int(v), 0) + 1
+    vals = sorted(hist)
+    mean_milli = 1000 * int(r.sum()) // n
+    # per-mille truncated CDF, then exact integer powers
+    cum = 0
+    p_milli = {}
+    for v in vals:
+        cum += hist[v]
+        p_milli[v] = 1000 * cum // n
+    got = (
+        REGISTRY["agg_best_of_n"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("n_samples")
+        .reset_index(drop=True)
+    )
+    assert list(got.n_samples) == [1, 2, 4, 8]
+    prev_emax = -1
+    for _, row in got.iterrows():
+        N = int(row.n_samples)
+        wsum = 0
+        q = 0
+        for v in vals:
+            p = p_milli[v]
+            wsum += v * (p**N - q**N)
+            q = p
+        emax = 1000 * wsum // (1000**N)
+        assert row.n_scores == n
+        assert row.mean_milli == mean_milli
+        assert row.emax_milli == emax
+        assert row.gain_milli == emax - mean_milli
+        assert emax >= prev_emax  # BoN never hurts expected max
+        prev_emax = emax
+    # N=1 recovers the mean up to the per-mille CDF truncation
+    assert abs(got.emax_milli.iloc[0] - mean_milli) < 2000
+    # and the curve has real lift on a spread distribution
+    assert got.emax_milli.iloc[-1] > mean_milli + 100_000
+
+
+def test_agg_fairness_gaps_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    grp = (o.o_custkey.to_numpy() % 5).astype(np.int64)
+    y = (cents % 2 == 0).astype(np.int64)
+    flip = (cents // 3) % 100 < 10 + 3 * grp
+    yhat = np.where(flip, 1 - y, y)
+    got = REGISTRY["agg_fairness_gaps"].fn(spark, SF_001).toPandas()
+    accs, fprs, fnrs = {}, {}, {}
+    for g in range(5):
+        sel = grp == g
+        n, pos = int(sel.sum()), int(y[sel].sum())
+        ok = int((y[sel] == yhat[sel]).sum())
+        fp = int(((y[sel] == 0) & (yhat[sel] == 1)).sum())
+        fn_ = int(((y[sel] == 1) & (yhat[sel] == 0)).sum())
+        row = got[got.grp == g].iloc[0]
+        assert (row.n, row.base_ppm) == (n, 10**6 * pos // n)
+        assert row.acc_ppm == 10**6 * ok // n
+        assert row.fpr_ppm == 10**6 * fp // (n - pos)
+        assert row.fnr_ppm == 10**6 * fn_ // pos
+        accs[g], fprs[g], fnrs[g] = row.acc_ppm, row.fpr_ppm, row.fnr_ppm
+    pooled = got[got.grp == -1].iloc[0]
+    assert pooled.n == len(cents)
+    assert pooled.acc_ppm == 10**6 * int((y == yhat).sum()) // len(cents)
+    # gap columns = max - min over groups, identical on every row
+    assert (got.acc_gap_ppm == max(accs.values()) - min(accs.values())).all()
+    assert (got.fpr_gap_ppm == max(fprs.values()) - min(fprs.values())).all()
+    assert (got.fnr_gap_ppm == max(fnrs.values()) - min(fnrs.values())).all()
+    # the planted ladder: error monotone in group id
+    assert accs[0] > accs[4] and fprs[0] < fprs[4] and fnrs[0] < fnrs[4]
+    assert got.acc_gap_ppm.iloc[0] > 80_000
+
+
+def test_multimodal_resolution_plan_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    ids = docs.doc_id.to_numpy().astype(np.int64)
+    w = 224 + (ids % 8) * 112
+    h = 224 + ((ids // 8) % 6) * 112
+    mp = (w * h) // 250000
+    toks = {
+        "native": ((w + 13) // 14) * ((h + 13) // 14),
+        "tile336": 576 * (1 + ((w + 335) // 336) * ((h + 335) // 336)),
+        "resize224": np.full(len(ids), 256, dtype=np.int64),
+    }
+    got = REGISTRY["multimodal_resolution_plan"].fn(spark, SF_001).toPandas()
+    for strat, tk in toks.items():
+        sub = got[got.strategy == strat]
+        stot = int(tk.sum())
+        for _, row in sub.iterrows():
+            sel = mp == row.mp_bucket
+            n, t = int(sel.sum()), int(tk[sel].sum())
+            assert (row.n_images, row.total_tokens) == (n, t)
+            assert row.tokens_per_image == t // n
+            assert row.cost_share_ppm == 10**6 * t // stot
+        # shares partition the strategy bill
+        assert abs(sub.cost_share_ppm.sum() - 10**6) < len(sub) + 1
+    # the plan's point: native cost grows with bucket, resize is flat
+    nat = got[got.strategy == "native"].sort_values("mp_bucket")
+    assert list(nat.tokens_per_image) == sorted(nat.tokens_per_image)
+    rs = got[got.strategy == "resize224"]
+    assert (rs.tokens_per_image == 256).all()
+
+
+def test_text_rag_budget_pack_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    cand: dict[int, list] = {}
+    for doc_id, n_chars in zip(docs.doc_id, docs.n_chars):
+        q = int(doc_id) % 50
+        score = (
+            int(hashlib.md5(f"{doc_id}:rel".encode()).hexdigest()[:15], 16)
+            % 1000
+        )
+        cand.setdefault(q, []).append((score, int(doc_id), int(n_chars) // 4))
+    got = REGISTRY["text_rag_budget_pack"].fn(spark, SF_001).toPandas()
+    assert len(got) == 50
+    for _, row in got.iterrows():
+        lst = sorted(cand[int(row.query_id)], key=lambda t: (-t[0], t[1]))
+        cum = packed = toks = sc = 0
+        total_sc = sum(s for s, _, _ in lst)
+        for score, _id, ln in lst:
+            cum += ln
+            if cum <= 512:
+                packed += 1
+                toks += ln
+                sc += score
+        assert row.n_candidates == len(lst)
+        assert (row.n_packed, row.tokens_packed) == (packed, toks)
+        assert row.fill_ppm == 10**6 * toks // 512
+        assert row.score_recall_ppm == 10**6 * sc // total_sc
+    # the budget binds: contexts are nearly full but never over
+    assert (got.tokens_packed <= 512).all()
+    assert got.fill_ppm.median() > 800_000
+    # and packing keeps the relevance mass concentration visible
+    assert got.score_recall_ppm.median() > got.n_packed.median() * 10**6 // got.n_candidates.median()

@@ -22,6 +22,8 @@ from varda_spark.session import get_spark  # noqa: E402
 GLOBAL_ONE_TASK_OK = {
     "agg_kv_cache_plan",  # p95 cum window over the bounded length-domain
                          # histogram (the conformal discipline)
+    "agg_best_of_n",     # CDF cum + lag windows over the <=1000-row
+                         # reward VALUE-domain histogram
     "agg_conformal_coverage",  # cumulative windows over the <=100k-row
                          # VALUE-domain score histogram (the
                          # agg_mannwhitney argument); raw scores are
@@ -128,6 +130,9 @@ BNLJ_OK = {
                          # length histogram; 1-row totals + p95 scalars
     "agg_spec_decode_accept",  # 4-row position spine broadcast onto the
                          # 5-row L histogram; 1-row totals scalar
+    "agg_best_of_n",     # 1-row totals + 4-row N grid broadcast onto the
+                         # <=1000-row CDF spine
+    "agg_fairness_gaps",  # 1-row gap fold broadcast back onto the 6 rows
     "agg_selective_accuracy",  # 5-row threshold grid broadcast theta-join
                          # (conf >= t fan-out) + 1-row corpus total
     "dedup_source_venn",  # 1-row distinct-total scalar broadcast onto
