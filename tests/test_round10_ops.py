@@ -1445,3 +1445,114 @@ def test_text_rag_budget_pack_matches_pure_python(spark):
     assert got.fill_ppm.median() > 800_000
     # and packing keeps the relevance mass concentration visible
     assert got.score_recall_ppm.median() > got.n_packed.median() * 10**6 // got.n_candidates.median()
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch L (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_win_burn_rate_matches_pure_python(spark):
+    ev = spark.read.parquet(f"{SF_001}/events.parquet").toPandas()
+    # events parquet is TIMESTAMP(NANOS); read_table divides to micros
+    # and unix_timestamp truncates to seconds — mimic with floor
+    secs = (ev.ts.astype("int64") // 10**9).to_numpy()
+    hour = secs // 3600
+    err = (ev.event_type == "error").to_numpy()
+    hours = np.unique(hour)
+    n = {h: int((hour == h).sum()) for h in hours}
+    e = {h: int(err[hour == h].sum()) for h in hours}
+    got = (
+        REGISTRY["win_burn_rate"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("hour_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.hour_id) == list(hours)
+    alerts = 0
+    for _, row in got.iterrows():
+        hh = int(row.hour_id)
+        n6 = sum(n.get(hh - k, 0) for k in range(6))
+        e6 = sum(e.get(hh - k, 0) for k in range(6))
+        assert (row.n, row.errs) == (n[hh], e[hh])
+        assert row.short_burn_milli == 5000 * e[hh] // n[hh]
+        assert row.long_burn_milli == 5000 * e6 // n6
+        want_alert = int(
+            row.short_burn_milli >= 2000 and row.long_burn_milli >= 1000
+        )
+        assert row.alert == want_alert
+        alerts += want_alert
+    # ~20% base error rate vs a 20% budget: burn hovers near 1000 milli,
+    # the 2x short-window condition gates alerts to rare noisy hours
+    assert 900 < got.long_burn_milli.median() < 1100
+    assert alerts < len(got) // 10
+
+
+def test_agg_prefix_cache_plan_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    got = (
+        REGISTRY["agg_prefix_cache_plan"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("prefix_chars")
+        .reset_index(drop=True)
+    )
+    assert list(got.prefix_chars) == [8, 16, 32]
+    for _, row in got.iterrows():
+        L = int(row.prefix_chars)
+        counts: dict[str, int] = {}
+        for t in docs.text:
+            p = t[:L]
+            counts[p] = counts.get(p, 0) + 1
+        hits = sum(c - 1 for c in counts.values())
+        assert row.n_requests == len(docs)
+        assert row.distinct_prefixes == len(counts)
+        assert row.cache_hits == hits
+        assert row.hit_ppm == 10**6 * hits // len(docs)
+        assert row.tokens_saved == hits * (L // 4)
+    # longer prefixes: monotonically fewer hits, larger working set
+    assert list(got.cache_hits) == sorted(got.cache_hits, reverse=True)
+    assert list(got.distinct_prefixes) == sorted(got.distinct_prefixes)
+
+
+def test_agg_rater_gold_qc_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    keys = o.o_orderkey.to_numpy()
+    custs = o.o_custkey.to_numpy()
+    sel = keys % 10 == 0
+    rater = (custs[sel] % 20).astype(np.int64)
+    truth = ((keys[sel] // 10) % 2).astype(np.int64)
+    c = cents[sel]
+    got = (
+        REGISTRY["agg_rater_gold_qc"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("rater")
+        .reset_index(drop=True)
+    )
+    assert list(got.rater) == list(range(20))
+    for _, row in got.iterrows():
+        rs = rater == row.rater
+        thr = 40 if row.rater < 3 else 10
+        flip = (c[rs] // (7 + int(row.rater))) % 100 < thr
+        vote = np.where(flip, 1 - truth[rs], truth[rs])
+        n_gold, n_ok = int(rs.sum()), int((vote == truth[rs]).sum())
+        assert (row.n_gold, row.n_correct) == (n_gold, n_ok)
+        assert row.acc_ppm == 10**6 * n_ok // n_gold
+        assert row.flagged == int(row.acc_ppm < 700_000)
+    # the planted structure: exactly raters 0-2 flagged
+    assert list(got[got.flagged == 1].rater) == [0, 1, 2]
+
+
+def test_stream_quality_monitor_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    got = REGISTRY["stream_quality_monitor"].fn(spark, SF_001).toPandas()
+    for _, row in got.iterrows():
+        sub = docs[docs.source == row.source]
+        ok = int(((sub.n_chars >= 100) & (sub.doc_id % 7 != 0)).sum())
+        assert (row.docs_in, row.docs_pass) == (len(sub), ok)
+        assert row.pass_ppm == 10**6 * ok // len(sub)
+    assert got.docs_in.sum() == len(docs)
+    # the boilerplate class alone caps pass_ppm below ~857k everywhere
+    assert (got.pass_ppm < 900_000).all()

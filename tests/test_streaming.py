@@ -792,3 +792,42 @@ def test_arena_leaderboard_consistent_with_bradley_terry(spark):
         for r in REGISTRY["agg_bradley_terry"].fn(spark, SF).collect()
     }
     assert lb == bt
+
+
+def test_quality_monitor_stream_equals_batch_catalog_key(spark):
+    """stream_quality_monitor's per-source board computed under a real
+    readStream (documents land as TWO parquet files -> two micro-batches
+    under availableNow; stateless gate + complete-mode grouped agg)
+    equals the batch catalog key row-for-row."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from varda_spark.catalog import REGISTRY
+    from varda_spark.streaming.windows import quality_monitor
+
+    batch = {
+        tuple(r)
+        for r in REGISTRY["stream_quality_monitor"].fn(spark, SF).collect()
+    }
+    assert batch
+    docs = read_table(spark, SF, "documents")
+    ddir = tempfile.mkdtemp(prefix="qmon_docs_")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{ddir}/f1")
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        f"{ddir}/f2"
+    )
+    flat = tempfile.mkdtemp(prefix="qmon_flat_")
+    for i, p in enumerate(sorted(_glob.glob(f"{ddir}/f*/part-*.parquet"))):
+        _shutil.copy(p, f"{flat}/part-{i}.parquet")
+    d_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    got = _run_stream_to_memory(
+        spark, quality_monitor(d_stream), "qmon_t", "complete"
+    )
+    assert {tuple(r) for r in got.collect()} == batch

@@ -24,6 +24,9 @@ GLOBAL_ONE_TASK_OK = {
                          # histogram (the conformal discipline)
     "agg_best_of_n",     # CDF cum + lag windows over the <=1000-row
                          # reward VALUE-domain histogram
+    "win_burn_rate",     # trailing-6h RANGE window over the bounded
+                         # hour-grain spine (the agg_forecast_mase
+                         # discipline) — never over raw events
     "agg_conformal_coverage",  # cumulative windows over the <=100k-row
                          # VALUE-domain score histogram (the
                          # agg_mannwhitney argument); raw scores are

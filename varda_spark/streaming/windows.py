@@ -515,3 +515,32 @@ def arena_leaderboard(battles: DataFrame) -> DataFrame:
             " END)) DIV COUNT(*) AS BIGINT)"
         ).alias("win_ppm"),
     )
+
+
+def quality_monitor(docs: DataFrame) -> DataFrame:
+    """Per-source quality-gate pass rates from document rows — works
+    identically on a BATCH DataFrame and a STREAMING one (the
+    stream_quality_monitor catalog key runs it on the batch fixture;
+    tests/test_streaming.py proves readStream equivalence under
+    availableNow with the complete-mode sink).
+
+    Streaming-legal by construction: the gate is a stateless row
+    predicate (length floor + the ccnet-fixture boilerplate marker
+    doc_id % 7 = 0 — the same class dedup_ccnet_sharding collapses),
+    and the rollup is a grouped aggregation of commutative counters,
+    so micro-batch arrival order cannot change the report and state is
+    O(sources). pass_ppm is the bounded truncating quotient."""
+    gated = docs.select(
+        "source",
+        F.expr(
+            "CASE WHEN n_chars >= 100 AND doc_id % 7 != 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("ok"),
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_in"),
+        F.sum("ok").cast("bigint").alias("docs_pass"),
+        F.expr(
+            "CAST((1000000 * SUM(ok)) DIV COUNT(*) AS BIGINT)"
+        ).alias("pass_ppm"),
+    )
