@@ -1556,3 +1556,129 @@ def test_stream_quality_monitor_matches_pure_python(spark):
     assert got.docs_in.sum() == len(docs)
     # the boilerplate class alone caps pass_ppm below ~857k everywhere
     assert (got.pass_ppm < 900_000).all()
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch M (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def _isqrt_exact(x: int) -> int:
+    import math
+
+    return math.isqrt(x)
+
+
+def test_agg_dp_composition_matches_pure_python(spark):
+    ev = spark.read.parquet(f"{SF_001}/events.parquet").toPandas()
+    views = ev[ev.event_type == "view"]
+    day = (views.ts.astype("int64") // 10**9 // 86400).to_numpy()
+    got = (
+        REGISTRY["agg_dp_composition"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("day_id")
+        .reset_index(drop=True)
+    )
+    days = sorted(set(day.tolist()))
+    assert list(got.day_id) == days
+    for _, row in got.iterrows():
+        k = int((day == row.day_id).sum())
+        basic = k * 100000
+        adv = (100000 * _isqrt_exact(2 * k * 11512925 * 10**6)) // 10**6 + (
+            k * 100000 * 105171
+        ) // 10**6
+        assert row.n_queries == k
+        assert row.basic_eps_micro == basic
+        assert row.advanced_eps_micro == adv
+        assert row.best_eps_micro == min(basic, adv)
+        assert row.over_budget == int(min(basic, adv) > 3_000_000)
+    # at ~60 queries/day advanced (~sqrt k) must beat basic (~k)
+    assert (got.advanced_eps_micro < got.basic_eps_micro).all()
+    # and this traffic still blows a 3-eps/day budget every day
+    assert (got.over_budget == 1).all()
+
+
+def test_agg_checkpoint_plan_matches_pure_python(spark):
+    ev = spark.read.parquet(f"{SF_001}/events.parquet").toPandas()
+    errs = ev[ev.event_type == "error"]
+    secs = (errs.ts.astype("int64") // 10**9).to_numpy()
+    mtbf = (int(secs.max()) - int(secs.min())) // (len(secs) - 1)
+    got = (
+        REGISTRY["agg_checkpoint_plan"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("ckpt_cost_s")
+        .reset_index(drop=True)
+    )
+    assert list(got.ckpt_cost_s) == [30, 60, 300]
+    for _, row in got.iterrows():
+        c = int(row.ckpt_cost_s)
+        tau = _isqrt_exact(2 * c * mtbf)
+        assert row.mtbf_s == mtbf
+        assert row.n_failures == len(secs)
+        assert row.tau_opt_s == tau
+        assert row.overhead_ppm == 10**6 * c // tau + 10**6 * tau // (
+            2 * mtbf
+        )
+        assert row.ckpts_per_day == 86400 // tau
+    # Daly: costlier checkpoints -> longer intervals, higher overhead
+    assert list(got.tau_opt_s) == sorted(got.tau_opt_s)
+    assert list(got.overhead_ppm) == sorted(got.overhead_ppm)
+
+
+def test_dedup_split_leakage_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    pres: dict[str, list] = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        content = (
+            f"boilerplate page {doc_id % 5}"
+            if doc_id % 7 == 0
+            else text.strip().lower()
+        )
+        h = hashlib.md5(content.encode()).hexdigest()
+        is_test = (
+            int(hashlib.md5(f"{doc_id}:split".encode()).hexdigest()[:15], 16)
+            % 10
+            == 0
+        )
+        tr, te = pres.get(h, [0, 0])
+        pres[h] = [tr + (0 if is_test else 1), te + (1 if is_test else 0)]
+    train_docs = sum(v[0] for v in pres.values())
+    test_docs = sum(v[1] for v in pres.values())
+    leaked_hashes = sum(1 for v in pres.values() if v[0] > 0 and v[1] > 0)
+    leaked_test = sum(v[1] for v in pres.values() if v[0] > 0)
+    got = REGISTRY["dedup_split_leakage"].fn(spark, SF_001).toPandas().iloc[0]
+    assert (got.train_docs, got.test_docs) == (train_docs, test_docs)
+    assert got.train_distinct == sum(1 for v in pres.values() if v[0] > 0)
+    assert got.test_distinct == sum(1 for v in pres.values() if v[1] > 0)
+    assert got.leaked_hashes == leaked_hashes
+    assert got.leaked_test_docs == leaked_test
+    assert got.leakage_ppm == 10**6 * leaked_test // test_docs
+    # the boilerplate duplicate class guarantees real leakage
+    assert got.leaked_test_docs > 0
+
+
+def test_agg_quantile_treatment_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    treated = (o.o_custkey.to_numpy() % 2).astype(np.int64)
+    base = cents % 100000
+    v = np.where(treated == 1, base + 5000 + base // 10, base)
+    got = (
+        REGISTRY["agg_quantile_treatment"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("q_pct")
+        .reset_index(drop=True)
+    )
+    assert list(got.q_pct) == [10, 25, 50, 75, 90]
+    for _, row in got.iterrows():
+        q = int(row.q_pct)
+        for grp, col in ((0, "q_control"), (1, "q_treated")):
+            vals = np.sort(v[treated == grp])
+            k = (q * len(vals) + 99) // 100
+            assert row[col] == int(vals[k - 1])
+        assert row.qte == row.q_treated - row.q_control
+    # the planted heterogeneous effect: QTE grows along the quantiles
+    assert list(got.qte) == sorted(got.qte)
+    assert got.qte.iloc[-1] > got.qte.iloc[0] + 4000

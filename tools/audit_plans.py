@@ -135,6 +135,11 @@ BNLJ_OK = {
                          # 5-row L histogram; 1-row totals scalar
     "agg_best_of_n",     # 1-row totals + 4-row N grid broadcast onto the
                          # <=1000-row CDF spine
+    "agg_checkpoint_plan",  # 1-row measured-MTBF scalar broadcast onto
+                         # the 3-row checkpoint-cost grid
+    "agg_quantile_treatment",  # 5-row quantile grid broadcast theta-join
+                         # (cum >= rank) onto the bounded value-domain
+                         # per-group cums
     "agg_fairness_gaps",  # 1-row gap fold broadcast back onto the 6 rows
     "agg_selective_accuracy",  # 5-row threshold grid broadcast theta-join
                          # (conf >= t fan-out) + 1-row corpus total
