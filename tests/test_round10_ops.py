@@ -1682,3 +1682,157 @@ def test_agg_quantile_treatment_matches_pure_python(spark):
     # the planted heterogeneous effect: QTE grows along the quantiles
     assert list(got.qte) == sorted(got.qte)
     assert got.qte.iloc[-1] > got.qte.iloc[0] + 4000
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch N (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_wilcoxon_signed_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    d = 30 + (cents // 13) % 200 - 100
+    d = d[d != 0]
+    ad = np.abs(d)
+    vals = sorted(set(ad.tolist()))
+    cum = 0
+    w2p = w2m = var4 = 0
+    for v in vals:
+        sel = ad == v
+        c = int(sel.sum())
+        p = int((d[sel] > 0).sum())
+        avg2 = 2 * cum + c + 1
+        w2p += p * avg2
+        w2m += (c - p) * avg2
+        var4 += c * avg2 * avg2
+        cum += c
+    n = len(d)
+    got = REGISTRY["agg_wilcoxon_signed"].fn(spark, SF_001).toPandas().iloc[0]
+    assert got.n == n
+    assert (got.w2_plus, got.w2_minus) == (w2p, w2m)
+    # doubled-rank identity: the two signed sums partition n(n+1)
+    assert w2p + w2m == n * (n + 1)
+    z = 1000 * (w2p - w2m) // _isqrt_exact(var4)
+    assert got.z_milli == z
+    assert got.significant == int(z >= 1960)
+    # the planted +30 mean shift is decisively significant
+    assert got.significant == 1 and got.z_milli > 10_000
+
+
+def test_sim_prefilter_vs_postfilter_matches_numpy(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    q = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype(np.float64) * 1000
+    ).astype(np.int64)
+    panel = [i for i, v in enumerate(ids) if v % 53 == 1][:32]
+    got = (
+        REGISTRY["sim_prefilter_vs_postfilter"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.query_id) == [int(ids[i]) for i in panel]
+    for row_i, i in enumerate(panel):
+        dots = q @ q[i]
+        order = sorted(
+            (j for j in range(len(ids)) if j != i),
+            key=lambda j: (-int(dots[j]), int(ids[j])),
+        )
+        top10 = order[:10]
+        found = sum(1 for j in top10 if labels[j] % 2 == 0)
+        row = got.iloc[row_i]
+        assert row.k == 10
+        assert row.post_found == found
+        assert row.recall_ppm == 10**6 * found // 10
+    # coverage varies by query — the audit's reason to exist: at least
+    # one query must lose candidates to the filter
+    assert (got.post_found < 10).any()
+    assert (got.post_found > 0).all()
+
+
+def test_sample_raking_weights_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    cells: dict[tuple, int] = {}
+    for lang, source in zip(docs.lang, docs.source):
+        g = int(hashlib.md5(source.encode()).hexdigest()[:15], 16) % 4
+        cells[(lang, g)] = cells.get((lang, g), 0) + 1
+    w = {k: 10**6 for k in cells}
+    for _ in range(4):
+        tot = sum(cells[k] * w[k] for k in cells)
+        rm: dict[str, int] = {}
+        for (lang, g), n in cells.items():
+            rm[lang] = rm.get(lang, 0) + n * w[(lang, g)]
+        w = {
+            (lang, g): w[(lang, g)] * ((200000 * tot) // rm[lang]) // 10**6
+            for (lang, g) in cells
+        }
+        tot = sum(cells[k] * w[k] for k in cells)
+        cm: dict[int, int] = {}
+        for (lang, g), n in cells.items():
+            cm[g] = cm.get(g, 0) + n * w[(lang, g)]
+        w = {
+            (lang, g): w[(lang, g)] * ((250000 * tot) // cm[g]) // 10**6
+            for (lang, g) in cells
+        }
+    tot = sum(cells[k] * w[k] for k in cells)
+    rm = {}
+    cm = {}
+    for (lang, g), n in cells.items():
+        rm[lang] = rm.get(lang, 0) + n * w[(lang, g)]
+        cm[g] = cm.get(g, 0) + n * w[(lang, g)]
+    got = REGISTRY["sample_raking_weights"].fn(spark, SF_001).toPandas()
+    assert len(got) == len(cells)
+    for _, row in got.iterrows():
+        key = (row.lang, int(row.src_grp))
+        assert row.n_docs == cells[key]
+        assert row.weight_ppm == w[key]
+        assert row.row_share_ppm == 10**6 * rm[row.lang] // tot
+        assert row.col_share_ppm == 10**6 * cm[int(row.src_grp)] // tot
+    # 4 IPF rounds converge the margins to uniform within 1%
+    for _, row in got.iterrows():
+        assert abs(row.row_share_ppm - 200_000) < 10_000
+        assert abs(row.col_share_ppm - 250_000) < 10_000
+
+
+def test_agg_refusal_matrix_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    cat = (o.o_custkey.to_numpy() % 6).astype(np.int64)
+    harmful = ((cents // 17) % 10 < 3).astype(np.int64)
+    refused = np.where(
+        harmful == 1,
+        ((cents // 29) % 100 >= 10).astype(np.int64),
+        ((cents // 23) % 100 < 5 + 2 * cat).astype(np.int64),
+    )
+    got = (
+        REGISTRY["agg_refusal_matrix"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("cat")
+        .reset_index(drop=True)
+    )
+    assert list(got.cat) == list(range(6))
+    overs = []
+    for _, row in got.iterrows():
+        sel = cat == int(row["cat"])  # attr access hits pandas' .cat
+        n, h = int(sel.sum()), int(harmful[sel].sum())
+        rh = int((harmful[sel] & refused[sel]).sum())
+        rb = int(((1 - harmful[sel]) & refused[sel]).sum())
+        assert (row.n, row.harmful) == (n, h)
+        assert (row.refused_harmful, row.refused_benign) == (rh, rb)
+        assert row.answered_harmful == h - rh
+        assert row.benign == n - h
+        assert row.under_refusal_ppm == 10**6 * (h - rh) // h
+        assert row.over_refusal_ppm == 10**6 * rb // (n - h)
+        overs.append(row.over_refusal_ppm)
+    # the planted over-refusal ladder climbs with category
+    assert overs == sorted(overs)
+    # flat ~10% under-refusal everywhere
+    assert all(50_000 < u < 150_000 for u in got.under_refusal_ppm)

@@ -24,6 +24,8 @@ GLOBAL_ONE_TASK_OK = {
                          # histogram (the conformal discipline)
     "agg_best_of_n",     # CDF cum + lag windows over the <=1000-row
                          # reward VALUE-domain histogram
+    "agg_wilcoxon_signed",  # midrank cum window over the bounded
+                         # |d| VALUE-domain histogram
     "win_burn_rate",     # trailing-6h RANGE window over the bounded
                          # hour-grain spine (the agg_forecast_mase
                          # discipline) — never over raw events
@@ -135,6 +137,10 @@ BNLJ_OK = {
                          # 5-row L histogram; 1-row totals scalar
     "agg_best_of_n",     # 1-row totals + 4-row N grid broadcast onto the
                          # <=1000-row CDF spine
+    "sim_prefilter_vs_postfilter",  # 32-row query panel broadcast onto
+                         # the corpus scan (the fixed-panel recall shape)
+    "sample_raking_weights",  # 1-row total-mass scalar broadcast onto
+                         # the 20-cell contingency table, per IPF step
     "agg_checkpoint_plan",  # 1-row measured-MTBF scalar broadcast onto
                          # the 3-row checkpoint-cost grid
     "agg_quantile_treatment",  # 5-row quantile grid broadcast theta-join
