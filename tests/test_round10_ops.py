@@ -1836,3 +1836,153 @@ def test_agg_refusal_matrix_matches_pure_python(spark):
     assert overs == sorted(overs)
     # flat ~10% under-refusal everywhere
     assert all(50_000 < u < 150_000 for u in got.under_refusal_ppm)
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch O (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_emb_bitdepth_recall_matches_numpy(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = emb.vec_id.to_numpy()
+    x = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    qf = np.floor(x * 1000).astype(np.int64)
+    levels = {
+        8: np.clip(np.floor(x * 128), -128, 127).astype(np.int64),
+        4: np.clip(np.floor(x * 8), -8, 7).astype(np.int64),
+        2: np.clip(np.floor(x * 2), -2, 1).astype(np.int64),
+    }
+    panel = [i for i, v in enumerate(ids) if v % 41 == 2][:32]
+
+    def top1(mat, i):
+        dots = mat @ mat[i]
+        return min(
+            (j for j in range(len(ids)) if j != i),
+            key=lambda j: (-int(dots[j]), int(ids[j])),
+        )
+
+    got = (
+        REGISTRY["emb_bitdepth_recall"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("bits")
+        .reset_index(drop=True)
+    )
+    assert list(got.bits) == [2, 4, 8]
+    for _, row in got.iterrows():
+        agree = sum(
+            1
+            for i in panel
+            if top1(levels[int(row.bits)], i) == top1(qf, i)
+        )
+        assert row.n_queries == len(panel)
+        assert row.n_agree == agree
+        assert row.recall_ppm == 10**6 * agree // len(panel)
+    # monotone decay along the bit-depth ladder, int8 near-lossless
+    r = dict(zip(got.bits, got.recall_ppm))
+    assert r[8] >= r[4] >= r[2]
+    assert r[8] > 900_000
+
+
+def test_agg_cascade_cost_curve_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    conf = (cents // 19) % 1000
+    ok_small = ((cents // 53) % 1000 < 500 + conf // 2).astype(np.int64)
+    ok_big = ((cents // 59) % 100 < 95).astype(np.int64)
+    n = len(cents)
+    got = (
+        REGISTRY["agg_cascade_cost_curve"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("threshold_milli")
+        .reset_index(drop=True)
+    )
+    assert list(got.threshold_milli) == [0, 200, 400, 600, 800, 1000]
+    for _, row in got.iterrows():
+        routed = conf < row.threshold_milli
+        nr = int(routed.sum())
+        correct = int(np.where(routed, ok_big, ok_small).sum())
+        assert row.routed == nr
+        assert row.routed_ppm == 10**6 * nr // n
+        assert row.acc_ppm == 10**6 * correct // n
+        assert row.cost_milli_per_req == 1000 * (n + 9 * nr) // n
+    # cost rises monotonically with the threshold; accuracy rises
+    # through t=800 — and the t=800 cascade BEATS big-only (the kept
+    # top-confidence slice is >95% accurate on this fixture), which is
+    # the cascade's entire selling point: better than 10x-cost
+    # big-only, at a fraction of the price
+    assert list(got.cost_milli_per_req) == sorted(got.cost_milli_per_req)
+    assert list(got.acc_ppm[:5]) == sorted(got.acc_ppm[:5])
+    assert got.acc_ppm.iloc[4] > got.acc_ppm.iloc[5]
+    assert got.cost_milli_per_req.iloc[4] < got.cost_milli_per_req.iloc[5]
+    # endpoints: small-only 1x cost, big-only 10x cost and ~95% acc
+    assert got.cost_milli_per_req.iloc[0] == 1000
+    assert got.cost_milli_per_req.iloc[-1] == 10000
+    assert abs(got.acc_ppm.iloc[-1] - 950_000) < 20_000
+
+
+def test_agg_moe_capacity_sweep_matches_pure_python(spark):
+    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
+    h = (li.l_orderkey.to_numpy() * 8 + li.l_linenumber.to_numpy()).astype(
+        np.int64
+    )
+    pk = li.l_partkey.to_numpy().astype(np.int64)
+    raws = np.stack(
+        [(h * (e + 3) + pk * (e + 1)) % 1000 + 1 for e in range(8)], axis=1
+    )
+    chosen = raws.argmax(axis=1)
+    n = len(h)
+    counts = [int((chosen == e).sum()) for e in range(8)]
+    got = (
+        REGISTRY["agg_moe_capacity_sweep"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("capacity_milli")
+        .reset_index(drop=True)
+    )
+    assert list(got.capacity_milli) == [1000, 1250, 1500, 2000]
+    for _, row in got.iterrows():
+        cap = n * int(row.capacity_milli) // 8000
+        dropped = sum(max(0, c - cap) for c in counts)
+        over = sum(1 for c in counts if c > cap)
+        assert row.capacity_tokens == cap
+        assert (row.dropped, row.experts_over) == (dropped, over)
+        assert row.drop_ppm == 10**6 * dropped // n
+    # drops shrink monotonically with headroom and hit zero by f=2.0
+    assert list(got.dropped) == sorted(got.dropped, reverse=True)
+    assert got.dropped.iloc[-1] == 0
+    # cross-check against agg_moe_balance's fixture at f=1.25
+    bal = REGISTRY["agg_moe_balance"].fn(spark, SF_001).toPandas()
+    assert got[got.capacity_milli == 1250].dropped.iloc[0] == bal.dropped.sum()
+
+
+def test_agg_winrate_sample_size_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    w = (cents % 2 == 0).astype(np.int64)
+    n = len(cents)
+    p = 10**6 * int(w.sum()) // n
+    got = (
+        REGISTRY["agg_winrate_sample_size"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("target_halfwidth_ppm")
+        .reset_index(drop=True)
+    )
+    assert list(got.target_halfwidth_ppm) == [10000, 25000, 50000]
+    for _, row in got.iterrows():
+        t = int(row.target_halfwidth_ppm)
+        need = (3841 * p * (10**6 - p) + 1000 * t * t - 1) // (1000 * t * t)
+        assert (row.p_ppm, row.n_have) == (p, n)
+        assert row.n_needed == need
+        assert row.enough == int(n >= need)
+    # near p=0.5 the classic numbers: ~9.6k for +/-1%, ~384 for +/-5%
+    assert 9_000 < got.n_needed.iloc[0] < 10_000
+    assert 350 < got.n_needed.iloc[-1] < 400
+    # 15k battles clear every target on this grid (9.6k is the bar)
+    assert list(got.enough) == [1, 1, 1]

@@ -141,6 +141,12 @@ BNLJ_OK = {
                          # the corpus scan (the fixed-panel recall shape)
     "sample_raking_weights",  # 1-row total-mass scalar broadcast onto
                          # the 20-cell contingency table, per IPF step
+    "agg_cascade_cost_curve",  # 6-row threshold grid broadcast fan-out
+                         # + 1-row corpus total
+    "agg_moe_capacity_sweep",  # 1-row token total + 4-row factor grid
+                         # broadcast onto the 8-row expert histogram
+    "agg_winrate_sample_size",  # 3-row target grid broadcast onto the
+                         # 1-row observed-rate fold
     "agg_checkpoint_plan",  # 1-row measured-MTBF scalar broadcast onto
                          # the 3-row checkpoint-cost grid
     "agg_quantile_treatment",  # 5-row quantile grid broadcast theta-join
