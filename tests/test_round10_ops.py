@@ -1986,3 +1986,138 @@ def test_agg_winrate_sample_size_matches_pure_python(spark):
     assert 350 < got.n_needed.iloc[-1] < 400
     # 15k battles clear every target on this grid (9.6k is the bar)
     assert list(got.enough) == [1, 1, 1]
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch P (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_leaderboard_churn_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    model = (o.o_custkey.to_numpy() % 20).astype(np.int64)
+    snap = (o.o_orderkey.to_numpy() % 2).astype(np.int64)
+    ok = ((cents // 7) % 100 < 40 + 3 * model).astype(np.int64)
+    ranks = {}
+    for s in (0, 1):
+        accs = []
+        for m in range(20):
+            sel = (model == m) & (snap == s)
+            accs.append((-(10**6 * int(ok[sel].sum()) // int(sel.sum())), m))
+        order = sorted(accs)
+        ranks[s] = {m: i + 1 for i, (_a, m) in enumerate(order)}
+    conc = disc = 0
+    for a in range(20):
+        for b in range(a + 1, 20):
+            s = (ranks[0][a] - ranks[0][b]) * (ranks[1][a] - ranks[1][b])
+            conc += s > 0
+            disc += s < 0
+    tau = 1000 * (conc - disc) // (conc + disc)
+    got = (
+        REGISTRY["agg_leaderboard_churn"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got.k) == [1, 5, 10]
+    for _, row in got.iterrows():
+        k = int(row.k)
+        ov = sum(
+            1 for m in range(20) if ranks[0][m] <= k and ranks[1][m] <= k
+        )
+        assert row.topk_overlap == ov
+        assert row.jaccard_ppm == 10**6 * ov // (2 * k - ov)
+        assert row.tau_milli == tau
+    # the planted 3-points/model ladder dominates the split noise:
+    # the board is highly stable across snapshots
+    assert got.tau_milli.iloc[0] > 800
+    assert got[got.k == 10].topk_overlap.iloc[0] >= 9
+
+
+def test_agg_group_sequential_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    bucket = (o.o_orderkey.to_numpy() % 5).astype(np.int64)
+    t = (o.o_custkey.to_numpy() % 2).astype(np.int64)
+    y = ((cents // 31) % 100 < 50 + 5 * t).astype(np.int64)
+    bounds = {1: 4877, 2: 3357, 3: 2680, 4: 2290, 5: 2031}
+    got = (
+        REGISTRY["agg_group_sequential"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("look")
+        .reset_index(drop=True)
+    )
+    assert list(got.look) == [1, 2, 3, 4, 5]
+    crossed_looks = []
+    for _, row in got.iterrows():
+        sel = bucket < row.look
+        nt, nc = int(t[sel].sum()), int((1 - t[sel]).sum())
+        xt = int((t[sel] * y[sel]).sum())
+        xc = int(((1 - t[sel]) * y[sel]).sum())
+        num = xt * nc - xc * nt
+        den = nt * nc * (xt + xc) * (nt + nc - xt - xc)
+        z2i = num * num * (nt + nc) // den
+        z2f = 10**6 * (num * num * (nt + nc) % den) // den
+        z = _isqrt_exact(10**6 * z2i + z2f)
+        assert row.n_total == nt + nc
+        assert row.z_milli == z
+        assert row.boundary_milli == bounds[int(row.look)]
+        assert row.crossed == int(z >= bounds[int(row.look)])
+        if row.crossed:
+            crossed_looks.append(int(row.look))
+    # OBF shape: look 1's 4.877 boundary holds, the planted +5-point
+    # effect crosses by the later looks
+    assert 1 not in crossed_looks
+    assert len(crossed_looks) >= 2
+    # z grows with information on a real effect
+    assert got.z_milli.iloc[-1] > got.z_milli.iloc[0]
+
+
+def test_qa_split_balance_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    is_test = np.array(
+        [
+            int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:15], 16) % 10
+            == 0
+            for i in docs.doc_id
+        ]
+    )
+    src_grp = np.array(
+        [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 4
+            for s in docs.source
+        ]
+    )
+    dims = {
+        "lang": docs.lang.to_numpy(),
+        "src_grp": src_grp.astype(str),
+        "len_bkt": (docs.n_chars.to_numpy() // 50).astype(str),
+    }
+    got = REGISTRY["qa_split_balance"].fn(spark, SF_001).toPandas()
+    assert set(got.dimension) == set(dims)
+    n_tr, n_te = int((~is_test).sum()), int(is_test.sum())
+    for _, row in got.iterrows():
+        vals = dims[row.dimension]
+        l1 = 0
+        max_gap = 0
+        nv = 0
+        for v in set(vals.tolist()):
+            sel = vals == v
+            c_tr = int((sel & ~is_test).sum())
+            c_te = int((sel & is_test).sum())
+            diff = abs(c_tr * n_te - c_te * n_tr)
+            l1 += diff
+            max_gap = max(max_gap, 10**6 * diff // (n_tr * n_te))
+            nv += 1
+        assert row.n_values == nv
+        assert row.tvd_ppm == 10**6 * l1 // (2 * n_tr * n_te)
+        assert row.max_gap_ppm == max_gap
+    # an id-hash split with only ~54 test docs: the marginals are
+    # NOISY (TVD ~ sqrt(k/n_te) lands near 25% on the 12-value length
+    # dimension) — which is exactly the warning this audit raises for
+    # small holdouts; nonzero everywhere, bounded below 40%
+    assert (got.tvd_ppm > 0).all()
+    assert (got.tvd_ppm < 400_000).all()
+    # per-value gaps can never exceed the full TVD doubled
+    assert (got.max_gap_ppm <= 2 * got.tvd_ppm).all()

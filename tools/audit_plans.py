@@ -141,6 +141,12 @@ BNLJ_OK = {
                          # the corpus scan (the fixed-panel recall shape)
     "sample_raking_weights",  # 1-row total-mass scalar broadcast onto
                          # the 20-cell contingency table, per IPF step
+    "agg_leaderboard_churn",  # 20-row rank table self-paired via
+                         # broadcast theta-join (190 pairs) + 3-row
+                         # k grid + 1-row tau fold
+    "agg_group_sequential",  # 5-row look grid triangular broadcast
+                         # join onto the 5 bucket cells + 5-row
+                         # boundary spine
     "agg_cascade_cost_curve",  # 6-row threshold grid broadcast fan-out
                          # + 1-row corpus total
     "agg_moe_capacity_sweep",  # 1-row token total + 4-row factor grid
