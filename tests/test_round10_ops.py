@@ -2121,3 +2121,120 @@ def test_qa_split_balance_matches_pure_python(spark):
     assert (got.tvd_ppm < 400_000).all()
     # per-value gaps can never exceed the full TVD doubled
     assert (got.max_gap_ppm <= 2 * got.tvd_ppm).all()
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch Q (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_friedman_test_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    s = np.stack(
+        [
+            (cents // 7) % 1000 + 0,
+            (cents // 8) % 1000 + 50,
+            (cents // 9) % 1000 + 100,
+            (cents // 10) % 1000 + 150,
+        ],
+        axis=1,
+    )
+    b = len(cents)
+    t = [0, 0, 0, 0]
+    for row in s:
+        for j in range(4):
+            cl = int((row < row[j]).sum())
+            ties = int((row == row[j]).sum())  # includes self
+            t[j] += 2 * cl + ties + 1  # doubled midrank
+    got = REGISTRY["agg_friedman_test"].fn(spark, SF_001).toPandas().iloc[0]
+    assert (got.n_blocks, got.k_treatments, got.df) == (b, 4, 3)
+    assert [got.r2_t0, got.r2_t1, got.r2_t2, got.r2_t3] == t
+    chi = 3000 * sum(x * x for x in t) // (b * 20) - 3000 * b * 5
+    assert got.chi2_milli == chi
+    assert got.significant == int(chi >= 7815)
+    # per-block doubled ranks sum to k(k+1): the global identity
+    assert sum(t) == b * 20
+    # the planted +50/treatment ladder is decisive
+    assert got.significant == 1 and got.chi2_milli > 100_000
+    # and rank mass is monotone in the planted ladder
+    assert t[0] < t[1] < t[2] < t[3]
+
+
+def test_dedup_hash_collision_audit_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    hashes = set()
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        content = (
+            f"boilerplate page {doc_id % 5}"
+            if doc_id % 7 == 0
+            else text.strip().lower()
+        )
+        hashes.add(hashlib.md5(content.encode()).hexdigest())
+    n = len(hashes)
+    got = (
+        REGISTRY["dedup_hash_collision_audit"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("bits")
+        .reset_index(drop=True)
+    )
+    assert list(got.bits) == [16, 24, 32]
+    for _, row in got.iterrows():
+        chars = int(row.bits) // 4
+        buckets = len({h[:chars] for h in hashes})
+        assert row.n_texts == n
+        assert row.n_buckets == buckets
+        assert row.collisions == n - buckets
+        assert row.expected_milli == 1000 * n * (n - 1) // 2 ** (
+            int(row.bits) + 1
+        )
+    # birthday structure: collisions vanish as width grows, and the
+    # 16-bit observation is within ~4x of the exact expectation
+    assert list(got.collisions) == sorted(got.collisions, reverse=True)
+    assert got[got.bits == 32].collisions.iloc[0] == 0
+    e16 = got[got.bits == 16].iloc[0]
+    if e16.expected_milli > 500:
+        assert e16.collisions * 1000 <= 4 * e16.expected_milli + 4000
+
+
+def test_agg_rbo_overlap_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    model = (o.o_custkey.to_numpy() % 20).astype(np.int64)
+    snap = (o.o_orderkey.to_numpy() % 2).astype(np.int64)
+    ok = ((cents // 7) % 100 < 40 + 3 * model).astype(np.int64)
+    ranks = {}
+    for s_ in (0, 1):
+        accs = []
+        for m in range(20):
+            sel = (model == m) & (snap == s_)
+            accs.append((-(10**6 * int(ok[sel].sum()) // int(sel.sum())), m))
+        order = sorted(accs)
+        ranks[s_] = {m: i + 1 for i, (_a, m) in enumerate(order)}
+    weights = [
+        1000000, 900000, 810000, 729000, 656100, 590490, 531441, 478296,
+        430467, 387420,
+    ]
+    got = (
+        REGISTRY["agg_rbo_overlap"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("depth")
+        .reset_index(drop=True)
+    )
+    assert list(got.depth) == list(range(1, 11))
+    total = 0
+    for _, row in got.iterrows():
+        d = int(row.depth)
+        ov = sum(
+            1 for m in range(20) if ranks[0][m] <= d and ranks[1][m] <= d
+        )
+        assert row.overlap == ov
+        assert row.agreement_ppm == 10**6 * ov // d
+        assert row.weight_ppm == weights[d - 1]
+        total += weights[d - 1] * ov // d
+    assert (got.rbo_ppm == total // 10).all()
+    # overlap grows with depth; the stable planted board keeps RBO high
+    assert list(got.overlap) == sorted(got.overlap)
+    assert got.rbo_ppm.iloc[0] > 500_000
+    # exact floored weights: 0.9^7 * 1e6 floors to 478296 (not 478297)
+    assert got[got.depth == 8].weight_ppm.iloc[0] == 478296

@@ -141,6 +141,10 @@ BNLJ_OK = {
                          # the corpus scan (the fixed-panel recall shape)
     "sample_raking_weights",  # 1-row total-mass scalar broadcast onto
                          # the 20-cell contingency table, per IPF step
+    "dedup_hash_collision_audit",  # 3-row width grid + 1-row distinct
+                         # total broadcast onto the fingerprint set
+    "agg_rbo_overlap",   # 10-row depth grid broadcast onto the 20-row
+                         # rank table + 1-row rbo fold
     "agg_leaderboard_churn",  # 20-row rank table self-paired via
                          # broadcast theta-join (190 pairs) + 3-row
                          # k grid + 1-row tau fold
