@@ -2238,3 +2238,107 @@ def test_agg_rbo_overlap_matches_pure_python(spark):
     assert got.rbo_ppm.iloc[0] > 500_000
     # exact floored weights: 0.9^7 * 1e6 floors to 478296 (not 478297)
     assert got[got.depth == 8].weight_ppm.iloc[0] == 478296
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch R (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_design_effect_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    c = o.o_custkey.to_numpy().astype(np.int64)
+    v = (c % 100) * 5 + (cents // 7) % 500
+    clusters = {}
+    for ci, vi in zip(c, v):
+        m, s = clusters.get(int(ci), (0, 0))
+        clusters[int(ci)] = (m + 1, s + int(vi))
+    N = len(v)
+    K = len(clusters)
+    S = int(v.sum())
+    Q = int((v.astype(object) ** 2).sum())
+    sum_m2 = sum(m * m for m, _s in clusters.values())
+    bterm = sum(N * s * s // m for m, s in clusters.values())
+    A = bterm - S * S
+    B = Q * N - bterm
+    m0 = 1000 * (N * N - sum_m2) // (N * (K - 1))
+    icc = (
+        10**6 * (A * (N - K) - B * (K - 1))
+        // (1000 * A * (N - K) + (m0 - 1000) * B * (K - 1))
+    )
+    deff = 1000 + (m0 - 1000) * icc // 1000
+    got = REGISTRY["agg_design_effect"].fn(spark, SF_001).toPandas().iloc[0]
+    assert (got.n, got.k_clusters) == (N, K)
+    assert got.m0_milli == m0
+    assert got.icc_milli == icc
+    assert got.deff_milli == deff
+    assert got.n_eff == 1000 * N // deff
+    # the planted cluster effect: positive ICC, a real DEFF penalty
+    assert got.icc_milli > 100
+    assert got.deff_milli > 1100
+    assert got.n_eff < N
+
+
+def test_agg_freshness_halflife_matches_pure_python(spark):
+    o = spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+    dates = pd.to_datetime(o.o_orderdate)
+    age = (dates.max() - dates).dt.days.to_numpy()
+    got = (
+        REGISTRY["agg_freshness_halflife"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("halflife_days")
+        .reset_index(drop=True)
+    )
+    assert list(got.halflife_days) == [30, 90, 365]
+    for _, row in got.iterrows():
+        h = int(row.halflife_days)
+        w = np.where(age // h >= 20, 0, 1000000 >> np.minimum(age // h, 19))
+        mass = int(w.sum())
+        assert row.n == len(age)
+        assert row.effective_docs == mass // 10**6
+        assert row.mean_weight_ppm == mass // len(age)
+        assert row.recent_ppm == 10**6 * int((age <= h).sum()) // len(age)
+    # longer half-life keeps more of the corpus alive, monotonically
+    assert list(got.effective_docs) == sorted(got.effective_docs)
+    # TPC-H spans ~7 years: the 30-day economy is nearly all decayed
+    assert got.mean_weight_ppm.iloc[0] < 50_000
+    assert got.mean_weight_ppm.iloc[-1] > 100_000
+
+
+def test_graph_attack_tolerance_matches_pure_python(spark):
+    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
+    lp = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    edges = set()
+    for _, grp in lp.groupby("l_orderkey"):
+        parts = sorted(set(int(p) for p in grp.l_partkey))
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                edges.add((parts[i], parts[j]))
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    order = sorted(deg, key=lambda n_: (-deg[n_], n_))
+    rank = {n_: i + 1 for i, n_ in enumerate(order)}
+    got = (
+        REGISTRY["graph_attack_tolerance"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("k_ppm")
+        .reset_index(drop=True)
+    )
+    assert list(got.k_ppm) == [10000, 50000, 100000]
+    for _, row in got.iterrows():
+        cut = len(deg) * int(row.k_ppm) // 10**6
+        left = sum(1 for a, b in edges if rank[a] > cut and rank[b] > cut)
+        assert (row.n_nodes, row.n_edges) == (len(deg), len(edges))
+        assert row.n_removed == cut
+        assert row.edges_left == left
+        assert row.edge_survival_ppm == 10**6 * left // len(edges)
+    # hub attack: removing k% of nodes kills MORE than k% of edges
+    for _, row in got.iterrows():
+        assert 10**6 - row.edge_survival_ppm > row.k_ppm
+    assert list(got.edge_survival_ppm) == sorted(
+        got.edge_survival_ppm, reverse=True
+    )

@@ -24,6 +24,9 @@ GLOBAL_ONE_TASK_OK = {
                          # histogram (the conformal discipline)
     "agg_best_of_n",     # CDF cum + lag windows over the <=1000-row
                          # reward VALUE-domain histogram
+    "graph_attack_tolerance",  # degree rank over the PART dimension
+                         # (dimension-sized, the agg_abc_class
+                         # argument); the survival scan is distributed
     "agg_wilcoxon_signed",  # midrank cum window over the bounded
                          # |d| VALUE-domain histogram
     "win_burn_rate",     # trailing-6h RANGE window over the bounded
@@ -141,6 +144,12 @@ BNLJ_OK = {
                          # the corpus scan (the fixed-panel recall shape)
     "sample_raking_weights",  # 1-row total-mass scalar broadcast onto
                          # the 20-cell contingency table, per IPF step
+    "agg_design_effect",  # 1-row N scalar broadcast into the per-
+                         # cluster SSB fold + 1-row final algebra
+    "agg_freshness_halflife",  # 1-row max-date scalar + 3-row
+                         # half-life grid broadcast fan-out
+    "graph_attack_tolerance",  # 3-row sweep grid + 1-row node/edge
+                         # totals broadcast onto the edge list
     "dedup_hash_collision_audit",  # 3-row width grid + 1-row distinct
                          # total broadcast onto the fingerprint set
     "agg_rbo_overlap",   # 10-row depth grid broadcast onto the 20-row
