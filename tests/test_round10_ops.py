@@ -2342,3 +2342,114 @@ def test_graph_attack_tolerance_matches_pure_python(spark):
     assert list(got.edge_survival_ppm) == sorted(
         got.edge_survival_ppm, reverse=True
     )
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch S (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_auc_delong_ci_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    s = (cents // 7) % 1000
+    y = ((cents // 13) % 1000 < 300 + s // 2).astype(np.int64)
+    vals = sorted(set(s.tolist()))
+    p = {v: int(((s == v) & (y == 1)).sum()) for v in vals}
+    q = {v: int(((s == v) & (y == 0)).sum()) for v in vals}
+    m = sum(p.values())
+    n = sum(q.values())
+    qlt = plt = 0
+    s10 = s10sq = s01 = s01sq = 0
+    for v in vals:
+        v10 = 10**6 * (2 * qlt + q[v]) // (2 * n)
+        v01 = 10**6 * (2 * (m - plt - p[v]) + p[v]) // (2 * m)
+        s10 += p[v] * v10
+        s10sq += p[v] * v10 * v10
+        s01 += q[v] * v01
+        s01sq += q[v] * v01 * v01
+        qlt += q[v]
+        plt += p[v]
+    auc = s10 // m
+    var10 = (m * s10sq - s10 * s10) // (m * m * (m - 1))
+    var01 = (n * s01sq - s01 * s01) // (n * n * (n - 1))
+    se = _isqrt_exact(var10 + var01)
+    got = REGISTRY["agg_auc_delong_ci"].fn(spark, SF_001).toPandas().iloc[0]
+    assert (got.n_pos, got.n_neg) == (m, n)
+    assert got.auc_ppm == auc
+    assert got.se_ppm == se
+    assert got.lo_ppm == max(0, auc - 1960 * se // 1000)
+    assert got.hi_ppm == min(10**6, auc + 1960 * se // 1000)
+    # the planted score-correlated labels: AUC well above chance and
+    # a tight interval at 15k rows that excludes 0.5
+    assert got.auc_ppm > 650_000
+    assert got.se_ppm < 10_000
+    assert got.lo_ppm > 500_000
+
+
+def test_agg_iv_wald_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    z = (o.o_custkey.to_numpy() % 2).astype(np.int64)
+    t = ((cents // 11) % 100 < np.where(z == 1, 60, 10)).astype(np.int64)
+    y = (cents // 11) % 1000 + 100 * t
+    n1, n0 = int(z.sum()), int((1 - z).sum())
+    sy1, sy0 = int(y[z == 1].sum()), int(y[z == 0].sum())
+    st1, st0 = int(t[z == 1].sum()), int(t[z == 0].sum())
+    nt, nc = int(t.sum()), int((1 - t).sum())
+    syt, syc = int(y[t == 1].sum()), int(y[t == 0].sum())
+    got = REGISTRY["agg_iv_wald"].fn(spark, SF_001).toPandas().iloc[0]
+    assert (got.n_encouraged, got.n_control) == (n1, n0)
+    assert got.takeup_gap_ppm == 10**6 * (st1 * n0 - st0 * n1) // (n1 * n0)
+    assert got.itt_y_micro == 10**6 * (sy1 * n0 - sy0 * n1) // (n1 * n0)
+    wald = 10**6 * (sy1 * n0 - sy0 * n1) // (st1 * n0 - st0 * n1)
+    assert got.wald_micro == wald
+    assert got.naive_ols_micro == 10**6 * (syt * nc - syc * nt) // (nt * nc)
+    # the planted +100 effect: Wald recovers it within sampling noise
+    # (measured 90.8), the naive uptake contrast is biased ~45% low by
+    # the shared compliance/baseline plane (measured 55.2)
+    assert abs(got.wald_micro - 100_000_000) < 15_000_000
+    assert abs(got.naive_ols_micro - 100_000_000) > 30_000_000
+    # and the bias direction is the planted one: compliers sit on the
+    # LOW end of the baseline plane
+    assert got.naive_ols_micro < got.wald_micro
+
+
+def test_agg_switchback_est_matches_pure_python(spark):
+    ev = spark.read.parquet(f"{SF_001}/events.parquet").toPandas()
+    secs = (ev.ts.astype("int64") // 10**9).to_numpy()
+    day = secs // 86400
+    hod = (secs // 3600) % 24
+    import decimal
+
+    v = np.array(
+        [
+            int(
+                decimal.Decimal(repr(float(x))).quantize(
+                    decimal.Decimal("0.0001")
+                )
+                * 10000
+            )
+            for x in ev.value
+        ],
+        dtype=np.int64,
+    )
+    treat_day = {
+        int(d): int(hashlib.md5(f"{d}:sb".encode()).hexdigest()[:15], 16) % 2
+        for d in set(day.tolist())
+    }
+    treat = np.array([treat_day[int(d)] for d in day])
+    y = v + 500000 * treat
+    got = REGISTRY["agg_switchback_est"].fn(spark, SF_001).toPandas()
+    for _, row in got.iterrows():
+        sel = np.ones(len(y), dtype=bool)
+        if row.estimator == "boundary_excluded":
+            sel = hod >= 4
+        n1 = int(treat[sel].sum())
+        n0 = int((1 - treat[sel]).sum())
+        s1 = int(y[sel][treat[sel] == 1].sum())
+        s0 = int(y[sel][treat[sel] == 0].sum())
+        assert (row.n_treated, row.n_control) == (n1, n0)
+        assert row.effect_em4 == (s1 * n0 - s0 * n1) // (n1 * n0)
+    # carryover-free fixture: both estimators see the planted +500000
+    # e-4 block effect (value noise is zero-mean across the day coin)
+    for _, row in got.iterrows():
+        assert abs(row.effect_em4 - 500_000) < 50_000

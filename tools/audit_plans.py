@@ -24,6 +24,8 @@ GLOBAL_ONE_TASK_OK = {
                          # histogram (the conformal discipline)
     "agg_best_of_n",     # CDF cum + lag windows over the <=1000-row
                          # reward VALUE-domain histogram
+    "agg_auc_delong_ci",  # placement cum windows over the <=1000-row
+                         # score VALUE-domain histogram
     "graph_attack_tolerance",  # degree rank over the PART dimension
                          # (dimension-sized, the agg_abc_class
                          # argument); the survival scan is distributed
@@ -144,6 +146,8 @@ BNLJ_OK = {
                          # the corpus scan (the fixed-panel recall shape)
     "sample_raking_weights",  # 1-row total-mass scalar broadcast onto
                          # the 20-cell contingency table, per IPF step
+    "agg_auc_delong_ci",  # 1-row (m, n) totals + 1-row component fold
+                         # broadcast over the bounded score histogram
     "agg_design_effect",  # 1-row N scalar broadcast into the per-
                          # cluster SSB fold + 1-row final algebra
     "agg_freshness_halflife",  # 1-row max-date scalar + 3-row
