@@ -2453,3 +2453,124 @@ def test_agg_switchback_est_matches_pure_python(spark):
     # e-4 block effect (value noise is zero-mean across the day coin)
     for _, row in got.iterrows():
         assert abs(row.effect_em4 - 500_000) < 50_000
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch T (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_mm1_queue_plan_matches_pure_python(spark):
+    ev = spark.read.parquet(f"{SF_001}/events.parquet").toPandas()
+    secs = (ev.ts.astype("int64") // 10**9).to_numpy()
+    h = secs // 3600
+    n = len(h)
+    hours = int(h.max()) - int(h.min()) + 1
+    got = (
+        REGISTRY["agg_mm1_queue_plan"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("mu_per_hour")
+        .reset_index(drop=True)
+    )
+    assert list(got.mu_per_hour) == [15, 20, 30]
+    for _, row in got.iterrows():
+        mu = int(row.mu_per_hour)
+        rho = 10**6 * n // (hours * mu)
+        assert row.lambda_milli == 1000 * n // hours
+        assert row.rho_ppm == rho
+        assert row.stable == int(rho < 10**6)
+        if rho < 10**6:
+            lq = rho * rho // (1000 * (10**6 - rho))
+            assert row.lq_milli == lq
+            assert row.wait_s_milli == lq * 3600 * hours // n + (
+                3600000 // mu
+            )
+    # the queueing knee: near saturation the queue explodes nonlinearly
+    lqs = dict(zip(got.mu_per_hour, got.lq_milli))
+    assert lqs[15] > 8 * lqs[30]
+    assert (got.stable == 1).all()
+
+
+def test_text_self_bleu_sampled_matches_pure_python(spark):
+    import re as _re
+
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    got = REGISTRY["text_self_bleu_sampled"].fn(spark, SF_001).toPandas()
+    assert len(got) == docs.source.nunique()
+    for _, row in got.iterrows():
+        sub = (
+            docs[docs.source == row.source]
+            .sort_values("doc_id")
+            .head(4)
+        )
+        toks = [
+            _re.split(r"\s+", t.strip()) for t in sub.text
+        ]
+        counts = []
+        for ts in toks:
+            c: dict[str, int] = {}
+            for t in ts:
+                c[t] = c.get(t, 0) + 1
+            counts.append(c)
+        ppms = []
+        for i in range(len(counts)):
+            for j in range(i + 1, len(counts)):
+                hits = sum(
+                    min(ci, counts[j].get(t, 0))
+                    for t, ci in counts[i].items()
+                )
+                total = sum(counts[i].values())
+                ppms.append(10**6 * hits // total)
+        assert row.n_pairs == len(ppms)
+        assert row.self_bleu1_ppm == sum(ppms) // len(ppms)
+    # the synthetic shared-vocabulary corpus has HIGH self-overlap --
+    # which is exactly what this audit flags
+    assert got.self_bleu1_ppm.median() > 300_000
+
+
+def test_emb_silhouette_centroids_matches_numpy(spark):
+    emb = (
+        spark.read.parquet(f"{SF_001}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    labels = emb.label.to_numpy()
+    q = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype(np.float64) * 1000
+    ).astype(np.int64)
+    uniq = sorted(set(int(x) for x in labels))
+    cents = {
+        lb: np.floor(
+            q[labels == lb].sum(axis=0).astype(np.float64)
+            / (labels == lb).sum()
+        ).astype(np.int64)
+        for lb in uniq
+    }
+    got = (
+        REGISTRY["emb_silhouette_centroids"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    assert list(got.label) == uniq
+    for _, row in got.iterrows():
+        lb = int(row.label)
+        sel = labels == lb
+        d2 = ((q[sel] - cents[lb]) ** 2).sum(axis=1)
+        mean_own = int(d2.sum()) // int(sel.sum())
+        d2o = min(
+            int(((cents[lb] - cents[o]) ** 2).sum())
+            for o in uniq
+            if o != lb
+        )
+        assert row.n == int(sel.sum())
+        assert row.mean_d2_own == mean_own
+        assert row.d2_nearest_centroid == d2o
+        assert row.separation_ratio_ppm == 10**6 * d2o // mean_own
+    # consistency with emb_centroid_confusion: labels with the LOWEST
+    # separation ratio are where confusion concentrates; at minimum the
+    # ratio column must vary (uniform would mean no geometry signal)
+    assert got.separation_ratio_ppm.max() > got.separation_ratio_ppm.min()

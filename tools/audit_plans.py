@@ -146,6 +146,10 @@ BNLJ_OK = {
                          # the corpus scan (the fixed-panel recall shape)
     "sample_raking_weights",  # 1-row total-mass scalar broadcast onto
                          # the 20-cell contingency table, per IPF step
+    "agg_mm1_queue_plan",  # 1-row measured (count, span) scalar
+                         # broadcast onto the 3-row service-rate grid
+    "emb_silhouette_centroids",  # L-row centroid table broadcast onto
+                         # the corpus scan + L x L nearest fold
     "agg_auc_delong_ci",  # 1-row (m, n) totals + 1-row component fold
                          # broadcast over the bounded score histogram
     "agg_design_effect",  # 1-row N scalar broadcast into the per-
