@@ -2574,3 +2574,120 @@ def test_emb_silhouette_centroids_matches_numpy(spark):
     # separation ratio are where confusion concentrates; at minimum the
     # ratio column must vary (uniform would mean no geometry signal)
     assert got.separation_ratio_ppm.max() > got.separation_ratio_ppm.min()
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch U (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_sample_ess_audit_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    p = (cents // 7) % 100
+    w = 100000 + p * 1000 + np.where(p == 99, 5000000, 0)
+    n = len(w)
+    s1 = int(w.sum())
+    got = (
+        REGISTRY["sample_ess_audit"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("clip_x_mean")
+        .reset_index(drop=True)
+    )
+    assert list(got.clip_x_mean) == [-1, 2, 5, 10]
+    ess = {}
+    for _, row in got.iterrows():
+        c = int(row.clip_x_mean)
+        cap = (10**6 if c == -1 else c) * s1 // n
+        wc = np.minimum(w, cap)
+        c1 = int(wc.sum())
+        c2 = int((wc.astype(object) * wc).sum())
+        assert row.n == n
+        assert row.n_clipped == int((w > cap).sum())
+        assert row.ess_ppm == 10**6 * c1 * c1 // (n * c2)
+        assert row.mean_w_ppm == c1 // n
+        ess[c] = row.ess_ppm
+    # the trade: tighter clips recover ESS monotonically while the
+    # mean weight (the bias knob) falls
+    assert ess[2] > ess[5] > ess[10] > ess[-1]
+    means = dict(zip(got.clip_x_mean, got.mean_w_ppm))
+    assert means[2] < means[5] < means[10] <= means[-1]
+    # the planted 1%-jackpot tail makes unclipped ESS genuinely poor
+    # (measured 133k ppm) and a 2x-mean cap recovers ~94% efficiency
+    assert ess[-1] < 200_000
+    assert ess[2] > 900_000
+
+
+def test_agg_jackknife_ratio_se_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    keys = o.o_orderkey.to_numpy()
+    fold = np.array(
+        [
+            int(hashlib.md5(f"{k}:jk".encode()).hexdigest()[:15], 16) % 10
+            for k in keys
+        ]
+    )
+    num = (cents % 3 == 0).astype(np.int64)
+    den = (cents % 2 == 0).astype(np.int64)
+    tn, td = int(num.sum()), int(den.sum())
+    thetas = []
+    for g in range(10):
+        sel = fold != g
+        thetas.append(
+            10**6 * int(num[sel].sum()) // int(den[sel].sum())
+        )
+    g = 10
+    st = sum(thetas)
+    st2 = sum(t * t for t in thetas)
+    rad = (st2 - st * st // g) * (g - 1) // g
+    got = (
+        REGISTRY["agg_jackknife_ratio_se"].fn(spark, SF_001)
+        .toPandas().iloc[0]
+    )
+    assert got.n_folds == 10
+    assert got.ratio_ppm == 10**6 * tn // td
+    assert got.se_ppm == _isqrt_exact(rad)
+    # the ratio of two ~50% indicators at 15k rows: a real but small SE
+    assert 0 < got.se_ppm < 30_000
+
+
+def test_store_manifest_diff_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    part = o.o_orderdate.astype(str).str[:7].to_numpy()
+    d = pd.to_datetime(o.o_orderdate)
+    in_a = (d <= pd.Timestamp("1997-12-31")).to_numpy()
+    parts = sorted(set(part.tolist()))
+    manifest = {}
+    for pt in parts:
+        sel = part == pt
+        manifest[pt] = (
+            int((sel & in_a).sum()),
+            int(sel.sum()),
+            int(cents[sel & in_a].sum()),
+            int(cents[sel].sum()),
+        )
+    got = REGISTRY["store_manifest_diff"].fn(spark, SF_001).toPandas()
+    summ = got[got.grain == "summary"].iloc[0]
+    added = sum(1 for ra, _rb, _ca, _cb in manifest.values() if ra == 0)
+    changed = sum(
+        1 for ra, rb, _ca, _cb in manifest.values() if ra > 0 and rb != ra
+    )
+    unchanged = sum(
+        1
+        for ra, rb, ca, cb in manifest.values()
+        if rb == ra and cb == ca
+    )
+    assert summ.n == len(parts)
+    assert (summ.added, summ.changed, summ.unchanged) == (
+        added, changed, unchanged,
+    )
+    assert summ.row_delta == sum(
+        rb - ra for ra, rb, _ca, _cb in manifest.values()
+    )
+    # the immutable-fact structure: no partition is 'changed', every
+    # delta row is a pure addition (1998 months)
+    assert changed == 0 and added > 0
+    per = got[got.grain == "partition"]
+    assert len(per) == added
+    assert (per.part.str[:4] >= "1998").all()
+    assert (per.added == 1).all()

@@ -146,6 +146,10 @@ BNLJ_OK = {
                          # the corpus scan (the fixed-panel recall shape)
     "sample_raking_weights",  # 1-row total-mass scalar broadcast onto
                          # the 20-cell contingency table, per IPF step
+    "sample_ess_audit",  # 1-row weight totals + 4-row clip grid
+                         # broadcast fan-out onto the weight scan
+    "agg_jackknife_ratio_se",  # 1-row totals broadcast onto the 10-row
+                         # fold spine + 1-row jackknife fold
     "agg_mm1_queue_plan",  # 1-row measured (count, span) scalar
                          # broadcast onto the 3-row service-rate grid
     "emb_silhouette_centroids",  # L-row centroid table broadcast onto
