@@ -2691,3 +2691,95 @@ def test_store_manifest_diff_matches_pure_python(spark):
     assert len(per) == added
     assert (per.part.str[:4] >= "1998").all()
     assert (per.added == 1).all()
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch V (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_text_watermark_detect_matches_pure_python(spark):
+    import re as _re
+
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    per_source: dict[str, list] = {}
+    for doc_id, text, source in zip(docs.doc_id, docs.text, docs.source):
+        m = (
+            1
+            if int(hashlib.md5(source.encode()).hexdigest()[:15], 16) % 4
+            == 0
+            else 0
+        )
+        toks = _re.split(r"\s+", text.strip())
+        n = len(toks)
+        g = sum(
+            1
+            for i, t in enumerate(toks, start=1)
+            if int(
+                hashlib.md5(f"{t}:{doc_id}:{i}".encode()).hexdigest()[:15],
+                16,
+            )
+            % 100
+            < 50 + 40 * m
+        )
+        flagged = int(2 * g - n > 0 and (2 * g - n) ** 2 >= 9 * n)
+        s = per_source.setdefault(source, [m, 0, 0, 0, 0])
+        s[1] += 1
+        s[2] += flagged
+        s[3] += g
+        s[4] += n
+    got = REGISTRY["text_watermark_detect"].fn(spark, SF_001).toPandas()
+    assert len(got) == len(per_source)
+    for _, row in got.iterrows():
+        m, nd, nf, gg, nn = per_source[row.source]
+        assert (row.marked_source, row.n_docs, row.n_flagged) == (m, nd, nf)
+        assert row.flag_ppm == 10**6 * nf // nd
+        assert row.green_rate_ppm == 10**6 * gg // nn
+    # the planted watermark separates cleanly: marked sources flag the
+    # bulk of their documents, clean sources essentially never do
+    marked = got[got.marked_source == 1]
+    clean = got[got.marked_source == 0]
+    assert len(marked) >= 3 and len(clean) >= 10
+    assert marked.flag_ppm.min() > 600_000
+    assert clean.flag_ppm.max() < 50_000
+    # and clean sources sit at the fair-coin green rate
+    assert abs(clean.green_rate_ppm.mean() - 500_000) < 20_000
+
+
+def test_agg_ljung_box_matches_pure_python(spark):
+    cents, o = _cents_series(spark)
+    day = pd.to_datetime(o.o_orderdate).dt.floor("D")
+    rev = pd.Series(cents).groupby(day.values).sum().sort_index()
+    x = rev.to_numpy().astype(object)
+    D = len(x)
+    S = int(sum(x))
+    e = [int(v) * D - S for v in x]
+    c0 = sum(v * v for v in e)
+    got = (
+        REGISTRY["agg_ljung_box"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("lag")
+        .reset_index(drop=True)
+    )
+    assert list(got.lag) == [1, 2, 3, 4, 5]
+    lb = 0
+    for _, row in got.iterrows():
+        k = int(row.lag)
+        c = sum(e[i] * e[i - k] for i in range(k, D))
+        num = 10**6 * c
+        # both engines truncate toward zero (dividend-sign remainder);
+        # python's % floors, so emulate trunc explicitly
+        r = num // c0 if num >= 0 else -((-num) // c0)
+        assert row.r_ppm == r
+        assert row.r2_ppm == r * r // 10**6
+        lb += (1000 * D * (D + 2) * r * r) // ((D - k) * 10**12)
+        assert row.lb_cum_milli == lb
+        if k == 5:
+            assert row.significant_at_5 == int(lb >= 11070)
+        else:
+            assert row.significant_at_5 == -1
+    # TPC-H order dates are iid uniform: daily revenue is white noise,
+    # the test must NOT reject (that's the calibration check)
+    assert got[got.lag == 5].significant_at_5.iloc[0] == 0
+    assert (got.r_ppm.abs() < 100_000).all()

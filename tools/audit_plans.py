@@ -26,6 +26,8 @@ GLOBAL_ONE_TASK_OK = {
                          # reward VALUE-domain histogram
     "agg_auc_delong_ci",  # placement cum windows over the <=1000-row
                          # score VALUE-domain histogram
+    "agg_ljung_box",     # residual rank + cumulative-LB windows over
+                         # the calendar-bounded day spine
     "graph_attack_tolerance",  # degree rank over the PART dimension
                          # (dimension-sized, the agg_abc_class
                          # argument); the survival scan is distributed
@@ -146,6 +148,8 @@ BNLJ_OK = {
                          # the corpus scan (the fixed-panel recall shape)
     "sample_raking_weights",  # 1-row total-mass scalar broadcast onto
                          # the 20-cell contingency table, per IPF step
+    "agg_ljung_box",     # 1-row totals + 5-row lag grid broadcast
+                         # onto the calendar-bounded day spine
     "sample_ess_audit",  # 1-row weight totals + 4-row clip grid
                          # broadcast fan-out onto the weight scan
     "agg_jackknife_ratio_se",  # 1-row totals broadcast onto the 10-row
