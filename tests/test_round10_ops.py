@@ -2783,3 +2783,91 @@ def test_agg_ljung_box_matches_pure_python(spark):
     # the test must NOT reject (that's the calibration check)
     assert got[got.lag == 5].significant_at_5.iloc[0] == 0
     assert (got.r_ppm.abs() < 100_000).all()
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch W (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_ops_snips_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    a_log = (cents // 7) % 4
+    a_tgt = (cents // 13) % 4
+    r = ((a_log == a_tgt) & ((cents // 17) % 10 < 8)).astype(np.int64)
+    match = (a_log == a_tgt).astype(np.int64)
+    n = len(cents)
+    sw = 4 * int(match.sum())
+    swr = 4 * int((match * r).sum())
+    sw2 = 16 * int(match.sum())
+    got = REGISTRY["agg_ops_snips"].fn(spark, SF_001).toPandas().iloc[0]
+    assert got.n == n
+    assert got.n_matched == int(match.sum())
+    assert got.logged_value_ppm == 10**6 * int(r.sum()) // n
+    assert got.ips_ppm == 10**6 * swr // n
+    assert got.snips_ppm == 10**6 * swr // sw
+    assert got.weight_ess_ppm == 10**6 * sw * sw // (n * sw2)
+    # the planted structure: target policy ~800k ppm on both
+    # estimators, logged policy ~200k - the launch gap
+    assert abs(got.snips_ppm - 800_000) < 30_000
+    assert abs(got.ips_ppm - 800_000) < 60_000
+    assert got.logged_value_ppm < 250_000
+    # ESS of {0,4} weights at a 1-in-4 match rate is the match rate
+    assert abs(got.weight_ess_ppm - 250_000) < 30_000
+
+
+def test_graph_random_failure_vs_attack(spark):
+    """Pure-python recomputation + the Albert-Barabasi contrast against
+    graph_attack_tolerance on the same graph and sweep."""
+    li = spark.read.parquet(f"{SF_001}/lineitem.parquet").toPandas()
+    lp = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    edges = set()
+    for _, grp in lp.groupby("l_orderkey"):
+        parts = sorted(set(int(p) for p in grp.l_partkey))
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                edges.add((parts[i], parts[j]))
+    nodes = {n_ for e_ in edges for n_ in e_}
+    u = {
+        n_: int(hashlib.md5(f"{n_}:rf".encode()).hexdigest()[:15], 16)
+        % 10**6
+        for n_ in nodes
+    }
+    got = (
+        REGISTRY["graph_random_failure"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("k_ppm")
+        .reset_index(drop=True)
+    )
+    attack = (
+        REGISTRY["graph_attack_tolerance"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("k_ppm")
+        .reset_index(drop=True)
+    )
+    assert list(got.k_ppm) == [10000, 50000, 100000]
+    for _, row in got.iterrows():
+        k = int(row.k_ppm)
+        removed = sum(1 for n_ in nodes if u[n_] < k)
+        left = sum(1 for a, b in edges if u[a] >= k and u[b] >= k)
+        assert (row.n_nodes, row.n_edges) == (len(nodes), len(edges))
+        assert row.n_removed == removed
+        assert row.edges_left == left
+        assert row.edge_survival_ppm == 10**6 * left // len(edges)
+    # the Albert-Barabasi contrast: random failure keeps more of the
+    # graph than a same-k hub attack at every sweep point, and the gap
+    # WIDENS with k (measured 14k/30k/63k ppm at 1/5/10% — this
+    # co-purchase graph's skew is modest, order size caps the degree)
+    gaps = []
+    for k in (10000, 50000, 100000):
+        rnd = got[got.k_ppm == k].edge_survival_ppm.iloc[0]
+        atk = attack[attack.k_ppm == k].edge_survival_ppm.iloc[0]
+        assert rnd > atk
+        gaps.append(rnd - atk)
+    assert gaps[0] < gaps[1] < gaps[2]
+    assert gaps[2] > 50_000
+    # and random survival tracks the (1-k)^2 expectation loosely
+    r10 = got[got.k_ppm == 10000].edge_survival_ppm.iloc[0]
+    assert abs(r10 - 980_100) < 15_000

@@ -148,6 +148,9 @@ BNLJ_OK = {
                          # the corpus scan (the fixed-panel recall shape)
     "sample_raking_weights",  # 1-row total-mass scalar broadcast onto
                          # the 20-cell contingency table, per IPF step
+    "graph_random_failure",  # 3-row sweep grid + 1-row node/edge
+                         # totals broadcast onto the edge list (the
+                         # graph_attack_tolerance shape)
     "agg_ljung_box",     # 1-row totals + 5-row lag grid broadcast
                          # onto the calendar-bounded day spine
     "sample_ess_audit",  # 1-row weight totals + 4-row clip grid
