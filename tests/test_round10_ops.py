@@ -2871,3 +2871,70 @@ def test_graph_random_failure_vs_attack(spark):
     # and random survival tracks the (1-k)^2 expectation loosely
     r10 = got[got.k_ppm == 10000].edge_survival_ppm.iloc[0]
     assert abs(r10 - 980_100) < 15_000
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch X (staged for the R11 driver window)
+# ---------------------------------------------------------------------
+
+
+def test_agg_mde_floor_matches_pure_python(spark):
+    cents, _o = _cents_series(spark)
+    n = len(cents)
+    p = 10**6 * int((cents % 2 == 0).sum()) // n
+    got = (
+        REGISTRY["agg_mde_floor"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("n_multiple")
+        .reset_index(drop=True)
+    )
+    assert list(got.n_multiple) == [1, 4, 16]
+    for _, row in got.iterrows():
+        na = n * int(row.n_multiple)
+        se = _isqrt_exact(2 * p * (10**6 - p) // na)
+        assert (row.n_assumed, row.p_ppm) == (na, p)
+        assert row.se_ppm == se
+        assert row.mde_alpha_ppm == 1960 * se // 1000
+        assert row.mde_power80_ppm == 2800 * se // 1000
+    # MDE halves per 4x data (the planning identity, up to isqrt floor)
+    m = list(got.mde_power80_ppm)
+    assert abs(m[0] - 2 * m[1]) <= 6 and abs(m[1] - 2 * m[2]) <= 6
+    # at 15k rows the 80%-power floor sits near 2.3 points
+    assert 15_000 < m[0] < 35_000
+
+
+def test_agg_capture_recapture_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    hashes = set()
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        content = (
+            f"boilerplate page {doc_id % 5}"
+            if doc_id % 7 == 0
+            else text.strip().lower()
+        )
+        hashes.add(hashlib.md5(content.encode()).hexdigest())
+    n_a = n_b = overlap = 0
+    for h in hashes:
+        a = int(hashlib.md5(f"{h}:A".encode()).hexdigest()[:15], 16) % 4 == 0
+        b = int(hashlib.md5(f"{h}:B".encode()).hexdigest()[:15], 16) % 4 == 0
+        n_a += a
+        n_b += b
+        overlap += a and b
+    true_n = len(hashes)
+    got = (
+        REGISTRY["agg_capture_recapture"].fn(spark, SF_001)
+        .toPandas().iloc[0]
+    )
+    assert (got.true_n, got.n_a, got.n_b, got.overlap) == (
+        true_n, n_a, n_b, overlap,
+    )
+    lincoln = -1 if overlap == 0 else n_a * n_b // overlap
+    chapman = (n_a + 1) * (n_b + 1) // (overlap + 1) - 1
+    assert got.est_lincoln == lincoln
+    assert got.est_chapman == chapman
+    assert got.chapman_abs_err_ppm == 10**6 * abs(chapman - true_n) // true_n
+    # the estimator works: Chapman lands within 35% of the known truth
+    # at ~28 expected overlap (error ~ 1/sqrt(m), the documented knob)
+    assert got.chapman_abs_err_ppm < 350_000
+    assert got.overlap > 5

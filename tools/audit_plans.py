@@ -151,6 +151,8 @@ BNLJ_OK = {
     "graph_random_failure",  # 3-row sweep grid + 1-row node/edge
                          # totals broadcast onto the edge list (the
                          # graph_attack_tolerance shape)
+    "agg_mde_floor",     # 1-row observed-rate scalar broadcast onto
+                         # the 3-row n-multiple grid
     "agg_ljung_box",     # 1-row totals + 5-row lag grid broadcast
                          # onto the calendar-bounded day spine
     "sample_ess_audit",  # 1-row weight totals + 4-row clip grid
