@@ -1,0 +1,191 @@
+"""Independent reference checks for the round-11 additions.
+
+Pure-python / numpy references — no SQL text shared with the oracle
+twins (the check_oracle sweep proves cross-engine equality; these prove
+the SEMANTICS against a third implementation), same discipline as
+tests/test_round10_ops.py.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pandas as pd
+
+from varda_spark.catalog import REGISTRY
+
+SF_001 = "/root/testdata/sf0.01"
+
+
+def _orders(spark) -> pd.DataFrame:
+    return spark.read.parquet(f"{SF_001}/orders.parquet").toPandas()
+
+
+def _cents(price) -> int:
+    # the same DECIMAL(18,4) hop both engines use
+    return int(Decimal(repr(float(price))).quantize(Decimal("0.0001")) * 100)
+
+
+def _isqrt(n: int) -> int:
+    import math
+
+    return math.isqrt(n)
+
+
+# ---------------------------------------------------------------- batch Y
+
+
+def _bt_solve(cells, wins, models=8, iters=8, K=10**12):
+    p = {m: 10**6 for m in range(models)}
+    for _ in range(iters):
+        d = {m: 0 for m in range(models)}
+        for (i, j), n in cells.items():
+            d[i] += n * K // (p[i] + p[j])
+            d[j] += n * K // (p[i] + p[j])
+        raw = {m: wins.get(m, 0) * K // d[m] for m in range(models)}
+        tot = sum(raw.values())
+        p = {m: max(1, raw[m] * models * 10**6 // tot) for m in range(models)}
+    return p
+
+
+def test_agg_arena_pipeline_matches_pure_python(spark):
+    """Battles -> per-snapshot BT solve -> churn/RBO/tau recomputed with
+    plain Python ints; also wires the family: the snapshot-0 BT ranking
+    must be consistent with the planted index ladder's head."""
+    o = _orders(spark)
+    models, iters, K = 8, 8, 10**12
+    cells = {0: {}, 1: {}}
+    wins = {0: {}, 1: {}}
+    for ok_, ck, price in zip(o.o_orderkey, o.o_custkey, o.o_totalprice):
+        snap = int(ok_) % 2
+        a = int(ck) % models
+        b = (a + 1 + (int(ck) // models) % (models - 1)) % models
+        w = b if (_cents(price) // 7) % 16 < 8 + b - a else a
+        wins[snap][w] = wins[snap].get(w, 0) + 1
+        i, j = min(a, b), max(a, b)
+        cells[snap][(i, j)] = cells[snap].get((i, j), 0) + 1
+    ranks = {}
+    for snap in (0, 1):
+        p = _bt_solve(cells[snap], wins[snap], models, iters, K)
+        order = sorted(range(models), key=lambda m: (-p[m], m))
+        ranks[snap] = {m: r + 1 for r, m in enumerate(order)}
+    weights = [1000000, 900000, 810000, 729000, 656100, 590490, 531441, 478296]
+    per = []
+    for d in range(1, 9):
+        ov = sum(
+            1 for m in range(models) if ranks[0][m] <= d and ranks[1][m] <= d
+        )
+        per.append((d, ov, weights[d - 1]))
+    rbo = sum((w * ov) // d for d, ov, w in per) // 10
+    conc = disc = 0
+    for m1 in range(models):
+        for m2 in range(m1 + 1, models):
+            s = (ranks[0][m1] - ranks[0][m2]) * (ranks[1][m1] - ranks[1][m2])
+            conc += s > 0
+            disc += s < 0
+    tau = (1000 * (conc - disc)) // (conc + disc)
+    got = (
+        REGISTRY["agg_arena_pipeline"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("depth")
+        .reset_index(drop=True)
+    )
+    assert list(got.depth) == [d for d, _, _ in per]
+    assert list(got.overlap) == [ov for _, ov, _ in per]
+    assert list(got.weight_ppm) == [w for _, _, w in per]
+    assert list(got.agreement_ppm) == [
+        (1000000 * ov) // d for d, ov, _ in per
+    ]
+    assert set(got.rbo_ppm) == {rbo}
+    assert set(got.tau_milli) == {tau}
+    # planted index ladder: the two snapshots agree on the board's head
+    # (model 7 is the strongest in both) and the composed report reads
+    # high-stability: tau and RBO both well above the noise floor.
+    assert got.overlap.iloc[0] == 1  # top-1 identical across snapshots
+    assert tau >= 500 and rbo >= 500_000
+
+
+def test_agg_mantel_haenszel_matches_pure_python(spark):
+    o = _orders(spark)
+    cells = {}
+    for ok_, ck, price in zip(o.o_orderkey, o.o_custkey, o.o_totalprice):
+        s = int(ck) % 5
+        t = 1 if (int(ok_) // 7) % 10 < 2 + s else 0
+        y = 1 if (_cents(price) // 11) % 100 < 20 + 10 * s + 8 * t else 0
+        c = cells.setdefault(s, [0, 0, 0, 0])
+        c[(1 - t) * 2 + (1 - y)] += 1  # [a, b, c, d] = [t1y1, t1y0, t0y1, t0y0]
+    num = sum(
+        (c[0] * c[3] * 1000000) // sum(c) for c in cells.values()
+    )
+    den = sum(
+        (c[1] * c[2] * 1000000) // sum(c) for c in cells.values()
+    )
+    ta = sum(c[0] for c in cells.values())
+    tb = sum(c[1] for c in cells.values())
+    tc = sum(c[2] for c in cells.values())
+    td = sum(c[3] for c in cells.values())
+    mh = (1000 * num) // den
+    crude = (1000 * ta * td) // (tb * tc)
+    got = (
+        REGISTRY["agg_mantel_haenszel"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("stratum")
+        .reset_index(drop=True)
+    )
+    for s in range(5):
+        a, b, c, d = cells[s]
+        row = got.iloc[s]
+        assert (row.n11, row.n10, row.n01, row.n00) == (a, b, c, d)
+        want_or = -1 if b * c == 0 else (1000 * a * d) // (b * c)
+        assert row.or_milli == want_or
+    assert set(got.mh_or_milli) == {mh}
+    assert set(got.crude_or_milli) == {crude}
+    assert set(got.confounding_gap_milli) == {crude - mh}
+    # planted confounding: treated share rises with the stratum base
+    # rate, so the crude OR overstates the pooled within-stratum OR
+    assert crude > mh > 1000  # real positive effect, inflated crude read
+
+
+def test_agg_spearman_rho_matches_pure_python(spark):
+    o = _orders(spark)
+    xs, ys = [], []
+    for price in o.o_totalprice:
+        c = _cents(price)
+        x = (c // 7) % 50
+        xs.append(x)
+        ys.append(x * 2 + (c // 13) % 30)
+    n = len(xs)
+
+    def norm_ranks(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        out, below = {}, 0
+        for v in sorted(cnt):
+            dr = 2 * below + cnt[v] + 1
+            out[v] = (1000000 * dr) // (2 * n)
+            below += cnt[v]
+        return out
+
+    rx = norm_ranks(xs)
+    ry = norm_ranks(ys)
+    sx = sum(rx[v] for v in xs)
+    sy = sum(ry[v] for v in ys)
+    sxx = sum(rx[v] ** 2 for v in xs)
+    syy = sum(ry[v] ** 2 for v in ys)
+    sxy = sum(rx[a] * ry[b] for a, b in zip(xs, ys))
+    num = n * sxy - sx * sy
+    s1 = _isqrt(n * sxx - sx * sx)
+    s2 = _isqrt(n * syy - sy * sy)
+    rho = (1000 * num) // (s1 * s2)
+    got = REGISTRY["agg_spearman_rho"].fn(spark, SF_001).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row.n_rows == n
+    assert row.n_distinct_x == len(rx)
+    assert row.n_distinct_y == len(ry)
+    assert row.rho_milli == rho
+    # planted y = 2x + bounded noise: strongly positive rank correlation
+    assert rho >= 800

@@ -31,6 +31,9 @@ GLOBAL_ONE_TASK_OK = {
     "graph_attack_tolerance",  # degree rank over the PART dimension
                          # (dimension-sized, the agg_abc_class
                          # argument); the survival scan is distributed
+    "agg_spearman_rho",  # rank cum windows over the <=50/<=130-row
+                         # score VALUE-domain marginal histograms (the
+                         # wilcoxon midrank discipline)
     "agg_wilcoxon_signed",  # midrank cum window over the bounded
                          # |d| VALUE-domain histogram
     "win_burn_rate",     # trailing-6h RANGE window over the bounded
@@ -175,6 +178,14 @@ BNLJ_OK = {
                          # total broadcast onto the fingerprint set
     "agg_rbo_overlap",   # 10-row depth grid broadcast onto the 20-row
                          # rank table + 1-row rbo fold
+    "agg_arena_pipeline",  # 8-row depth grid + 8-row rank table
+                         # self-paired via broadcast theta-join (28
+                         # pairs) + 1-row rbo/tau folds (the
+                         # rbo_overlap + leaderboard_churn shapes)
+    "agg_mantel_haenszel",  # 1-row MH fold broadcast back onto the
+                         # 5-row stratum cell table
+    "agg_spearman_rho",  # 1-row corpus total + 1-row distinct counts
+                         # broadcast onto the bounded joint histogram
     "agg_leaderboard_churn",  # 20-row rank table self-paired via
                          # broadcast theta-join (190 pairs) + 3-row
                          # k grid + 1-row tau fold

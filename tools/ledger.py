@@ -35,8 +35,12 @@ except ImportError:  # post-r10 checkouts: the staging list was promoted
     _DRIVER_PRIORITY_R10 = []
 try:
     from varda_spark.catalog import _DRIVER_PRIORITY_R11  # noqa: E402
-except ImportError:  # pre-r10-close checkouts
+except ImportError:  # post-r11-open checkouts: first 50 promoted, rest -> R12
     _DRIVER_PRIORITY_R11 = []
+try:
+    from varda_spark.catalog import _DRIVER_PRIORITY_R12  # noqa: E402
+except ImportError:  # pre-r11-open checkouts
+    _DRIVER_PRIORITY_R12 = []
 
 
 def driver_history() -> dict[str, tuple[int, str]]:
@@ -149,7 +153,8 @@ def build_rows():
     smoke_name, smoke = catalog_smoke()
     shapes = plan_shapes()
     live = set(_DRIVER_PRIORITY[:50])
-    staged10 = set(_DRIVER_PRIORITY_R10) | set(_DRIVER_PRIORITY_R11)
+    staged10 = (set(_DRIVER_PRIORITY_R10) | set(_DRIVER_PRIORITY_R11)
+                | set(_DRIVER_PRIORITY_R12))
     rows = []
     for key, spec in REGISTRY.items():
         twinned = spec.sql is not None
@@ -236,7 +241,7 @@ def readme_paragraph(s: dict) -> str:
                 "every twinned key has been driver-sampled; the rotation is complete. Latest committed\n"
                 if s["staged_next"] == 0
                 else f"the live window holds {s['live_window']} never-sampled keys and the final\n"
-                f"{s['staged_next']} are staged for the next rotation window (`_DRIVER_PRIORITY_R11`, catalog.py). Latest committed\n"
+                f"{s['staged_next']} are staged for the next rotation window (`_DRIVER_PRIORITY_R12`, catalog.py). Latest committed\n"
             )
         )
         + f"full sweep: {s['sweep_exact']}/{s['sweep_checked']} EXACT"
