@@ -189,3 +189,100 @@ def test_agg_spearman_rho_matches_pure_python(spark):
     assert row.rho_milli == rho
     # planted y = 2x + bounded noise: strongly positive rank correlation
     assert rho >= 800
+
+# ---------------------------------------------------------------- batch Z
+
+
+def test_agg_roofline_plan_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    tokens = int(docs.n_chars.sum()) // 4
+    BW, FL = 3_350_000_000_000, 990_000_000_000_000
+    want = {}
+    for p in (1, 8, 70):
+        for b in (2, 1):
+            for bt in (1, 16, 256):
+                comp = FL // (2 * p * 10**9)
+                mem = (BW * bt) // (p * 10**9 * b)
+                bound = min(comp, mem)
+                want[(p, b, bt)] = (
+                    comp, mem, bound,
+                    "memory" if mem < comp else "compute",
+                    tokens // bound if bound else -1,
+                )
+    got = REGISTRY["agg_roofline_plan"].fn(spark, SF_001).toPandas()
+    assert len(got) == 18
+    for _, r in got.iterrows():
+        comp, mem, bound, regime, sec = want[
+            (r.params_b, r.bytes_per_param, r.batch)
+        ]
+        assert (r.compute_tps, r.mem_tps, r.bound_tps) == (comp, mem, bound)
+        assert r.regime == regime and r.corpus_scan_sec == sec
+    # the roofline punchline: batch-1 decode is ALWAYS memory-bound;
+    # batching flips small models to compute-bound (1B int8 at 256)
+    # while 70B fp16 stays memory-bound even at batch 256 — the flip
+    # point depends on size x precision, which is what the grid shows
+    assert set(got[got.batch == 1].regime) == {"memory"}
+    b256 = got[got.batch == 256]
+    assert (
+        b256[(b256.params_b == 1) & (b256.bytes_per_param == 1)].regime.iloc[0]
+        == "compute"
+    )
+    assert (
+        b256[(b256.params_b == 70) & (b256.bytes_per_param == 2)].regime.iloc[0]
+        == "memory"
+    )
+
+
+def test_agg_grad_noise_scale_matches_pure_python(spark):
+    o = _orders(spark)
+    S = [0] * 8
+    Q = [0] * 8
+    n = len(o)
+    for price in o.o_totalprice:
+        c = _cents(price)
+        for j in range(8):
+            g = 5 + 3 * j + (c // (7 + j)) % 201 - 100
+            S[j] += g
+            Q[j] += g * g
+    sq = sum(Q)
+    sss = sum(s * s for s in S)
+    got = REGISTRY["agg_grad_noise_scale"].fn(spark, SF_001).toPandas()
+    row = got.iloc[0]
+    assert row.n_examples == n and row.n_dims == 8
+    assert row.gnorm2_milli == (1000 * sss) // (n * n)
+    assert row.trace_milli == (1000 * (n * sq - sss)) // (n * (n - 1))
+    assert row.bcrit_milli == (1000 * n * (n * sq - sss)) // ((n - 1) * sss)
+    # planted signal: mu_j = 5+3j plus a small modular drift ->
+    # |G|^2 ~ 2300; noise var ~ 201^2/12 per dim -> trace ~ 8 * 3360;
+    # B_crit ~ trace/|G|^2 lands in the 8-15x band (measured 11.57)
+    assert 2_000_000 <= row.gnorm2_milli <= 3_600_000
+    assert 7_000 <= row.bcrit_milli <= 16_000
+
+
+def test_pack_kv_paging_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+    lens = [max(int(c) // 4, 1) for c in docs.n_chars]
+    got = (
+        REGISTRY["pack_kv_paging"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("block_size")
+        .reset_index(drop=True)
+    )
+    frag = {}
+    for bs, row in zip((16, 64, 256), got.itertuples()):
+        blocks = sum((x + bs - 1) // bs for x in lens)
+        alloc = sum(((x + bs - 1) // bs) * bs for x in lens)
+        tot = sum(lens)
+        assert row.block_size == bs
+        assert row.n_seqs == len(lens)
+        assert row.total_tokens == tot
+        assert row.total_blocks == blocks
+        assert row.alloc_tokens == alloc
+        assert row.frag_ppm == (1_000_000 * (alloc - tot)) // alloc
+        avg = alloc // len(lens)
+        assert row.avg_alloc_per_seq == avg
+        assert row.cap_seqs == (25_769_803_776 // 131_072) // avg
+        frag[bs] = row.frag_ppm
+    # fragmentation strictly grows with block size on a real length mix
+    assert frag[16] < frag[64] < frag[256]

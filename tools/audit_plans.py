@@ -186,6 +186,11 @@ BNLJ_OK = {
                          # 5-row stratum cell table
     "agg_spearman_rho",  # 1-row corpus total + 1-row distinct counts
                          # broadcast onto the bounded joint histogram
+    "agg_roofline_plan",  # 18-row literal hardware grid + 1-row corpus
+                         # token fold broadcast
+    "agg_grad_noise_scale",  # 8-row dim grid stateless fan-out
+                         # (the agg_moe_balance shape)
+    "pack_kv_paging",    # 3-row block-size grid stateless fan-out
     "agg_leaderboard_churn",  # 20-row rank table self-paired via
                          # broadcast theta-join (190 pairs) + 3-row
                          # k grid + 1-row tau fold
