@@ -286,3 +286,107 @@ def test_pack_kv_paging_matches_pure_python(spark):
         frag[bs] = row.frag_ppm
     # fragmentation strictly grows with block size on a real length mix
     assert frag[16] < frag[64] < frag[256]
+
+# --------------------------------------------------------------- batch AA
+
+
+def _events(spark) -> pd.DataFrame:
+    return spark.read.parquet(f"{SF_001}/events.parquet").toPandas()
+
+
+def test_agg_apdex_score_matches_pure_python(spark):
+    e = _events(spark)
+    cents = [_cents(v) for v in e.value]
+    got = REGISTRY["agg_apdex_score"].fn(spark, SF_001).toPandas()
+    assert len(got) == 15  # 5 endpoints x 3 thresholds
+    for _, r in got.iterrows():
+        sub = [
+            c for c, t in zip(cents, e.event_type) if t == r.event_type
+        ]
+        sat = sum(c <= r.t_cents for c in sub)
+        tol = sum(r.t_cents < c <= 4 * r.t_cents for c in sub)
+        assert r.n == len(sub) and r.sat == sat and r.tol == tol
+        assert r.frus == len(sub) - sat - tol
+        assert r.apdex_milli == (1000 * (2 * sat + tol)) // (2 * len(sub))
+    # monotone in T: a looser threshold can only raise the score
+    for et in got.event_type.unique():
+        sub = got[got.event_type == et].sort_values("t_cents")
+        assert list(sub.apdex_milli) == sorted(sub.apdex_milli)
+
+
+def test_agg_hedging_plan_matches_pure_python(spark):
+    e = _events(spark)
+    buckets = [_cents(v) // 100 for v in e.value]
+    n = len(buckets)
+    maxb = max(buckets)
+    from collections import Counter
+
+    cnt = Counter(buckets)
+    s_ppm, cum = {}, 0
+    for x in range(maxb + 1):
+        cum += cnt.get(x, 0)
+        s_ppm[x] = (1_000_000 * (n - cum)) // n
+    p99_before = min(x for x in range(maxb + 1) if s_ppm[x] <= 10_000)
+    got = (
+        REGISTRY["agg_hedging_plan"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("hedge_at")
+        .reset_index(drop=True)
+    )
+    assert list(got.hedge_at) == [50, 120, 220]
+    for _, r in got.iterrows():
+        th = r.hedge_at
+        tail = {
+            x: (s_ppm[x] * (s_ppm.get(x - th, 1_000_000) if x - th >= 0
+                            else 1_000_000)) // 1_000_000
+            for x in range(maxb + 1)
+        }
+        p99_after = min(x for x in range(maxb + 1) if tail[x] <= 10_000)
+        assert r.hedge_rate_ppm == s_ppm[th]
+        assert r.p99_before == p99_before
+        assert r.p99_after == p99_after
+        assert r.p99_saved == p99_before - p99_after
+    # the tail-at-scale punchline: every hedge point improves p99, and
+    # the load price (hedge rate) falls sharply with a later hedge point
+    assert (got.p99_saved > 0).all()
+    rates = dict(zip(got.hedge_at, got.hedge_rate_ppm))
+    assert rates[50] > 3 * rates[120] > 9 * rates[220]
+
+
+def test_agg_quota_fair_share_matches_pure_python(spark):
+    e = _events(spark)
+    from collections import Counter
+
+    dem = Counter(int(u) % 20 for u in e.user_id)
+    n = len(dem)
+    total = sum(dem.values())
+    budget = total // 2
+    order = sorted(dem.items(), key=lambda kv: (kv[1], kv[0]))
+    pfx, k, pk = 0, 0, 0
+    for r, (ten, d) in enumerate(order, 1):
+        pfx += d
+        if pfx + d * (n - r) <= budget:
+            k, pk = r, pfx
+    level = -1 if k == n else (budget - pk) // (n - k)
+    got = (
+        REGISTRY["agg_quota_fair_share"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("fill_rank")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    for r, (ten, d) in enumerate(order, 1):
+        row = got.iloc[r - 1]
+        assert row.tenant == ten and row.demand == d
+        assert row.alloc == (d if r <= k else level)
+        assert row.capped == (0 if r <= k else 1)
+    assert set(got.water_level) == {level}
+    assert set(got.budget) == {budget}
+    # allocation feasible and nearly exhausts the budget (trunc < n-k)
+    assert got.alloc.sum() <= budget < got.alloc.sum() + (n - k)
+    # someone is capped (budget is half of demand) and nobody capped
+    # gets more than the water level
+    assert got.capped.sum() >= 1
+    assert (got[got.capped == 0].demand <= level).all()

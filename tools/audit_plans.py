@@ -191,6 +191,12 @@ BNLJ_OK = {
     "agg_grad_noise_scale",  # 8-row dim grid stateless fan-out
                          # (the agg_moe_balance shape)
     "pack_kv_paging",    # 3-row block-size grid stateless fan-out
+    "agg_apdex_score",   # 3-row threshold grid stateless fan-out
+    "agg_hedging_plan",  # survival windows + shift join on the DENSE
+                         # latency-unit spine (value-domain bounded
+                         # <=~500 rows); 3-row hedge grid broadcast
+    "agg_quota_fair_share",  # rank/prefix windows over the 20-row
+                         # tenant spine + 1-row cutoff/level folds
     "agg_leaderboard_churn",  # 20-row rank table self-paired via
                          # broadcast theta-join (190 pairs) + 3-row
                          # k grid + 1-row tau fold
