@@ -390,3 +390,115 @@ def test_agg_quota_fair_share_matches_pure_python(spark):
     # gets more than the water level
     assert got.capped.sum() >= 1
     assert (got[got.capped == 0].demand <= level).all()
+
+# --------------------------------------------------------------- batch AB
+
+
+def test_agg_noninferiority_matches_pure_python(spark):
+    o = _orders(spark)
+    nc = kc = np_ = kp = 0
+    for ok_, price in zip(o.o_orderkey, o.o_totalprice):
+        y = 1 if (_cents(price) // 7) % 1000 < 520 else 0
+        if int(ok_) % 2 == 1:
+            nc += 1
+            kc += y
+        else:
+            np_ += 1
+            kp += y
+    pc = (1_000_000 * kc) // nc
+    pp = (1_000_000 * kp) // np_
+    diff = pc - pp
+    se = _isqrt(
+        (pc * (1_000_000 - pc)) // nc + (pp * (1_000_000 - pp)) // np_
+    )
+    lo = diff - (1645 * se) // 1000
+    got = (
+        REGISTRY["agg_noninferiority"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("margin_ppm")
+        .reset_index(drop=True)
+    )
+    assert list(got.margin_ppm) == [10000, 20000, 50000]
+    for _, r in got.iterrows():
+        assert (r.n_candidate, r.n_prod) == (nc, np_)
+        assert (r.p_candidate_ppm, r.p_prod_ppm) == (pc, pp)
+        assert r.diff_ppm == diff and r.se_ppm == se and r.lo_ppm == lo
+        assert r.noninferior == (1 if lo > -r.margin_ppm else 0)
+    # planted truly-equivalent arms at this n: wide margin passes,
+    # the tight 1% margin is underpowered and must NOT pass
+    assert got[got.margin_ppm == 50000].noninferior.iloc[0] == 1
+    assert got[got.margin_ppm == 10000].noninferior.iloc[0] == 0
+
+
+def test_agg_judge_ensemble_matches_pure_python(spark):
+    o = _orders(spark)
+    n = c0 = c1 = c2 = cm = 0
+    for price in o.o_totalprice:
+        c = _cents(price)
+        gold = (c // 7) % 2
+        v0 = 1 - gold if (c // 11) % 100 < 30 else gold
+        v1 = 1 - gold if (c // 13) % 100 < 35 else gold
+        v2 = 1 - gold if (c // 15) % 100 < 40 else gold
+        n += 1
+        c0 += v0 == gold
+        c1 += v1 == gold
+        c2 += v2 == gold
+        cm += (1 if v0 + v1 + v2 >= 2 else 0) == gold
+    lift = (1_000_000 * cm) // n - max(
+        (1_000_000 * c0) // n, (1_000_000 * c1) // n, (1_000_000 * c2) // n
+    )
+    got = (
+        REGISTRY["agg_judge_ensemble"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("judge_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.judge_id) == [-1, 0, 1, 2]
+    assert list(got.correct) == [cm, c0, c1, c2]
+    assert list(got.acc_ppm) == [
+        (1_000_000 * k) // n for k in (cm, c0, c1, c2)
+    ]
+    assert set(got.ensemble_lift_ppm) == {lift}
+    # Condorcet jury: independent 70/65/60 judges majority-vote above
+    # the best individual
+    assert lift > 0
+
+
+def test_agg_interleaving_pref_matches_pure_python(spark):
+    o = _orders(spark)
+    ca = cb = none = 0
+    for price in o.o_totalprice:
+        c = _cents(price)
+        first = (c // 3) % 2
+        if (c // 17) % 10 < 5 + (1 - first):
+            t = first
+        elif (c // 20) % 10 < 4 + first:
+            t = 1 - first
+        elif (c // 23) % 10 < 3 + (1 - first):
+            t = first
+        elif (c // 26) % 10 < 2 + first:
+            t = 1 - first
+        else:
+            t = -1
+        ca += t == 0
+        cb += t == 1
+        none += t == -1
+    n = ca + cb
+    rad = 4 * n * ca * cb * 3841 * 1000 + 3841 * 3841
+    term = _isqrt(rad)
+    lo = max(
+        0,
+        (1_000_000 * (2000 * n * ca + n * 3841 - term))
+        // (2 * n * (n * 1000 + 3841)),
+    )
+    got = REGISTRY["agg_interleaving_pref"].fn(spark, SF_001).toPandas()
+    r = got.iloc[0]
+    assert (r.clicks_a, r.clicks_b, r.no_click) == (ca, cb, none)
+    assert r.n_impressions == ca + cb + none
+    assert r.pref_a_ppm == (1_000_000 * ca) // n
+    assert r.wilson_lo_ppm == lo
+    assert r.a_better == (1 if lo > 500_000 else 0)
+    # planted +1 relevance for ranker A: preference is significant
+    assert r.a_better == 1 and r.pref_a_ppm > 520_000

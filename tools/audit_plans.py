@@ -197,6 +197,12 @@ BNLJ_OK = {
                          # <=~500 rows); 3-row hedge grid broadcast
     "agg_quota_fair_share",  # rank/prefix windows over the 20-row
                          # tenant spine + 1-row cutoff/level folds
+    "agg_noninferiority",  # 1-row Wald fold broadcast onto the 3-row
+                         # margin grid
+    "agg_judge_ensemble",  # 1-row 5-counter fold fanned to 4 report
+                         # rows + 1-row lift broadcast
+    "agg_interleaving_pref",  # 1-row 3-counter fold, rowwise CASE
+                         # cascade never leaves the scan
     "agg_leaderboard_churn",  # 20-row rank table self-paired via
                          # broadcast theta-join (190 pairs) + 3-row
                          # k grid + 1-row tau fold
