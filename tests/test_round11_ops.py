@@ -502,3 +502,127 @@ def test_agg_interleaving_pref_matches_pure_python(spark):
     assert r.a_better == (1 if lo > 500_000 else 0)
     # planted +1 relevance for ranker A: preference is significant
     assert r.a_better == 1 and r.pref_a_ppm > 520_000
+
+# --------------------------------------------------------------- batch AC
+
+
+def test_agg_successive_halving_matches_pure_python(spark):
+    o = _orders(spark)
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0])  # (rnd, arm) -> [n, k]
+    for ok_, ck, price in zip(o.o_orderkey, o.o_custkey, o.o_totalprice):
+        arm = int(ck) % 16
+        rnd = (int(ok_) // 16) % 4
+        y = 1 if (_cents(price) // 7) % 100 < 40 + 2 * arm else 0
+        cells[(rnd, arm)][0] += 1
+        cells[(rnd, arm)][1] += y
+    acc = {
+        k: (1_000_000 * v[1]) // v[0] for k, v in cells.items()
+    }
+    surv = list(range(16))
+    survivors = []
+    for rnd, keep in [(0, 8), (1, 4), (2, 2), (3, 1)]:
+        surv = sorted(surv, key=lambda a: (-acc[(rnd, a)], a))[:keep]
+        survivors.append(set(surv))
+    s1, s2, s3, s4 = survivors
+    got = (
+        REGISTRY["agg_successive_halving"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("arm")
+        .reset_index(drop=True)
+    )
+    spent = full = 0
+    for arm in range(16):
+        row = got.iloc[arm]
+        want_elim = (
+            0 if arm in s4 else 4 if arm in s3 else 3 if arm in s2
+            else 2 if arm in s1 else 1
+        )
+        assert row.eliminated_round == want_elim
+        used = cells[(0, arm)][0]
+        if arm in s1:
+            used += cells[(1, arm)][0]
+        if arm in s2:
+            used += cells[(2, arm)][0]
+        if arm in s3:
+            used += cells[(3, arm)][0]
+        assert row.evals_used == used
+        assert row.evals_full == sum(cells[(r, arm)][0] for r in range(4))
+        spent += used
+        full += row.evals_full
+    assert set(got.budget_spent) == {spent}
+    assert set(got.budget_full_grid) == {full}
+    # planted 2-pt/arm ladder: the best arm wins and SHA spends < half
+    # the full grid
+    assert set(got.winner_arm) == {15}
+    assert spent * 2 < full
+
+
+def test_agg_strong_scaling_matches_pure_python(spark):
+    o = _orders(spark)
+    from collections import Counter
+
+    got = (
+        REGISTRY["agg_strong_scaling"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("workers")
+        .reset_index(drop=True)
+    )
+    effs = {}
+    for w in (8, 32, 128, 512):
+        cnt = Counter(int(k) % w for k in o.o_orderkey)
+        total, mx = sum(cnt.values()), max(cnt.values())
+        row = got[got.workers == w].iloc[0]
+        assert row.total == total and row.max_part == mx
+        assert row.parts_used == len(cnt)
+        assert row.ideal_per_worker == total // w
+        assert row.straggler_ratio_milli == (1000 * mx * w) // total
+        assert row.efficiency_ppm == (1_000_000 * total) // (w * mx)
+        effs[w] = row.efficiency_ppm
+    # the balls-in-bins law: efficiency decays monotonically in workers
+    assert effs[8] > effs[32] > effs[128] > effs[512]
+
+
+def test_agg_speculative_tasks_matches_pure_python(spark):
+    o = _orders(spark)
+    ds = sorted(_cents(p) // 100 for p in o.o_totalprice)
+    n = len(ds)
+    from collections import Counter
+
+    cnt = Counter(ds)
+    cum, med, p99 = 0, None, None
+    for d in sorted(cnt):
+        cum += cnt[d]
+        if med is None and 2 * cum >= n:
+            med = d
+        if p99 is None and 100 * cum >= 99 * n:
+            p99 = d
+    maxd = ds[-1]
+    before = sum(ds)
+    got = (
+        REGISTRY["agg_speculative_tasks"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("multiplier_milli")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        thresh = (r.multiplier_milli * med) // 1000
+        relaunched = sum(1 for d in ds if d > thresh)
+        after = sum(min(d, thresh + med) for d in ds)
+        assert r.median_d == med and r.spec_threshold == thresh
+        assert r.n_relaunched == relaunched
+        assert r.relaunch_ppm == (1_000_000 * relaunched) // n
+        assert r.wall_before == maxd
+        assert r.wall_after == min(maxd, thresh + med)
+        assert r.p99_before == p99
+        assert r.p99_after == min(p99, thresh + med)
+        assert r.mean_work_ratio_milli == (1000 * after) // before
+    # heavy-ish tail: the 2x-median hedge cuts the wall hard while
+    # relaunching a small fraction of tasks
+    r2 = got[got.multiplier_milli == 2000].iloc[0]
+    assert r2.wall_after * 2 < r2.wall_before * 3  # >= 1/3 cut is generous
+    assert r2.relaunch_ppm < 300_000

@@ -34,6 +34,14 @@ GLOBAL_ONE_TASK_OK = {
     "agg_spearman_rho",  # rank cum windows over the <=50/<=130-row
                          # score VALUE-domain marginal histograms (the
                          # wilcoxon midrank discipline)
+    "agg_speculative_tasks",  # median/p99 cum windows over the bounded
+                         # task-duration VALUE-domain histogram
+    "agg_hedging_plan",  # survival cum window over the dense bounded
+                         # latency-unit spine (<=~500 rows)
+    "agg_quota_fair_share",  # rank/prefix windows over the 20-row
+                         # tenant spine
+    "agg_successive_halving",  # rank windows over the <=16-row
+                         # survivor spines
     "agg_wilcoxon_signed",  # midrank cum window over the bounded
                          # |d| VALUE-domain histogram
     "win_burn_rate",     # trailing-6h RANGE window over the bounded
@@ -203,6 +211,11 @@ BNLJ_OK = {
                          # rows + 1-row lift broadcast
     "agg_interleaving_pref",  # 1-row 3-counter fold, rowwise CASE
                          # cascade never leaves the scan
+    "agg_successive_halving",  # rank windows over the <=16-row survivor
+                         # spines; 64-cell (round, arm) base
+    "agg_speculative_tasks",  # median/p99 cum windows over the bounded
+                         # duration histogram; 3-row multiplier grid
+    "agg_strong_scaling",  # 4-row worker grid stateless fan-out
     "agg_leaderboard_churn",  # 20-row rank table self-paired via
                          # broadcast theta-join (190 pairs) + 3-row
                          # k grid + 1-row tau fold
