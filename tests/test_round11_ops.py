@@ -626,3 +626,130 @@ def test_agg_speculative_tasks_matches_pure_python(spark):
     r2 = got[got.multiplier_milli == 2000].iloc[0]
     assert r2.wall_after * 2 < r2.wall_before * 3  # >= 1/3 cut is generous
     assert r2.relaunch_ppm < 300_000
+
+# --------------------------------------------------------------- batch AD
+
+
+def _docs(spark) -> pd.DataFrame:
+    return spark.read.parquet(f"{SF_001}/documents.parquet").toPandas()
+
+
+def test_dedup_survivorship_matches_pure_python(spark):
+    import hashlib
+
+    docs = _docs(spark)
+    groups = {}
+    rows = []
+    for doc_id, text, src, n_chars in zip(
+        docs.doc_id, docs.text, docs.source, docs.n_chars
+    ):
+        if doc_id % 7 == 0 or (src == "src0" and doc_id % 3 == 0):
+            content = f"boilerplate page {doc_id % 5}"
+        else:
+            content = text.strip().lower()
+        h = hashlib.md5(content.encode()).hexdigest()
+        rows.append((int(doc_id), src, int(n_chars), h))
+        groups[h] = min(groups.get(h, 1 << 60), int(doc_id))
+    per = {}
+    for doc_id, src, n_chars, h in rows:
+        p = per.setdefault(src, [0, 0, 0, 0])  # db, da, cb, ca
+        kept = groups[h] == doc_id
+        p[0] += 1
+        p[1] += kept
+        p[2] += n_chars
+        p[3] += n_chars if kept else 0
+    tb = sum(p[0] for p in per.values())
+    ta = sum(p[1] for p in per.values())
+    got = (
+        REGISTRY["dedup_survivorship"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        db, da, cb, ca = per[r.source]
+        assert (r.docs_before, r.docs_after) == (db, da)
+        assert (r.chars_before, r.chars_after) == (cb, ca)
+        assert r.keep_rate_ppm == (1_000_000 * da) // db
+        assert r.share_before_ppm == (1_000_000 * db) // tb
+        assert r.share_after_ppm == (1_000_000 * da) // ta
+        assert r.share_delta_ppm == (
+            (1_000_000 * da) // ta - (1_000_000 * db) // tb
+        )
+    # planted skew: src0 carries extra boilerplate, so it loses share
+    src0 = got[got.source == "src0"].iloc[0]
+    assert src0.share_delta_ppm < 0
+    assert src0.keep_rate_ppm == got.keep_rate_ppm.min()
+
+
+def test_qa_license_mix_matches_pure_python(spark):
+    docs = _docs(spark)
+    per = {}
+    for doc_id, n_chars in zip(docs.doc_id, docs.n_chars):
+        k = (int(doc_id) // 7) % 10
+        s = 0 if k < 5 else 1 if k < 8 else 2 if k < 9 else 3
+        p = per.setdefault(s, [0, 0])
+        p[0] += 1
+        p[1] += int(n_chars) // 4
+    total = sum(p[1] for p in per.values())
+    names = {0: "permissive", 1: "attribution", 2: "noncommercial", 3: "unknown"}
+    got = (
+        REGISTRY["qa_license_mix"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("strictness")
+        .reset_index(drop=True)
+    )
+    for s in range(4):
+        row = got.iloc[s]
+        assert row.license_class == names[s]
+        assert row.docs == per[s][0] and row.tokens == per[s][1]
+        assert row.share_ppm == (1_000_000 * per[s][1]) // total
+        usable = sum(per[t][1] for t in range(s + 1))
+        assert row.usable_tokens_at_policy == usable
+        assert row.usable_share_ppm == (1_000_000 * usable) // total
+    # ~10% of tokens live in the unknown class: ungovernable until fixed
+    unk = got[got.license_class == "unknown"].iloc[0]
+    assert 50_000 <= unk.share_ppm <= 150_000
+
+
+def test_agg_pareto_skyline_matches_pure_python(spark):
+    parts = spark.read.parquet(f"{SF_001}/part.parquet").toPandas()
+    from collections import defaultdict
+
+    cells = defaultdict(int)
+    for price in parts.p_retailprice:
+        cents = _cents(price)
+        pd_ = cents // 100
+        score = pd_ // 2 + (cents // 7) % 500
+        cells[(pd_, score)] += 1
+    sky = []
+    items = sorted(cells.items())
+    for (p1, s1), n1 in items:
+        dominated = any(
+            (p2 < p1 and s2 >= s1) or (p2 <= p1 and s2 > s1)
+            for (p2, s2) in cells
+        )
+        if not dominated:
+            sky.append((p1, s1, n1))
+    got = (
+        REGISTRY["agg_pareto_skyline"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values(["price_d", "size"])
+        .reset_index(drop=True)
+    )
+    # row["size"], not row.size: the attribute is the Series length
+    assert [
+        (r["price_d"], r["size"], r["n_parts"]) for _, r in got.iterrows()
+    ] == sky
+    assert set(got.n_cells) == {len(cells)}
+    assert set(got.n_skyline) == {len(sky)}
+    # a real staircase: multiple frontier steps, price and score both
+    # strictly increasing along the skyline
+    assert len(sky) >= 5
+    ps = [p for p, _, _ in sky]
+    ss = [s for _, s, _ in sky]
+    assert ps == sorted(ps) and ss == sorted(ss)
+    assert len(set(ps)) == len(ps) and len(set(ss)) == len(ss)

@@ -42,6 +42,8 @@ GLOBAL_ONE_TASK_OK = {
                          # tenant spine
     "agg_successive_halving",  # rank windows over the <=16-row
                          # survivor spines
+    "agg_pareto_skyline",  # running-max windows over the <=~1200-row
+                         # price-VALUE-domain spine
     "agg_wilcoxon_signed",  # midrank cum window over the bounded
                          # |d| VALUE-domain histogram
     "win_burn_rate",     # trailing-6h RANGE window over the bounded
@@ -216,6 +218,12 @@ BNLJ_OK = {
     "agg_speculative_tasks",  # median/p99 cum windows over the bounded
                          # duration histogram; 3-row multiplier grid
     "agg_strong_scaling",  # 4-row worker grid stateless fan-out
+    "dedup_survivorship",  # 1-row corpus totals broadcast onto the
+                         # |sources| spine
+    "qa_license_mix",    # 4-row policy-ladder triangular broadcast +
+                         # 1-row total
+    "agg_pareto_skyline",  # 1-row cell/skyline totals broadcast onto
+                         # the frontier rows
     "agg_leaderboard_churn",  # 20-row rank table self-paired via
                          # broadcast theta-join (190 pairs) + 3-row
                          # k grid + 1-row tau fold
