@@ -753,3 +753,115 @@ def test_agg_pareto_skyline_matches_pure_python(spark):
     ss = [s for _, s, _ in sky]
     assert ps == sorted(ps) and ss == sorted(ss)
     assert len(set(ps)) == len(ps) and len(set(ss)) == len(ss)
+
+# --------------------------------------------------------------- batch AE
+
+
+def test_emb_hubness_audit_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet").toPandas()
+    vecs = {
+        int(v): np.floor(np.asarray(e, dtype=np.float64) * 10000).astype(
+            np.int64
+        )
+        for v, e in zip(emb.vec_id, emb.embedding)
+    }
+    from collections import Counter, defaultdict
+
+    bylabel = defaultdict(list)
+    for v, l in zip(emb.vec_id, emb.label):
+        bylabel[int(l)].append(int(v))
+    indeg = Counter()
+    for ids in bylabel.values():
+        M = np.stack([vecs[v] for v in ids])
+        G = M @ M.T
+        for qi, q in enumerate(ids):
+            dots = [
+                (int(G[qi, ni]), n) for ni, n in enumerate(ids) if n != q
+            ]
+            top = sorted(dots, key=lambda t: (-t[0], t[1]))[:3]
+            for _, n in top:
+                indeg[n] += 1
+    degs = [indeg.get(int(v), 0) for v in emb.vec_id]
+    n = len(degs)
+    m2 = sum((d - 3) ** 2 for d in degs)
+    m3 = sum((d - 3) ** 3 for d in degs)
+    den = m2 * _isqrt(m2)
+    num = 1000 * m3 * _isqrt(n)
+    # trunc-toward-zero on a possibly-negative numerator (python floors)
+    q, r = divmod(num, den)
+    skew = q if r == 0 or num >= 0 else q + 1
+    hist = Counter(degs)
+    got = (
+        REGISTRY["emb_hubness_audit"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("indeg")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(got.indeg, got.n_vectors)) == dict(hist)
+    assert set(got.n_total) == {n}
+    assert set(got.max_indeg) == {max(degs)}
+    assert set(got.skew_milli) == {skew}
+    # hubness symptom: orphans exist and someone collects >2x the mean
+    assert hist.get(0, 0) > 0 and max(degs) > 6 and skew > 0
+
+
+def test_agg_offered_load_matches_pure_python(spark):
+    e = _events(spark)
+    got = (
+        REGISTRY["agg_offered_load"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    import math
+
+    for _, r in got.iterrows():
+        sub = e[e.event_type == r.event_type]
+        svc = [_cents(v) for v in sub.value]
+        es = [int(math.floor(t.timestamp())) for t in sub.ts]
+        n, ssum, span = len(svc), sum(svc), max(es) - min(es)
+        assert r.n_events == n and r.span_sec == span
+        assert r.rate_per_hour_milli == (3_600_000 * n) // span
+        assert r.mean_service_cents == ssum // n
+        assert r.offered_load_erlang == (n * ssum) // (n * span * 100)
+        assert r.servers_needed == (
+            (n * ssum + n * span * 100 - 1) // (n * span * 100) + 1
+        )
+    # sanity: sub-erlang toy traffic still demands >= 1 server
+    assert (got.servers_needed >= 1).all()
+
+
+def test_store_partition_advisor_matches_pure_python(spark):
+    o = _orders(spark)
+    import datetime as dt
+    from collections import Counter
+
+    dates = [
+        d.date() if hasattr(d, "date") else d for d in pd.to_datetime(o.o_orderdate)
+    ]
+    specs = {}
+    specs["day"] = Counter(dates)
+    specs["week"] = Counter(d - dt.timedelta(days=d.weekday()) for d in dates)
+    specs["month"] = Counter(d.replace(day=1) for d in dates)
+    got = REGISTRY["store_partition_advisor"].fn(spark, SF_001).toPandas()
+    for _, r in got.iterrows():
+        cnt = specs[r.spec]
+        total = sum(cnt.values())
+        assert r.n_parts == len(cnt) and r.total_rows == total
+        assert r.max_rows == max(cnt.values())
+        assert r.min_rows == min(cnt.values())
+        assert r.small_parts == sum(1 for v in cnt.values() if v < 1000)
+        assert r.avg_rows == total // len(cnt)
+        assert r.meets_target == (1 if total // len(cnt) >= 5000 else 0)
+    # the advisor story at sf0.01: every spec is below the 5000-row
+    # floor (the honest 'this volume does not want time partitions yet'
+    # reading); avg rows per partition grows strictly with coarseness
+    # and day partitions are pure small-file overhead
+    g = {r.spec: r for _, r in got.iterrows()}
+    assert g["day"].avg_rows < g["week"].avg_rows < g["month"].avg_rows
+    assert g["day"].meets_target == 0
+    assert g["day"].small_parts == g["day"].n_parts

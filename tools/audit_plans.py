@@ -224,6 +224,10 @@ BNLJ_OK = {
                          # 1-row total
     "agg_pareto_skyline",  # 1-row cell/skyline totals broadcast onto
                          # the frontier rows
+    "emb_hubness_audit",  # 1-row moment/skew fold broadcast onto the
+                         # bounded in-degree histogram
+    "agg_offered_load",  # per-event_type cells only, no broadcast
+    "store_partition_advisor",  # 3-row spec grid stateless fan-out
     "agg_leaderboard_churn",  # 20-row rank table self-paired via
                          # broadcast theta-join (190 pairs) + 3-row
                          # k grid + 1-row tau fold
