@@ -865,3 +865,123 @@ def test_store_partition_advisor_matches_pure_python(spark):
     assert g["day"].avg_rows < g["week"].avg_rows < g["month"].avg_rows
     assert g["day"].meets_target == 0
     assert g["day"].small_parts == g["day"].n_parts
+
+# --------------------------------------------------------------- batch AF
+
+
+def test_stream_srm_monitor_matches_pure_python(spark):
+    e = _events(spark)
+    import math
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0])  # day -> [n, n_a]
+    for t, u, et in zip(e.ts, e.user_id, e.event_type):
+        arm = int(u) % 2
+        if arm == 1 and et in ("error", "view"):
+            continue  # the planted one-sided instrumentation drop
+        h = int(math.floor(t.timestamp())) // 86400
+        cells[h][0] += 1
+        cells[h][1] += 1 - arm
+    got = (
+        REGISTRY["stream_srm_monitor"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("day_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(cells)
+    alarms = 0
+    for _, r in got.iterrows():
+        n, na = cells[r.day_id]
+        chi2 = (1000 * (2 * na - n) ** 2) // n
+        assert (r.n, r.n_a) == (n, na)
+        assert r.chi2_milli == chi2
+        assert r.srm_alarm == (1 if chi2 > 3841 else 0)
+        alarms += r.srm_alarm
+    # the planted drop removes ~40% of arm-1 traffic: at daily power
+    # essentially every day alarms
+    assert alarms >= (9 * len(cells)) // 10
+
+
+def test_agg_cliffs_delta_matches_pure_python(spark):
+    o = _orders(spark)
+    from collections import Counter
+
+    ht, hc = Counter(), Counter()
+    for ok_, price in zip(o.o_orderkey, o.o_totalprice):
+        t = int(ok_) % 2
+        s = (_cents(price) // 7) % 200 + 10 * t
+        (ht if t == 1 else hc)[s] += 1
+    gt = sum(
+        ct * cc for st, ct in ht.items() for sc, cc in hc.items() if st > sc
+    )
+    lt = sum(
+        ct * cc for st, ct in ht.items() for sc, cc in hc.items() if st < sc
+    )
+    ties = sum(ct * hc.get(st, 0) for st, ct in ht.items())
+    nt, nc = sum(ht.values()), sum(hc.values())
+    num = 1000 * (gt - lt)
+    den = nt * nc
+    q, r = divmod(num, den)
+    delta = q if r == 0 or num >= 0 else q + 1  # trunc toward zero
+    got = REGISTRY["agg_cliffs_delta"].fn(spark, SF_001).toPandas()
+    row = got.iloc[0]
+    assert (row.n_treat, row.n_control) == (nt, nc)
+    assert (row.n_greater, row.n_less, row.n_ties) == (gt, lt, ties)
+    assert row.delta_milli == delta
+    band = (
+        "negligible" if abs(delta) < 147 else "small" if abs(delta) < 330
+        else "medium" if abs(delta) < 474 else "large"
+    )
+    assert row.magnitude == band
+    # planted +10 on a 200-spread plane: delta ~ 2*10/200 = 0.1 ->
+    # positive but NEGLIGIBLE by the Romano bands — the 'significant
+    # but immaterial' reading this key exists to surface
+    assert 0 < delta < 147 and band == "negligible"
+
+
+def test_store_cache_tiering_matches_pure_python(spark):
+    e = _events(spark)
+    import math
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, -1])
+    for t, u in zip(e.ts, e.user_id):
+        d = int(math.floor(t.timestamp())) // 86400
+        a = acc[int(u)]
+        a[0] += 1
+        a[1] = max(a[1], d)
+    maxd = max(a[1] for a in acc.values())
+    mean = sum(a[0] for a in acc.values()) // len(acc)
+    per = defaultdict(lambda: [0, 0])
+    for cnt, last in acc.values():
+        rec = maxd - last
+        if 10 * cnt >= 12 * mean and rec <= 1:
+            tr = 0
+        elif 10 * cnt >= 9 * mean and rec <= 7:
+            tr = 1
+        else:
+            tr = 2
+        per[tr][0] += 1
+        per[tr][1] += cnt
+    ta = sum(v[1] for v in per.values())
+    got = (
+        REGISTRY["store_cache_tiering"]
+        .fn(spark, SF_001)
+        .toPandas()
+        .sort_values("tier_rank")
+        .reset_index(drop=True)
+    )
+    names = {0: "hot", 1: "warm", 2: "cold"}
+    assert list(got.tier) == [names[r] for r in sorted(per)]
+    cum = 0
+    for i, tr in enumerate(sorted(per)):
+        row = got.iloc[i]
+        cum += per[tr][1]
+        assert row.n_keys == per[tr][0]
+        assert row.accesses == per[tr][1]
+        assert row.access_share_ppm == (1_000_000 * per[tr][1]) // ta
+        assert row.hit_rate_if_cached_ppm == (1_000_000 * cum) // ta
+    # all three tiers materialize and the ladder ends at 100%
+    assert len(got) == 3
+    assert got.hit_rate_if_cached_ppm.iloc[-1] == 1_000_000

@@ -831,3 +831,43 @@ def test_quality_monitor_stream_equals_batch_catalog_key(spark):
         spark, quality_monitor(d_stream), "qmon_t", "complete"
     )
     assert {tuple(r) for r in got.collect()} == batch
+
+
+def test_srm_monitor_stream_equals_batch_catalog_key(spark):
+    """stream_srm_monitor's hourly SRM board computed under a real
+    readStream (events land as TWO parquet files -> two micro-batches
+    under maxFilesPerTrigger; stateless arm/drop predicates +
+    complete-mode grouped agg) equals the batch catalog key
+    row-for-row."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from varda_spark.catalog import REGISTRY
+    from varda_spark.streaming.windows import srm_monitor
+
+    batch = {
+        tuple(r)
+        for r in REGISTRY["stream_srm_monitor"].fn(spark, SF).collect()
+    }
+    assert batch
+    ev = read_table(spark, SF, "events")
+    edir = tempfile.mkdtemp(prefix="srm_ev_")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{edir}/f1")
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        f"{edir}/f2"
+    )
+    flat = tempfile.mkdtemp(prefix="srm_flat_")
+    for i, p in enumerate(sorted(_glob.glob(f"{edir}/f*/part-*.parquet"))):
+        _shutil.copy(p, f"{flat}/part-{i}.parquet")
+    e_stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    got = _run_stream_to_memory(
+        spark, srm_monitor(e_stream), "srm_t", "complete"
+    )
+    assert {tuple(r) for r in got.collect()} == batch

@@ -228,6 +228,11 @@ BNLJ_OK = {
                          # bounded in-degree histogram
     "agg_offered_load",  # per-event_type cells only, no broadcast
     "store_partition_advisor",  # 3-row spec grid stateless fan-out
+    "agg_cliffs_delta",  # <=210 x <=200 VALUE-domain histogram cross
+                         # (bounded, constant in corpus size) + 1-row
+                         # arm totals
+    "store_cache_tiering",  # 1-row max-day/mean/total folds broadcast
+                         # + 3-row tier-ladder triangular join
     "agg_leaderboard_churn",  # 20-row rank table self-paired via
                          # broadcast theta-join (190 pairs) + 3-row
                          # k grid + 1-row tau fold

@@ -544,3 +544,46 @@ def quality_monitor(docs: DataFrame) -> DataFrame:
             "CAST((1000000 * SUM(ok)) DIV COUNT(*) AS BIGINT)"
         ).alias("pass_ppm"),
     )
+
+
+def srm_monitor(events: DataFrame) -> DataFrame:
+    """Daily sample-ratio-mismatch guard from event rows — works
+    identically on a BATCH DataFrame and a STREAMING one (the
+    stream_srm_monitor catalog key runs it on the batch fixture;
+    tests/test_streaming.py proves readStream equivalence under
+    availableNow with the complete-mode sink).
+
+    Streaming-legal by construction: arm assignment (user_id parity)
+    and the PLANTED logging bug (arm-1 'error'/'view' events never
+    reach the assignment log — the classic one-sided instrumentation
+    drop that causes real SRMs; two event classes ~40% of traffic so
+    the daily cells have decisive power) are stateless row
+    predicates; the daily rollup is a grouped aggregation of
+    commutative counters, so micro-batch arrival order cannot change
+    the board and state is O(days).
+    chi2_milli = 1000 * (2*n_a - n)^2 / n is the one-df chi-square
+    against the designed 50/50 split (signed difference squared —
+    exact), and srm_alarm fires past the 3.841 critical value. A
+    fired alarm means 'stop reading the experiment, the assignment
+    log is broken' (agg_ab_srm is the batch post-mortem twin)."""
+    kept = events.filter(
+        "NOT (user_id % 2 = 1 AND event_type IN ('error', 'view'))"
+    ).select(
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+            "day_id"
+        ),
+        F.expr("user_id % 2").alias("arm"),
+    )
+    return kept.groupBy("day_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("1 - arm")).cast("bigint").alias("n_a"),
+        F.expr(
+            "CAST((1000 * (2 * SUM(1 - arm) - COUNT(*))"
+            " * (2 * SUM(1 - arm) - COUNT(*))) DIV COUNT(*) AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "CAST(CASE WHEN (1000 * (2 * SUM(1 - arm) - COUNT(*))"
+            " * (2 * SUM(1 - arm) - COUNT(*))) DIV COUNT(*) > 3841"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_alarm"),
+    )
