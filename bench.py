@@ -187,12 +187,46 @@ def sf_value(sf_dir: str):
     return float(sf) if sf.replace(".", "").isdigit() else sf
 
 
+def _probe_work(_):
+    import hashlib
+
+    h = b"x"
+    for _ in range(100_000):
+        h = hashlib.md5(h).digest()
+
+
+def cpu_probe() -> dict:
+    """Spark-free effective-parallelism probe (~0.5 s): 32 processes x
+    100k chained md5. On a healthy 32-vCPU box the 32-way wall is ~ the
+    single-proc wall; under host oversubscription it dilates. Recorded
+    in every bench artifact so a uniform suite slowdown can be
+    attributed to the CONTAINER, not hunted in the plans (the round-11
+    phantom-regression lesson: r10/r11 read 1.3-1.4x with byte-identical
+    PLANS.md; this probe showed ~12/32 effective CPUs)."""
+    import multiprocessing as mp
+    import time as _t
+
+    t0 = _t.time()
+    _probe_work(0)
+    single = _t.time() - t0
+    t0 = _t.time()
+    with mp.Pool(32) as pool:
+        pool.map(_probe_work, range(32))
+    par = _t.time() - t0
+    return {
+        "single_ms": round(1000 * single, 1),
+        "par32_ms": round(1000 * par, 1),
+        "effective_cpus": round(32 * single / par, 1),
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     warm_up(spark, SF_DIR)
     times, reruns = run_suite(spark, SF_DIR)
     total = round(sum(times.values()), 3)
     legacy = round(sum(times[k] for k in LEGACY20), 3)
+    probe = cpu_probe()
     # Full per-query map + rerun log go to a sidecar: the round driver
     # captures only the LAST 2000 chars of output, and the r10 line
     # (62-query map + 31-entry noise_reruns) outgrew that buffer and
@@ -211,6 +245,7 @@ def main() -> None:
                 "queries": times,
                 "legacy20_wall": legacy,
                 "noise_reruns": reruns,
+                "cpu_probe": probe,
                 "sf": sf_value(SF_DIR),
             },
             fh,
@@ -226,6 +261,7 @@ def main() -> None:
                 "queries": {k: times[k] for k in LEGACY20},
                 "legacy20_wall": legacy,
                 "n_queries": len(times),
+                "effective_cpus": probe["effective_cpus"],
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_value(SF_DIR),
             },

@@ -248,6 +248,9 @@ def readme_paragraph(s: dict) -> str:
         f"{'' if not s['sweep_failed'] else ' — FAILURES: ' + ', '.join(s['sweep_failed'])}"
         f" (`sweeps/{s['sweep']}`). This paragraph is\n"
         f"generated by `tools/ledger.py --readme`; the full per-key table is `LEDGER.md`.\n"
+        f"(inputs: CORRECTNESS through r{s['latest_round']:02d}, sweep {s['sweep']},\n"
+        f"smoke {s['catalog_smoke']} — `tools/ledger.py --check` fails if README\n"
+        f"and LEDGER.md drift from a fresh regeneration of these inputs.)\n"
     )
 
 
@@ -295,7 +298,33 @@ def main() -> int:
             f"{r['smoke']} | {r['plan']} |"
         )
     out = os.path.join(ROOT, "LEDGER.md")
-    open(out, "w").write("\n".join(lines) + "\n")
+    ledger_text = "\n".join(lines) + "\n"
+    if "--check" in sys.argv:
+        # VERDICT r10 item 8: fail if the committed README block or
+        # LEDGER.md drift from a fresh regeneration of the same inputs
+        # (the r10 one-regeneration-behind skew, made self-reporting).
+        ok = True
+        old = open(out).read() if os.path.exists(out) else ""
+        if old != ledger_text:
+            print("CHECK FAIL: LEDGER.md is stale — rerun tools/ledger.py")
+            ok = False
+        readme = os.path.join(ROOT, "README.md")
+        text = open(readme).read()
+        want_block = (
+            "<!-- ledger:begin (generated by tools/ledger.py --readme; do not hand-edit) -->\n"
+            + readme_paragraph(s)
+            + "<!-- ledger:end -->"
+        )
+        m = re.search(r"<!-- ledger:begin.*?<!-- ledger:end -->", text, re.S)
+        if not m or m.group(0) != want_block:
+            print("CHECK FAIL: README ledger block is stale — rerun"
+                  " tools/ledger.py --readme")
+            ok = False
+        if ok:
+            print("CHECK OK: LEDGER.md and README block match a fresh"
+                  " regeneration")
+        return 0 if ok else 1
+    open(out, "w").write(ledger_text)
     print(f"wrote {out}: {s['total']} keys")
     print(json.dumps(s, indent=1))
     if "--readme" in sys.argv:
