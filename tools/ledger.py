@@ -96,18 +96,23 @@ def latest_sweep() -> tuple[str, dict[str, str]]:
     so a failed key read '—'/never-checked and vanished from the summary
     denominator, overstating certification)."""
     logs = sorted(glob.glob(os.path.join(ROOT, "sweeps", "*.log")), key=_sweep_sort_key)
-    if not logs:
-        return "", {}
-    verdicts: dict[str, str] = {}
     pat = re.compile(
         r"^(\w+)\s+(EXACT|APPROX|FAIL\s+\S+|SPARK-ERROR|DUCK-ERROR|rows-only"
         r"|DTYPE\S*|MISMATCH|VALUES|ROWS\S*|ERR\S*)"
     )
-    for line in open(logs[-1]):
-        m = pat.match(line.strip())
-        if m and m.group(1) in REGISTRY:
-            verdicts[m.group(1)] = re.sub(r"\s+", " ", m.group(2))
-    return os.path.basename(logs[-1]), verdicts
+    # walk newest-first and take the first log that actually parses as a
+    # check_oracle sweep — a differently-formatted artifact landing in
+    # sweeps/ with a later round prefix must not shadow the real sweep
+    # (the r11 sf-exactness logs did exactly that before this guard).
+    for path in reversed(logs):
+        verdicts: dict[str, str] = {}
+        for line in open(path):
+            m = pat.match(line.strip())
+            if m and m.group(1) in REGISTRY:
+                verdicts[m.group(1)] = re.sub(r"\s+", " ", m.group(2))
+        if verdicts:
+            return os.path.basename(path), verdicts
+    return "", {}
 
 
 def catalog_smoke() -> tuple[str, dict[str, str]]:
