@@ -834,7 +834,7 @@ def test_quality_monitor_stream_equals_batch_catalog_key(spark):
 
 
 def test_srm_monitor_stream_equals_batch_catalog_key(spark):
-    """stream_srm_monitor's hourly SRM board computed under a real
+    """stream_srm_monitor's daily SRM board computed under a real
     readStream (events land as TWO parquet files -> two micro-batches
     under maxFilesPerTrigger; stateless arm/drop predicates +
     complete-mode grouped agg) equals the batch catalog key

@@ -39,8 +39,12 @@ except ImportError:  # post-r11-open checkouts: first 50 promoted, rest -> R12
     _DRIVER_PRIORITY_R11 = []
 try:
     from varda_spark.catalog import _DRIVER_PRIORITY_R12  # noqa: E402
-except ImportError:  # pre-r11-open checkouts
+except ImportError:  # post-r12-open checkouts: the final tail was promoted
     _DRIVER_PRIORITY_R12 = []
+try:
+    from varda_spark.catalog import _DRIVER_PRIORITY_R13  # noqa: E402
+except ImportError:  # pre-r12-open checkouts
+    _DRIVER_PRIORITY_R13 = []
 
 
 def driver_history() -> dict[str, tuple[int, str]]:
@@ -104,13 +108,18 @@ def latest_sweep() -> tuple[str, dict[str, str]]:
     # check_oracle sweep — a differently-formatted artifact landing in
     # sweeps/ with a later round prefix must not shadow the real sweep
     # (the r11 sf-exactness logs did exactly that before this guard).
+    # ADVICE r11: ">=1 matching line" is too weak a sweep signature — a
+    # truncated/partial log would still shadow the real full sweep and
+    # silently shrink the certification denominator. Require verdicts for
+    # >=50% of REGISTRY keys to accept a log as THE latest full sweep;
+    # fall back to the next-newest otherwise.
     for path in reversed(logs):
         verdicts: dict[str, str] = {}
         for line in open(path):
             m = pat.match(line.strip())
             if m and m.group(1) in REGISTRY:
                 verdicts[m.group(1)] = re.sub(r"\s+", " ", m.group(2))
-        if verdicts:
+        if len(verdicts) >= len(REGISTRY) // 2:
             return os.path.basename(path), verdicts
     return "", {}
 
@@ -159,7 +168,7 @@ def build_rows():
     shapes = plan_shapes()
     live = set(_DRIVER_PRIORITY[:50])
     staged10 = (set(_DRIVER_PRIORITY_R10) | set(_DRIVER_PRIORITY_R11)
-                | set(_DRIVER_PRIORITY_R12))
+                | set(_DRIVER_PRIORITY_R12) | set(_DRIVER_PRIORITY_R13))
     rows = []
     for key, spec in REGISTRY.items():
         twinned = spec.sql is not None
@@ -245,8 +254,8 @@ def readme_paragraph(s: dict) -> str:
             else (
                 "every twinned key has been driver-sampled; the rotation is complete. Latest committed\n"
                 if s["staged_next"] == 0
-                else f"the live window holds {s['live_window']} never-sampled keys and the final\n"
-                f"{s['staged_next']} are staged for the next rotation window (`_DRIVER_PRIORITY_R12`, catalog.py). Latest committed\n"
+                else f"the live window holds {s['live_window']} never-sampled keys and\n"
+                f"{s['staged_next']} are staged for the next rotation window (`_DRIVER_PRIORITY_R13`, catalog.py). Latest committed\n"
             )
         )
         + f"full sweep: {s['sweep_exact']}/{s['sweep_checked']} EXACT"
