@@ -60,6 +60,11 @@ def test_sweep_parser_captures_failures(tmp_path, monkeypatch):
     sweeps.mkdir()
     keys = list(REGISTRY)[:6]
     log = sweeps / "r99_open.log"
+    # pad with EXACT lines for the rest of the registry so the log
+    # clears latest_sweep's >=50%-coverage sweep signature (ADVICE r11)
+    pad = "".join(
+        f"{k:24s} EXACT  rows=1  (0.1s)\n" for k in list(REGISTRY)[6:]
+    )
     log.write_text(
         f"{keys[0]:24s} EXACT  rows=16  (1.0s)\n"
         f"{keys[1]:24s} FAIL MISMATCH  rows=3  (1.0s)\n"
@@ -68,6 +73,7 @@ def test_sweep_parser_captures_failures(tmp_path, monkeypatch):
         f"{keys[4]:24s} FAIL ARRAY-OUTPUT cols=['e'] (driver cannot canonicalize)\n"
         f"{keys[5]:24s} rows-only   rows=7  (0.2s)\n"
         "26/08/15 20:00:00 WARN WindowExec: noise line with } brace\n"
+        + pad
     )
     monkeypatch.setattr(ledger, "ROOT", str(tmp_path))
     name, verdicts = ledger.latest_sweep()
@@ -96,13 +102,18 @@ def test_latest_sweep_order_is_round_then_suffix_not_mtime(tmp_path, monkeypatch
     sweeps = tmp_path / "sweeps"
     sweeps.mkdir()
     key = list(REGISTRY)[0]
+    pad = "".join(
+        f"{k:24s} EXACT  rows=1  (0.1s)\n" for k in list(REGISTRY)[1:]
+    )
     for name, verdict in [
         ("r9_final.log", "EXACT"),
         ("r10_open.log", "EXACT"),
         ("r10_close.log", "FAIL MISMATCH"),
         ("r2_open.log", "EXACT"),
     ]:
-        (sweeps / name).write_text(f"{key:24s} {verdict}  rows=1  (0.1s)\n")
+        (sweeps / name).write_text(
+            f"{key:24s} {verdict}  rows=1  (0.1s)\n" + pad
+        )
     # identical mtimes for all
     import os
 
@@ -112,3 +123,23 @@ def test_latest_sweep_order_is_round_then_suffix_not_mtime(tmp_path, monkeypatch
     name, verdicts = ledger.latest_sweep()
     assert name == "r10_close.log"
     assert verdicts[key] == "FAIL MISMATCH"
+
+
+def test_latest_sweep_skips_partial_log_from_later_round(tmp_path, monkeypatch):
+    """ADVICE r11: a truncated/partial log with a later round prefix
+    must NOT shadow the real full sweep — it would silently shrink the
+    certification denominator. The picker requires verdicts for >=50%
+    of REGISTRY keys and falls back to the next-newest log."""
+    sweeps = tmp_path / "sweeps"
+    sweeps.mkdir()
+    keys = list(REGISTRY)
+    full = "".join(f"{k:24s} EXACT  rows=1  (0.1s)\n" for k in keys)
+    (sweeps / "r10_close.log").write_text(full)
+    # later-round log with only 3 verdicts (a partial/truncated write)
+    (sweeps / "r11_open.log").write_text(
+        "".join(f"{k:24s} EXACT  rows=1  (0.1s)\n" for k in keys[:3])
+    )
+    monkeypatch.setattr(ledger, "ROOT", str(tmp_path))
+    name, verdicts = ledger.latest_sweep()
+    assert name == "r10_close.log"
+    assert len(verdicts) == len(keys)

@@ -151,6 +151,10 @@ GLOBAL_ONE_TASK_OK = {
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
 # scalar/tiny build sides (documented in their docstrings)
 BNLJ_OK = {
+    "text_unigram_drift",  # vocab-bounded (~31-row) unigram model +
+                         # 1-row total broadcast onto the |sources| spine
+                         # (the dense chi-square grid), plus the 1-row
+                         # top-word fit onto the token stream
     "agg_kv_cache_plan",  # 9-cell (B,L) grid broadcast onto the bounded
                          # length histogram; 1-row totals + p95 scalars
     "agg_spec_decode_accept",  # 4-row position spine broadcast onto the
