@@ -91,7 +91,7 @@ def test_agg_cuped_adjust_matches_pure_python(spark):
         fe = (uid % 13) * 500
         arm = uid % 2
         xs.append(x + fe)
-        ys.append(y + fe + (300 if arm == 1 else 0))
+        ys.append(y + fe + (400 if arm == 1 else 0))
         arms.append(arm)
     n = len(xs)
     sx, sy = sum(xs), sum(ys)
@@ -110,7 +110,10 @@ def test_agg_cuped_adjust_matches_pure_python(spark):
     dy = _tdiv(1000 * sy1, n1) - _tdiv(1000 * sy0, n0)
     dx = _tdiv(1000 * sx1, n1) - _tdiv(1000 * sx0, n0)
     theta = _tdiv(1000 * cov, varx)
-    dyc = dy - _tdiv(theta * dx, 1000000)
+    # theta_milli * dx_milli is in micro-units; one DIV 1000 lands in
+    # milli (a DIV 1e6 here would under-adjust by 1000x — caught by the
+    # y==x property in test_round12_random.py)
+    dyc = dy - _tdiv(theta * dx, 1000)
     resid = vary - _tdiv(cov * cov, varx)
     got = REGISTRY["agg_cuped_adjust"].fn(spark, SF_001).toPandas()
     r = got.iloc[0]
@@ -127,11 +130,15 @@ def test_agg_cuped_adjust_matches_pure_python(spark):
         dyc * dyc * n * n * n0 * n1, 1000 * resid * (n0 + n1)
     )
     # fixture punchline: the planted user fixed effect makes >90% of the
-    # metric variance pre-period-predictable, and the SAME +300 lift is
+    # metric variance pre-period-predictable, and the SAME +400 lift is
     # invisible raw but crosses the chi2_1 95% line (3841 milli) after
     # CUPED
     assert r.var_reduction_ppm > 900000
     assert r.tsq_raw_milli < 3841 < r.tsq_cuped_milli
+    # the adjustment itself must be material: theta ~ 1, so the planted
+    # arm imbalance in X (dx) is subtracted nearly 1:1 from the raw
+    # effect (the DIV-1e6 units bug made this correction ~0)
+    assert abs((r.effect_raw_milli - r.effect_cuped_milli) - dx) < abs(dx) // 10 + 1000
 
 
 def test_text_unigram_drift_matches_pure_python(spark):
