@@ -9,11 +9,17 @@ the driver hashes ``20028`` vs ``20028.0`` — cast the oracle column,
 usually a DuckDB window-SUM HUGEINT leaking to pandas float64), or
 MISMATCH.
 
-Usage: python tools/check_oracle.py [query ...]
+Usage: python tools/check_oracle.py [--sf-dir DIR] [query ...]
+
+--sf-dir (or env SPARK_GRAFT_ORACLE_SF) points both engines at another
+parquet directory — the sf1/sf5 value-exactness ritual (BASELINE.md's
+"EXACTNESS sweep" rows) runs this same gate on scaledata/sf{1,5} instead
+of monkeypatching SF_DIR.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -23,7 +29,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -126,7 +132,13 @@ def main() -> None:
     import __spark_entry__ as e
     from varda_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    global SF_DIR
+    args = sys.argv[1:]
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        SF_DIR = args[i + 1]
+        del args[i : i + 2]
+    only = set(args)
     spark = get_spark("check_oracle", shuffle_partitions=16)
     con = duck_con()
     qs, oracles = e.queries(), e.oracle_sql()
