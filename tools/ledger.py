@@ -108,6 +108,11 @@ def latest_sweep() -> tuple[str, dict[str, str]]:
     # check_oracle sweep — a differently-formatted artifact landing in
     # sweeps/ with a later round prefix must not shadow the real sweep
     # (the r11 sf-exactness logs did exactly that before this guard).
+    # CONVENTION (enforced by the *.log glob above): scale-exactness
+    # sweeps (sf1/sf5, partial or skip-listed) are committed as
+    # exactness_*.txt, never *.log — an sf1 sweep big enough to clear
+    # the coverage bar below would otherwise shadow the sf0.01 close
+    # sweep this column is defined over (r12 near-miss).
     # ADVICE r11: ">=1 matching line" is too weak a sweep signature — a
     # truncated/partial log would still shadow the real full sweep and
     # silently shrink the certification denominator. Require verdicts for
