@@ -143,3 +143,22 @@ def test_latest_sweep_skips_partial_log_from_later_round(tmp_path, monkeypatch):
     name, verdicts = ledger.latest_sweep()
     assert name == "r10_close.log"
     assert len(verdicts) == len(keys)
+
+
+def test_rotation_recert_exemption_expires_after_reproof():
+    """check_rotation's _DRIVER_RECERT pass is scoped, not permanent
+    (ADVICE r12): a recert key whose newest driver hash is from the
+    LATEST landed round is no longer excused — re-windowing it again
+    would waste a slot — while keys whose hashes predate the latest
+    round stay excused."""
+    import check_rotation as cr
+
+    latest = {"old_key": 2, "fresh_key": 13, "other": 13}
+    active = cr.active_recerts(latest, ["old_key", "fresh_key", "never"])
+    assert "old_key" in active       # last proved r2 < r13: still owed
+    assert "fresh_key" not in active  # re-proved in the latest round
+    assert "never" in active          # no hash at all: certainly owed
+    # live repo invariant: every listed recert is still awaiting proof
+    # (the R13 window is open; its CORRECTNESS file has not landed)
+    real = cr.sampled_rounds()
+    assert cr.active_recerts(real) == set(cr._DRIVER_RECERT)

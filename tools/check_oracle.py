@@ -128,6 +128,44 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> str:
     return "EXACT" if exact else "APPROX"
 
 
+class OracleTimeout(Exception):
+    pass
+
+
+def run_oracle(con, sql: str, timeout: float | None) -> pd.DataFrame:
+    """Run the DuckDB twin, optionally with a wall budget.
+
+    DuckDB holds the GIL-released C loop for the whole query, so a
+    signal-based timeout never fires; instead the query runs in a worker
+    thread and the main thread calls connection.interrupt() when the
+    budget lapses (the documented cancellation API).
+    """
+    if timeout is None:
+        return con.sql(sql).df()
+    out: dict = {}
+
+    def work():
+        try:
+            out["df"] = con.sql(sql).df()
+        except Exception as ex:  # includes the InterruptException
+            out["ex"] = ex
+
+    import threading
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        con.interrupt()
+        th.join(30)
+        raise OracleTimeout()
+    if "ex" in out:
+        if "INTERRUPT" in str(out["ex"]).upper():
+            raise OracleTimeout()
+        raise out["ex"]
+    return out["df"]
+
+
 def main() -> None:
     import __spark_entry__ as e
     from varda_spark.session import get_spark
@@ -137,6 +175,11 @@ def main() -> None:
     if "--sf-dir" in args:
         i = args.index("--sf-dir")
         SF_DIR = args[i + 1]
+        del args[i : i + 2]
+    oracle_timeout = None
+    if "--oracle-timeout" in args:
+        i = args.index("--oracle-timeout")
+        oracle_timeout = float(args[i + 1])
         del args[i : i + 2]
     only = set(args)
     spark = get_spark("check_oracle", shuffle_partitions=16)
@@ -164,7 +207,22 @@ def main() -> None:
             failed.append(name)
             continue
         try:
-            ddf = con.sql(oracles[name]).df()
+            ddf = run_oracle(con, oracles[name], oracle_timeout)
+        except OracleTimeout:
+            # NOT a failure verdict: the ORACLE (DuckDB twin) exceeded
+            # the budget at this sf — the slow-by-contract class
+            # (all-pairs ground truths, WITH RECURSIVE row-walks).
+            # Value equality for these keys is certified at sf0.01
+            # (close sweeps) and, where one exists, by the sampled twin
+            # at sf1; the line records Spark-side health + the skip.
+            print(
+                f"{name:24s} ORACLE_TIMEOUT(>{oracle_timeout:.0f}s) "
+                f"spark_rows={len(sdf)}  ({time.time()-t0:.1f}s)"
+            )
+            # a fresh connection: interrupt() can leave the old one
+            # mid-transaction
+            con = duck_con()
+            continue
         except Exception as ex:
             print(f"{name:24s} DUCK-ERROR {type(ex).__name__}: {str(ex)[:200]}")
             failed.append(name)

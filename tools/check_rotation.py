@@ -24,8 +24,8 @@ except ImportError:  # pre-r7 checkouts
     _DRIVER_RECERT = []
 
 
-def sampled_union() -> set[str]:
-    """Keys CERTIFIED by a prior driver round.
+def sampled_rounds() -> dict[str, int]:
+    """Latest round each key was CERTIFIED by a driver run.
 
     A key that ERR'd at the driver (e.g. the four r4 array-output keys)
     is NOT certified — it stays eligible for the next window so it can
@@ -34,25 +34,43 @@ def sampled_union() -> set[str]:
     after the fix is certification, not waste, so it must not trip the
     overlap gate.
     """
-    keys: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.split("_r")[1].split(".")[0])
         data = json.load(open(path))
         results = data.get("results", data)
         if isinstance(results, dict):
-            for k, row in results.items():
-                if isinstance(row, dict) and (
+            rows = [
+                k for k, row in results.items()
+                if not (isinstance(row, dict) and (
                     row.get("err") or row.get("hash_match") is False
-                ):
-                    continue
-                keys.add(k)
+                ))
+            ]
         else:
-            keys |= {row["key"] for row in results}
-    return keys
+            rows = [row["key"] for row in results]
+        for k in rows:
+            latest[k] = max(latest.get(k, -1), rnd)
+    return latest
+
+
+def active_recerts(latest: dict[str, int], recert_list=None) -> set[str]:
+    """Recert keys still awaiting their re-proof.
+
+    A recert listing is NOT a permanent pass (ADVICE r12): the key is
+    excused only while its newest driver hash predates the latest
+    landed round — once the recert round's CORRECTNESS file records
+    it, re-windowing it again is a wasted slot and trips the gate.
+    """
+    if recert_list is None:
+        recert_list = _DRIVER_RECERT
+    max_round = max(latest.values(), default=0)
+    return {k for k in recert_list if latest.get(k, -1) < max_round}
 
 
 def main() -> int:
-    prior = sampled_union()
-    recert = set(_DRIVER_RECERT)
+    latest = sampled_rounds()
+    prior = set(latest)
+    recert = active_recerts(latest)
     window = list(REGISTRY)[:50]
     overlap = [k for k in window if k in prior and k not in recert]
     recert_in = [k for k in window if k in recert]

@@ -45,6 +45,10 @@ try:
     from varda_spark.catalog import _DRIVER_PRIORITY_R13  # noqa: E402
 except ImportError:  # pre-r12-open checkouts
     _DRIVER_PRIORITY_R13 = []
+try:
+    from varda_spark.catalog import _DRIVER_PRIORITY_R14  # noqa: E402
+except ImportError:  # pre-r13-open checkouts
+    _DRIVER_PRIORITY_R14 = []
 
 
 def driver_history() -> dict[str, tuple[int, str]]:
@@ -173,7 +177,8 @@ def build_rows():
     shapes = plan_shapes()
     live = set(_DRIVER_PRIORITY[:50])
     staged10 = (set(_DRIVER_PRIORITY_R10) | set(_DRIVER_PRIORITY_R11)
-                | set(_DRIVER_PRIORITY_R12) | set(_DRIVER_PRIORITY_R13))
+                | set(_DRIVER_PRIORITY_R12) | set(_DRIVER_PRIORITY_R13)
+                | set(_DRIVER_PRIORITY_R14))
     rows = []
     for key, spec in REGISTRY.items():
         twinned = spec.sql is not None

@@ -59,13 +59,24 @@ def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
 
 
 def ngrams(df: DataFrame, n: int = 2, text: str = "text", out: str = "ngram") -> DataFrame:
-    """Explode word n-grams (1-indexed element_at; codegen-friendly)."""
+    """Explode word n-grams (1-indexed element_at; codegen-friendly).
+
+    Docs with fewer than n words yield ZERO grams (row drops at the
+    explode), matching DuckDB's empty range(). The size(_w) >= n gate is
+    load-bearing: without it sequence(1, size-n+1) for size < n is a
+    DESCENDING sequence ending at <= 0 and element_at(_w, 0) raises
+    unconditionally in Spark — a short doc would crash one engine and
+    not the other (ADVICE r12)."""
     df = df.withColumn("_w", tokens(text))
     parts = ", ".join(f"element_at(_w, i + {j})" for j in range(n))
     df = df.withColumn(
         out,
         F.explode(
-            F.expr(f"transform(sequence(1, greatest(size(_w) - {n - 1}, 0)), i -> concat_ws(' ', {parts}))")
+            F.expr(
+                f"CASE WHEN size(_w) >= {n} THEN "
+                f"transform(sequence(1, size(_w) - {n - 1}), i -> concat_ws(' ', {parts})) "
+                f"ELSE array() END"
+            )
         ),
     )
     return df.drop("_w")
