@@ -151,6 +151,12 @@ GLOBAL_ONE_TASK_OK = {
 # queries where a BroadcastNestedLoopJoin is a deliberate choice:
 # scalar/tiny build sides (documented in their docstrings)
 BNLJ_OK = {
+    "agg_cochran_q",     # 1-row item-moment fold x 1-row variant-moment
+                         # fold (k=4 contract constant) — the final
+                         # single-row Q algebra
+    "dedup_fellegi_sunter",  # 1-row m/u estimate folds crossed into the
+                         # 1-row weight board, then broadcast onto the
+                         # block-bounded pair stream (the FS score pass)
     "text_unigram_drift",  # vocab-bounded (~31-row) unigram model +
                          # 1-row total broadcast onto the |sources| spine
                          # (the dense chi-square grid), plus the 1-row
