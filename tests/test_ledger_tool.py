@@ -28,12 +28,15 @@ def test_ledger_rows_cover_registry_exactly():
 def test_ledger_placement_buckets_are_sound():
     rows, hist, *_ = ledger.build_rows()
     s = ledger.summary(rows, hist, "x.log", {})
-    # certified + live + staged + rows-only + unstaged == total
+    # certified + live + staged + rows-only-unwindowed + unstaged == total
+    # (placement buckets are disjoint per key; the rows_only ATTRIBUTE
+    # count stopped matching the bucket once R14 staged the 6 rows-only
+    # keys for their first driver sample)
     assert (
         s["driver_certified"]
         + s["live_window"]
         + s["staged_next"]
-        + s["rows_only"]
+        + s["rows_only_unwindowed"]
         + len(s["unstaged"])
         + len(s["driver_red_latest"])
         == s["total"]

@@ -226,6 +226,13 @@ def summary(rows, hist, sweep_name, sweep) -> dict:
         "total": total,
         "twinned": twinned,
         "rows_only": total - twinned,
+        # placement bucket (disjoint from certified/live/staged): rows-only
+        # keys NOT in any window. Since R14 staged the 6 rows-only keys for
+        # their first driver sample, this differs from the rows_only
+        # ATTRIBUTE count above — the bucket arithmetic must use this one.
+        "rows_only_unwindowed": len(
+            [r for r in rows if r["driver"] == "rows-only (no window)"]
+        ),
         "driver_certified": len(certified),
         "driver_red_latest": sorted(red),
         "latest_round": latest_round,
