@@ -186,6 +186,7 @@ def main() -> None:
     con = duck_con()
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    timeouts = []
     checked = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -219,6 +220,7 @@ def main() -> None:
                 f"{name:24s} ORACLE_TIMEOUT(>{oracle_timeout:.0f}s) "
                 f"spark_rows={len(sdf)}  ({time.time()-t0:.1f}s)"
             )
+            timeouts.append(name)
             # a fresh connection: interrupt() can leave the old one
             # mid-transaction
             con = duck_con()
@@ -234,7 +236,13 @@ def main() -> None:
         print(f"{name:24s} {status}  rows={len(sdf)}  ({time.time()-t0:.1f}s)")
     # Denominator = keys actually CHECKED this run (the r9 verdict's #2:
     # a filtered run used to print 453/453 even when only 10 keys ran).
-    print(f"\n{checked - len(failed)}/{checked} exact; non-exact: {failed or 'none'}")
+    # Oracle timeouts are counted apart — they are neither EXACT nor
+    # failed (the Spark side ran; the DuckDB twin exceeded its budget).
+    tmo = f"; oracle-timeout: {timeouts}" if timeouts else ""
+    print(
+        f"\n{checked - len(failed) - len(timeouts)}/{checked} exact"
+        f"{tmo}; non-exact: {failed or 'none'}"
+    )
     spark.stop()
 
 
