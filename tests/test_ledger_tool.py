@@ -161,7 +161,13 @@ def test_rotation_recert_exemption_expires_after_reproof():
     assert "old_key" in active       # last proved r2 < r13: still owed
     assert "fresh_key" not in active  # re-proved in the latest round
     assert "never" in active          # no hash at all: certainly owed
-    # live repo invariant: every listed recert is still awaiting proof
-    # (the R13 window is open; its CORRECTNESS file has not landed)
+    # live repo invariant, state-independent (VERDICT r13 "What's wrong" #1):
+    # active recerts are always drawn FROM the listed window, but whether
+    # the set is full (window open, CORRECTNESS not landed) or empty
+    # (driver artifacts landed, every listed key freshly re-proved) flips
+    # every round by design — assert the subset invariant plus the two
+    # legal states explicitly instead of pinning one of them.
     real = cr.sampled_rounds()
-    assert cr.active_recerts(real) == set(cr._DRIVER_RECERT)
+    active = cr.active_recerts(real)
+    assert active <= set(cr._DRIVER_RECERT)
+    assert active == set(cr._DRIVER_RECERT) or not active

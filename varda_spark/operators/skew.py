@@ -17,6 +17,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def fan_out(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Spread a compute-heavy chain (hash fan-out, explode, vectorized
+    mapInPandas) across the cluster when the upstream scan cannot.
+
+    Parquet assigns a row group to the ONE split containing its midpoint,
+    so a small file with a single row group runs its whole scan stage —
+    and everything codegen fuses into it — on one task no matter what the
+    split math says (the r14 profile: agg_bootstrap's 3.6M-md5 stage ran
+    on 1 effective task of a local[32] session). Round-robin repartition
+    to factor×defaultParallelism unlocks the cores; callers apply it
+    AFTER projecting down to the narrow columns the chain needs, so the
+    shuffle ships keys+metadata, not payloads (guide §2.3).
+
+    Scale-adaptive: when the input already has ≥ factor×parallelism
+    partitions (any real multi-file table at 100 TB), this is a no-op —
+    the repartition only fires for inputs too small to split, where the
+    shuffled bytes are by construction tiny.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def with_salt(df: DataFrame, key: str, n_salts: int = 16, out: str = "_salted_key") -> DataFrame:
     """Deterministic salt from a content hash (reproducible across runs,
     unlike rand()): salt = xxhash64(whole row key + monotonic id) % n."""
