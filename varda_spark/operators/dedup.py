@@ -334,22 +334,36 @@ def connected_components(
     holds; large-star/small-star (cc_stars below) additionally bounds
     high-degree shuffle skew.
     """
+    # Materialize the PROJECTED pair stream exactly once: the candidate
+    # DAG feeding `pairs` is the expensive part (LSH + verify), and every
+    # pre-r14 consumer — the union's two scans, the threshold count, the
+    # collect — replayed it. One narrow localCheckpoint up front means
+    # every later scan (either path) reads executor-local blocks.
+    P = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).localCheckpoint()
+    if local_threshold:
+        # bounded decision + fetch in ONE cheap job (reads the checkpoint,
+        # never more than threshold+1 rows on the driver)
+        rows = P.limit(local_threshold + 1).collect()
+        if len(rows) <= local_threshold:
+            # raw pairs, not the distinct symmetric closure: union-find is
+            # insensitive to duplicates, orientation and self-loops, and
+            # _union_find_local derives the vertex set itself — identical
+            # (id, comp) output with zero further Spark jobs.
+            out = _union_find_local([(r.src, r.dst) for r in rows])
+            return P.sparkSession.createDataFrame(
+                out,
+                schema=P.select(
+                    F.col("src").alias("id"), F.col("src").alias("comp")
+                ).schema,
+            )
     edges = (
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        P.union(P.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         # the loop joins edges every round — materialize ONCE, or each round
         # replays the whole candidate-generation lineage (measured 3× on
         # the minhash pipeline)
         .localCheckpoint()
     )
-    if local_threshold and edges.count() <= local_threshold:
-        out = _union_find_local(
-            [(r.src, r.dst) for r in edges.collect()]
-        )
-        return edges.sparkSession.createDataFrame(
-            out, schema=edges.select(F.col("src").alias("id"), F.col("src").alias("comp")).schema
-        )
     comp = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     for it in range(max_iter):
         cand = comp.union(
@@ -451,26 +465,38 @@ def cc_stars(
     alternation — at sf0.1 the verified graph is a few hundred edges and
     the star rounds were the pipeline's single largest cost.
     """
+    # One materialization of the expensive candidate/verify DAG feeding
+    # `pairs`: pre-r14 this checkpointed the canonicalized edges AND then
+    # recomputed the whole pairs DAG a second time through `verts` inside
+    # the returned plan (profiled as the single largest cost of
+    # dedup_pipeline_v2's final stage at sf0.1 — ~4.7 s of replay).
+    P = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
+    if local_threshold:
+        rows = P.limit(local_threshold + 1).collect()
+        if len(rows) <= local_threshold:
+            # raw pairs: union-find ignores duplicates/orientation, keeps
+            # self-loop-only vertices as singletons, and derives the
+            # vertex set itself — identical (id, comp) output with zero
+            # further Spark jobs (the old path paid a count, a collect
+            # AND a verts join that replayed the pair DAG).
+            out = _union_find_local([(r.u, r.v) for r in rows])
+            return P.sparkSession.createDataFrame(
+                out,
+                schema=P.select(
+                    F.col("u").alias("id"), F.col("u").alias("comp")
+                ).schema,
+            )
     E = (
-        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        P.filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
         .localCheckpoint()
     )
     verts = (
-        pairs.select(F.col(a).alias("id"))
-        .union(pairs.select(F.col(b).alias("id")))
+        P.select(F.col("u").alias("id"))
+        .union(P.select(F.col("v").alias("id")))
         .distinct()
     )
-    if local_threshold and E.count() <= local_threshold:
-        out = _union_find_local([(r.u, r.v) for r in E.collect()])
-        star = E.sparkSession.createDataFrame(
-            out, schema=E.select(F.col("u").alias("id"), F.col("u").alias("comp")).schema
-        )
-        return verts.join(star, "id", "left").select(
-            "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
-        )
 
     def _sym(edges: DataFrame) -> DataFrame:
         return edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -558,6 +558,39 @@ def kmeans_fit(
     the plan static and the oracle replicable.
     """
     q_ = emb.select(key, quantized(vec, scale).alias("_q"))
+    # Small-corpus fast path (the union-find / kcenter discipline):
+    # Lloyd's loop is iters sequential rounds of centroid-collect +
+    # assignment scan + (cell,dim) shuffle + checkpoint — ~6 jobs/round
+    # of almost pure scheduling at bench scale. When the quantized corpus
+    # is bounded (limit-collect, ≤ threshold+1 rows ever on the driver)
+    # the IDENTICAL integer math runs in numpy in one job: same k-lowest-
+    # key init, same |c|²−2x·c argmin with first-minimum (lowest-cell)
+    # ties, same floor(int-sum / count) double-division update, same
+    # empty-cell carry-forward. Above the threshold the distributed loop
+    # below runs unchanged (r14: sim_kmeans 18 jobs → 3, 1.7 → 0.8 s).
+    import numpy as np
+
+    local_threshold = 65536
+    rows = q_.limit(local_threshold + 1).collect()
+    if len(rows) <= local_threshold and rows:
+        ids = np.array([r[key] for r in rows])
+        X = np.array([r["_q"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        X = X[order]
+        C = X[:k].copy()
+        for _ in range(iters):
+            S = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)
+            a = S.argmin(axis=1)  # first minimum → lowest cell id
+            for c in range(len(C)):
+                m = a == c
+                if m.any():
+                    C[c] = np.floor(
+                        X[m].sum(axis=0).astype(np.float64) / int(m.sum())
+                    ).astype(np.int64)
+        return emb.sparkSession.createDataFrame(
+            [(c, [int(v) for v in C[c]]) for c in range(len(C))],
+            "cell_id bigint, _ce array<bigint>",
+        )
     # partition the k-row init window by pmod(key,1)≡0: same single task
     # over k rows, but the non-foldable constant survives Catalyst (a bare
     # literal is folded out of the partitionSpec) so WindowExec stops
@@ -1165,8 +1198,33 @@ def kcenter_greedy(
     """
     import numpy as np
 
-    q_ = emb.select(key, quantized(vec, scale).alias("_q")).localCheckpoint()
+    q_ = emb.select(key, quantized(vec, scale).alias("_q"))
     key_t = q_.schema[key].dataType.simpleString()
+    # Small-corpus fast path (the union-find discipline from
+    # operators/dedup.py): the greedy loop is inherently sequential —
+    # k-1 round-trips of one job each — so when the quantized corpus is
+    # bounded (limit-collect, never more than threshold+1 rows on the
+    # driver, ~35 MB at 64 dims) the identical integer greedy runs in
+    # numpy in ONE job. Exact same argmax/tie rules, so the output is
+    # bit-identical; above the threshold the distributed scan loop below
+    # runs unchanged (r14 profile: 11 jobs / 1.9-2.1 s → 2 jobs at sf0.1).
+    local_threshold = 65536
+    rows = q_.limit(local_threshold + 1).collect()
+    if len(rows) <= local_threshold:
+        ids = np.array([r[key] for r in rows])
+        X = np.array([r["_q"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, X = ids[order], X[order]
+        picks = [(1, ids[0].item(), 0)]
+        mind2 = ((X - X[0]) ** 2).sum(axis=1)
+        for step in range(2, k + 1):
+            j = int(np.lexsort((ids, -mind2))[0])
+            picks.append((step, ids[j].item(), int(mind2[j])))
+            mind2 = np.minimum(mind2, ((X - X[j]) ** 2).sum(axis=1))
+        return emb.sparkSession.createDataFrame(
+            picks, f"step bigint, {key} {key_t}, dist2 bigint"
+        )
+    q_ = q_.localCheckpoint()
     seed = q_.orderBy(key).limit(1).collect()[0]
     centers = np.array([seed["_q"]], dtype=np.int64)
     picks = [(1, seed[key], 0)]
