@@ -57,26 +57,59 @@ def frequency(
     sel = F.broadcast(sel.select("sample_id", "pool_size", "coverage_profile"))
 
     if variant_keys is None:
-        keys = observations.select(*VARIANT_KEY).distinct()
-        restricted = observations.join(sel.select("sample_id"), "sample_id")
+        # annotate-everything path (r14, guide §2.4): the key set IS the
+        # numerator's group-key set, so the keys-distinct + left join
+        # collapse into ONE aggregation over observations with a flagged
+        # broadcast left join against the selection — the selected-sample
+        # restriction moves from an inner join + outer re-join into the
+        # aggregate's conditions (vc for a key with no selected rows is a
+        # sum of zeros, identical to the old coalesce(NULL, 0); NULL
+        # sample_ids match nothing in either shape). Removes the
+        # keys-distinct exchange, the join re-exchange on the folded key
+        # prefix, and a whole SortMergeJoin from the flagship plan.
+        flagged = observations.join(
+            sel.select("sample_id").withColumn("_sel", F.lit(True)),
+            "sample_id",
+            "left",
+        )
+        num = flagged.groupBy(*VARIANT_KEY).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_sel"), F.col("support"))), F.lit(0)
+            ).alias("vc"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_sel") & (F.col("zygosity") == "homozygous"),
+                        F.col("support"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("vc_hom"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_sel") & (F.col("zygosity") == "heterozygous"),
+                        F.col("support"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("vc_het"),
+        )
+        keyed_num = num
     else:
         keys = variant_keys.select(*VARIANT_KEY).distinct()
         restricted = observations.join(sel.select("sample_id"), "sample_id").join(
             keys, VARIANT_KEY, "left_semi"
         )
-
-    # ---- numerator: support sum over selected samples' observations ----
-    num = (
-        restricted.groupBy(*VARIANT_KEY)
-        .agg(
+        num = restricted.groupBy(*VARIANT_KEY).agg(
             F.sum("support").alias("vc"),
             F.sum(F.when(F.col("zygosity") == "homozygous", F.col("support")).otherwise(F.lit(0))).alias("vc_hom"),
             F.sum(F.when(F.col("zygosity") == "heterozygous", F.col("support")).otherwise(F.lit(0))).alias("vc_het"),
         )
-    )
+        keyed_num = keys.join(num, VARIANT_KEY, "left")
 
     # ---- denominator part 1: covered samples via binned interval join ----
-    loci = keys.select("chromosome", "position").distinct()
+    loci = keyed_num.select("chromosome", "position").distinct()
     covered = (
         interval_join(
             loci,
@@ -98,7 +131,7 @@ def frequency(
     )
 
     out = (
-        keys.join(num, VARIANT_KEY, "left")
+        keyed_num
         .join(covered, ["chromosome", "position"], "left")
         .crossJoin(F.broadcast(uncond))
         .withColumn("vn", F.coalesce(F.col("vn_covered"), F.lit(0)) + F.col("vn_uncond"))

@@ -365,24 +365,50 @@ def lsh_buckets(
     """Tag every vector with its per-table sign-sketch bucket id (one row
     per (vector, table) after the explode). Shared by lsh_neardup (which
     verifies candidates) and lsh_candidate_pairs (which doesn't)."""
+    import numpy as np
+
     coefs = lsh_hyperplane_coefs(tables, bits, dim)
-    base = emb.select(key, quantized(vec, scale).alias("_q")).withColumn("_n2", qdot("_q", "_q"))
-    bucket_cols = []
-    for tb in range(tables):
-        bit_exprs = []
-        for b_ in range(bits):
-            arr = "array(" + ",".join(str(c) for c in coefs[tb * bits + b_]) + ")"
-            bit_exprs.append(
-                F.expr(
-                    f"IF(aggregate(zip_with(_q, {arr}, (x, c) -> x * c), "
-                    f"CAST(0 AS BIGINT), (acc, v) -> acc + v) >= 0, '1', '0')"
-                )
+    base = emb.select(key, quantized(vec, scale).alias("_q"))
+    key_t = base.schema[key].dataType.simpleString()
+    # r14 (guide §4.2): the tables·bits sign sketches were per-row
+    # zip_with/aggregate folds — higher-order lambdas run interpreted
+    # outside codegen, ~6M lambda invocations at sf0.1. One int64 matmul
+    # per Arrow batch against the closure-shipped (tables·bits × dim)
+    # hyperplane matrix computes the identical integer dots (sign ⟺
+    # >= 0, same '1'/'0' string assembly, same per-table explode), and
+    # _n2 is the same exact int64 self-dot.
+    H = np.array(coefs, dtype=np.int64)
+
+    def _tag(batches, H=H, tables=tables, bits=bits):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack(pdf["_q"].to_numpy()).astype(np.int64)
+            ids = pdf[key].to_numpy()
+            n = len(pdf)
+            S = Q @ H.T  # (n, tables·bits), exact int64
+            sbits = np.where(S >= 0, "1", "0")
+            bucket_strs = [
+                [
+                    f"{tb}|" + "".join(sbits[i, tb * bits:(tb + 1) * bits])
+                    for tb in range(tables)
+                ]
+                for i in range(n)
+            ]
+            n2 = (Q * Q).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    key: np.repeat(ids, tables),
+                    "_q": [list(q) for q in Q for _ in range(tables)],
+                    "_n2": np.repeat(n2, tables),
+                    "_bucket": [b for row in bucket_strs for b in row],
+                }
             )
-        bucket_cols.append(F.concat(F.lit(f"{tb}|"), *bit_exprs).alias(f"_b{tb}"))
-    tagged = base.select(key, "_q", "_n2", *bucket_cols)
-    return tagged.select(
-        key, "_q", "_n2",
-        F.explode(F.array(*[F.col(f"_b{tb}") for tb in range(tables)])).alias("_bucket"),
+
+    return base.mapInPandas(
+        _tag, f"{key} {key_t}, _q array<bigint>, _n2 bigint, _bucket string"
     )
 
 
