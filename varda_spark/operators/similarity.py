@@ -16,6 +16,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+# Bound for the driver-side solver fast paths (kmeans_fit, kcenter_greedy):
+# when the quantized corpus limit-collects under this many rows the
+# inherently-sequential solver loop runs as identical integer math on the
+# driver (one job) instead of one-job-per-round scheduling. Module-level so
+# tests can force the distributed path on small data and assert bit-equality
+# of the two paths (tests/test_round14_opt.py).
+_LOCAL_SOLVER_THRESHOLD = 65536
+
 
 def dot(a: str, b: str) -> Column:
     """Deterministic double dot product of two array<float|double> cols."""
@@ -596,7 +604,7 @@ def kmeans_fit(
     # below runs unchanged (r14: sim_kmeans 18 jobs → 3, 1.7 → 0.8 s).
     import numpy as np
 
-    local_threshold = 65536
+    local_threshold = _LOCAL_SOLVER_THRESHOLD
     rows = q_.limit(local_threshold + 1).collect()
     if len(rows) <= local_threshold and rows:
         ids = np.array([r[key] for r in rows])
@@ -1234,7 +1242,7 @@ def kcenter_greedy(
     # numpy in ONE job. Exact same argmax/tie rules, so the output is
     # bit-identical; above the threshold the distributed scan loop below
     # runs unchanged (r14 profile: 11 jobs / 1.9-2.1 s → 2 jobs at sf0.1).
-    local_threshold = 65536
+    local_threshold = _LOCAL_SOLVER_THRESHOLD
     rows = q_.limit(local_threshold + 1).collect()
     if len(rows) <= local_threshold:
         ids = np.array([r[key] for r in rows])
