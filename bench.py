@@ -222,6 +222,15 @@ def cpu_probe() -> dict:
 
 def main() -> None:
     spark = get_spark("bench")
+    # Echo the REQUESTED core count and master string in the printed JSON
+    # (r14 VERDICT item 3): the driver compares an 8-core vs 32-core run
+    # to measure scaling, but on this co-tenant host both runs get ~9
+    # effective CPUs, so ratio-based inference mis-flags the bench as
+    # ignoring $SPARK_GRAFT_CPUS. These fields give the driver the
+    # contract signal directly; `effective_cpus` (the Spark-free probe)
+    # stays alongside so requested-vs-delivered is one comparison.
+    req_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = spark.sparkContext.master
     warm_up(spark, SF_DIR)
     times, reruns = run_suite(spark, SF_DIR)
     total = round(sum(times.values()), 3)
@@ -246,6 +255,8 @@ def main() -> None:
                 "legacy20_wall": legacy,
                 "noise_reruns": reruns,
                 "cpu_probe": probe,
+                "cpus": req_cpus,
+                "master": master,
                 "sf": sf_value(SF_DIR),
             },
             fh,
@@ -261,6 +272,8 @@ def main() -> None:
                 "queries": {k: times[k] for k in LEGACY20},
                 "legacy20_wall": legacy,
                 "n_queries": len(times),
+                "cpus": req_cpus,
+                "master": master,
                 "effective_cpus": probe["effective_cpus"],
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_value(SF_DIR),

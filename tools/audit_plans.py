@@ -115,8 +115,6 @@ GLOBAL_ONE_TASK_OK = {
                          # spine (shard-count-bounded, documented)
     "store_partition_skew",  # rank/total windows over the month-partition
                          # list (calendar-bounded ~80 rows, documented)
-    "store_cluster_advisor",  # rank window over the distinct-month spine
-                         # (calendar-bounded ~80 rows, documented)
     "agg_price_elasticity",  # LAG window over the ship-month list
                          # (calendar-bounded ~80 rows, documented)
     "agg_fdr_bh",        # BH rank/threshold windows over the 25-row

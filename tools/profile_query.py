@@ -11,8 +11,9 @@ starved.
 Usage:
   python tools/profile_query.py key [key ...]       # profile
   python tools/profile_query.py --plan key [...]    # also dump
-      plans/r14/<key>_{before|after}.txt (formatted explain), phase
-      controlled by --phase before|after
+      plans/<round>/<key>_{before|after}.txt (formatted explain), phase
+      controlled by --phase before|after, round dir by --round rNN
+      (default r15)
 """
 
 from __future__ import annotations
@@ -64,10 +65,15 @@ def main() -> None:
     args = sys.argv[1:]
     dump_plan = "--plan" in args
     phase = "before"
+    rnd = "r15"
     if "--phase" in args:
         phase = args[args.index("--phase") + 1]
         args.remove("--phase")
         args.remove(phase)
+    if "--round" in args:
+        rnd = args[args.index("--round") + 1]
+        args.remove("--round")
+        args.remove(rnd)
     keys = [a for a in args if not a.startswith("--")]
     spark = get_spark("profile")
     # warm-up: touch tables + one trivial query so JVM/codegen startup
@@ -85,7 +91,7 @@ def main() -> None:
         if dump_plan:
             out = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "plans", "r14", f"{name}_{phase}.txt",
+                "plans", rnd, f"{name}_{phase}.txt",
             )
             os.makedirs(os.path.dirname(out), exist_ok=True)
             df = REGISTRY[name].fn(spark, SF_DIR)

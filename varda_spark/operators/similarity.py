@@ -1244,7 +1244,10 @@ def kcenter_greedy(
     # runs unchanged (r14 profile: 11 jobs / 1.9-2.1 s → 2 jobs at sf0.1).
     local_threshold = _LOCAL_SOLVER_THRESHOLD
     rows = q_.limit(local_threshold + 1).collect()
-    if len(rows) <= local_threshold:
+    # `and rows` mirrors kmeans_fit's empty-input guard (ADVICE r14):
+    # both solvers fall through to the distributed path on empty input
+    # instead of the fast path raising IndexError at ids[0].
+    if len(rows) <= local_threshold and rows:
         ids = np.array([r[key] for r in rows])
         X = np.array([r["_q"] for r in rows], dtype=np.int64)
         order = np.argsort(ids, kind="stable")
