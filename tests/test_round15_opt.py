@@ -157,6 +157,38 @@ def test_kcenter_greedy_empty_input_no_fast_path_indexerror(spark):
         kcenter_greedy(empty, k=3, key="vec_id", vec="vec")
 
 
+# ------------------------------------------------- _coorder_edges Arrow build
+
+
+def test_coorder_edges_matches_python_reference(spark, monkeypatch):
+    """r15: the (ok, pk)-distinct self-join became a collect_set +
+    vectorized Arrow pair generation — the edge SET must equal the
+    brute-force per-order combinations, including dup rows, orders with
+    repeated parts, single-part and NULL-key orders."""
+    import varda_spark.catalog as cat
+
+    rows = [
+        (100, 1), (100, 2), (100, 3), (100, 1),   # dup (ok, pk) row
+        (101, 7),                                  # single part: no pairs
+        (102, 2), (102, 3),
+        (103, 5), (103, 5),                        # repeated part only
+        (None, 8), (None, 9),                      # NULL order: dropped
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    monkeypatch.setattr(cat, "read_table", lambda _s, _d, _t: li)
+    got = {(r.pa, r.pb) for r in cat._coorder_edges(spark, "ignored").collect()}
+    want = set()
+    orders = {}
+    for ok, pk in rows:
+        if ok is not None:
+            orders.setdefault(ok, set()).add(pk)
+        # NULL orderkeys matched nothing in the old equi-join
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            want.add((a, b))
+    assert got == want == {(1, 2), (1, 3), (2, 3)}
+
+
 # ------------------------------- sim_sparse_cosine seeded pair-level fixture
 
 
